@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Column-name / filter constants of the reference pipeline.
+  * Ports `/root/reference/src/notebooks/utilities.py:10-16` (`GameConstants`).
+  */
+object GameConstants {
+  val GameTypes: Seq[String] = Seq("game", "demo", "dlc")
+  val GameId = "appid"
+  val ReviewId = "recommendationid"
+  val DimId = "id"
+}
+
+/** Job configuration. Ports the Databricks widget parameters the reference
+  * reads on the driver (`utilities.py:21-22,28-29,35-36`,
+  * `reviews_fact.py:113,178`, `auxillary_dims.py:31-33`,
+  * `workflow.json:20-24,36-42`) into a typed config.
+  */
+final case class PipelineConfig(
+    catalog: String = "steam",
+    schema: String = "analytics",
+    rawLocation: String = "/tmp/graft/landing_zone",
+    batchSize: Int = 50000,
+    aiEndpoint: Option[String] = None
+)
+
+/** Managed-table store over the Spark catalog.
+  *
+  * Ports `utilities.py:20-39` (`save_table` / `load_table` / `table_exists`)
+  * with the reference's `{catalog}.{schema}.{layer}_{table}` three-part
+  * naming. The reference writes Delta (`utilities.py:23`); this environment
+  * has no Delta jars, so managed tables are Parquet — `overwrite` / `append`
+  * `saveAsTable` semantics carry over identically for our usage (dims are
+  * full-rebuild overwrite, fact is append; SURVEY.md §2.1 K1).
+  *
+  * Locally the `catalog` part maps onto `spark_catalog` and `schema` onto a
+  * database; on a Unity-style multi-catalog deployment the same fqn string
+  * resolves against the configured catalog.
+  */
+final class TableStore(spark: SparkSession, config: PipelineConfig) {
+
+  private val db: String = s"${config.catalog}_${config.schema}"
+  spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  /** `{catalog}_{schema}.{layer}_{table}` — e.g. `steam_analytics.dim_games`. */
+  def fqn(layer: String, table: String): String = s"$db.${layer}_$table"
+
+  /** ≙ `utilities.py:20-23` (mode defaults to overwrite; fact append). */
+  def save(df: DataFrame, layer: String, table: String,
+           mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("parquet").mode(mode).saveAsTable(fqn(layer, table))
+
+  /** ≙ `utilities.py:27-30`. */
+  def load(layer: String, table: String): DataFrame =
+    spark.read.table(fqn(layer, table))
+
+  /** ≙ `utilities.py:34-39` — the reference runs `SHOW TABLES` and collects;
+    * `spark.catalog.tableExists` is the driver-side equivalent without the
+    * extra job.
+    */
+  def exists(layer: String, table: String): Boolean =
+    spark.catalog.tableExists(fqn(layer, table))
+
+  def dropAll(): Unit = spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+}

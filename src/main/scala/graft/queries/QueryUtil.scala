@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-checked query catalog.
+  *
+  * Oracle parity rules (driver compares Spark parquet output vs DuckDB
+  * executing `oracleSql` on the same tables, hashing values after sorting
+  * columns by name):
+  *  - every computed column is explicitly aliased, identically on both sides;
+  *  - money aggregates go through DECIMAL so both engines do exact decimal
+  *    arithmetic (double-sum reduction order differs between engines);
+  *  - double→decimal casts are safe: no IEEE double is ever exactly on a
+  *    decimal rounding boundary ending in 5 (5·10^-k is not dyadic), so both
+  *    engines round identically;
+  *  - integer aggregates are cast to BIGINT in the oracle SQL (DuckDB SUM on
+  *    integers returns HUGEINT, Spark returns LONG).
+  */
+object QueryUtil {
+
+  /** Read one harness table (TESTDATA.md) from the given scale-factor dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` ships with nanosecond parquet timestamps, which Spark only
+    * reads as LONG (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Sessions/Verify/Bench). DuckDB truncates ns→µs on read, so
+    * `timestamp_micros(ns div 1000)` (floor; epoch is positive here)
+    * reproduces the oracle's TIMESTAMP exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact-decimal view of a double column (see parity rules above). */
+  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  type Q = (SparkSession, String) => DataFrame
+}
