@@ -1,0 +1,117 @@
+package graft.semantic
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Declarative semantic metric layer.
+  *
+  * Re-expresses the reference's Databricks `CREATE VIEW ... WITH METRICS
+  * LANGUAGE YAML` view (`/root/reference/src/notebooks/modelling/
+  * semantic_layer.sql:7-94`): a model of source + filter + joins +
+  * dimensions + measures that compiles (measures, dimensions) requests into
+  * DataFrame plans. The expansion Databricks does server-side (SURVEY.md
+  * §3.3) is what `query`/`toSql` do here; parsing, optimization and
+  * execution stay 100% Catalyst.
+  *
+  * Join pruning (SURVEY.md §4): only joins referenced by the requested
+  * dimensions are included, so "avg score by genre" never pays the other
+  * four dim joins. Joins are declared over catalog/temp-view names, which
+  * keeps `query` (Spark) and `toSql` (any ANSI engine, e.g. the DuckDB
+  * oracle) reading the same tables.
+  *
+  * Scale: dim joins in a star schema are broadcast-eligible (small dims);
+  * the grouped aggregate is partial+final hash agg — no extra shuffles
+  * beyond the one groupBy.
+  */
+final case class MetricJoin(
+    name: String,      // alias, referenced by dimension exprs
+    table: String,     // catalog / temp-view table name
+    condition: String, // SQL, e.g. "source.appid = genres.appid"
+    joinType: String = "left"
+)
+
+/** `join = None` → expression over the source; `sqlExpr` overrides the
+  * expression used in generated SQL when the oracle dialect differs
+  * (e.g. Spark `percentile` vs DuckDB `quantile_cont`).
+  */
+final case class Dimension(name: String, expression: String,
+                           join: Option[String] = None)
+
+final case class Measure(name: String, expression: String,
+                         sqlExpr: Option[String] = None)
+
+final case class MetricView(
+    source: String,
+    filter: Option[String],
+    joins: Seq[MetricJoin],
+    dimensions: Seq[Dimension],
+    measures: Seq[Measure]
+) {
+
+  private def dim(n: String): Dimension =
+    dimensions.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown dimension: $n"))
+
+  private def measure(n: String): Measure =
+    measures.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown measure: $n"))
+
+  /** Joins needed by the requested dimensions, in declaration order. */
+  private def neededJoins(dimNames: Seq[String]): Seq[MetricJoin] = {
+    val wanted = dimNames.map(dim).flatMap(_.join).toSet
+    joins.filter(j => wanted.contains(j.name))
+  }
+
+  /** Compile a metric request to a DataFrame plan. */
+  def query(spark: SparkSession, measureNames: Seq[String],
+            dimNames: Seq[String] = Nil,
+            where: Option[String] = None): DataFrame = {
+    val base0 = spark.table(source).alias("source")
+    val base = filter.map(f => base0.filter(expr(f))).getOrElse(base0)
+    val joined = neededJoins(dimNames).foldLeft(base) { (acc, j) =>
+      acc.join(spark.table(j.table).alias(j.name), expr(j.condition), j.joinType)
+    }
+    val filtered = where.map(w => joined.filter(expr(w))).getOrElse(joined)
+    val dimCols = dimNames.map(n => expr(dim(n).expression).as(n))
+    val aggCols = measureNames.map(n => expr(measure(n).expression).as(n))
+    if (dimCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+    else filtered.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The expanded SQL for the same request — what Databricks' view layer
+    * would emit (SURVEY.md §3.3); also the DuckDB oracle text.
+    */
+  def toSql(measureNames: Seq[String], dimNames: Seq[String] = Nil,
+            where: Option[String] = None, oracle: Boolean = true): String = {
+    val needed = neededJoins(dimNames)
+    val dimSel = dimNames.map(n => s"${dim(n).expression} AS $n")
+    val aggSel = measureNames.map { n =>
+      val m = measure(n)
+      val e = if (oracle) m.sqlExpr.getOrElse(m.expression) else m.expression
+      s"$e AS $n"
+    }
+    val select = (dimSel ++ aggSel).mkString(", ")
+    val joinSql = needed.map { j =>
+      val jt = j.joinType.toUpperCase match {
+        case "LEFT" => "LEFT JOIN"; case "INNER" => "JOIN"
+        case other => s"$other JOIN"
+      }
+      s" $jt ${j.table} AS ${j.name} ON ${j.condition}"
+    }.mkString
+    val whereClauses = filter.toSeq ++ where.toSeq
+    val whereSql =
+      if (whereClauses.isEmpty) ""
+      else " WHERE " + whereClauses.map(c => s"($c)").mkString(" AND ")
+    val groupSql =
+      if (dimNames.isEmpty) ""
+      else " GROUP BY " + dimNames.map(dim(_).expression).mkString(", ")
+    s"SELECT $select FROM $source AS source$joinSql$whereSql$groupSql"
+  }
+
+  /** Register the fully-expanded (all dims, all measures) query as a plain
+    * SQL view — ≙ `CREATE OR REPLACE VIEW` of `semantic_layer.sql:7`.
+    */
+  def registerView(spark: SparkSession, viewName: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName AS " +
+      toSql(measures.map(_.name), dimensions.map(_.name), oracle = false))
+}

@@ -55,8 +55,9 @@ def main(out_dir, sf_dir):
         else:
             # reorder spark columns to oracle order by name
             idx = [got_cols.index(c) for c in exp_cols]
-            g = sorted(tuple(norm(r[i]) for i in idx) for r in got)
-            e = sorted(tuple(norm(v) for v in r) for r in exp)
+            skey = lambda t: [(v is None, str(v)) for v in t]
+            g = sorted((tuple(norm(r[i]) for i in idx) for r in got), key=skey)
+            e = sorted((tuple(norm(v) for v in r) for r in exp), key=skey)
             for i, (a, b) in enumerate(zip(g, e)):
                 if a != b:
                     # allow tiny float diffs
