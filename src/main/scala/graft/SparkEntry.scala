@@ -20,11 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ SemanticQueries.queries
+    CoreQueries.queries ++ SemanticQueries.queries ++
+      DataPipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ SemanticQueries.oracle
+    CoreQueries.oracle ++ SemanticQueries.oracle ++
+      DataPipelineQueries.oracle
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are expressed as declarative DataFrame plans (explode +
+  * hash-join + hash-agg — every stage partial-aggregates and shuffles only
+  * compact keys), so they scale horizontally: nothing is collected to the
+  * driver and no operator holds a full document set in one task.
+  *
+  *  - exact:      hash-groupBy on a text digest (shuffles 32-byte digests,
+  *                never full documents)
+  *  - n-gram:     exact Jaccard over shingle sets via an inverted-index
+  *                self-join (candidates bounded by shared shingles)
+  *  - MinHash:    k-permutation signatures + banded LSH bucket join,
+  *                candidates verified with exact Jaccard
+  *  - SimHash:    64-bit fingerprint + 4-band bucket join (pigeonhole-exact
+  *                for hamming distance ≤ 3)
+  */
+object TextDedup {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct n-gram shingles of the token stream. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - n, lit(-1))),
+      i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact dedup: one row per distinct text with the canonical (minimum) id
+    * and the duplicate count. Grouping key is md5(text) so only digests
+    * shuffle; the text itself stays partition-local.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle) exploded pairs — the inverted index. */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs (ids ordered a &lt; b) with
+    * similarity ≥ `minJaccard`.
+    *
+    * Inverted-index algorithm: self-join the (doc, shingle) index on the
+    * shingle to count intersections, then |A∪B| = |A|+|B|−|A∩B|. Candidate
+    * pairs are only docs sharing ≥1 shingle, so with high-order shingles
+    * (n≥5) the join output stays near-linear in corpus size.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+    val counts = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("a")
+      .join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        col("jaccard").cast("decimal(18,6)").as("jaccard"))
+  }
+
+  /** MinHash signatures: hash function i is the salted digest
+    * xxhash64(i, shingle); sig(i) = min over the doc's shingles. Salting
+    * (instead of the classic a·h+b mod p) keeps the expressions overflow-free
+    * under ANSI mode while staying deterministic and uniform. One shuffle
+    * (the groupBy), all expressions codegen'd.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
+    idx.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * Signatures are banded (`bands` bands of `numHashes/bands` rows); docs
+    * colliding in ≥1 band become candidates (bucket join — only band hashes
+    * shuffle), then candidates are verified against the exact shingle-set
+    * Jaccard so the output has no false positives. Recall for pairs at
+    * similarity s is 1−(1−s^r)^b — with 16×2 defaults, &gt;0.99 at s=0.5 and
+    * ≈1 beyond 0.8.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, numHashes: Int = 32, bands: Int = 16,
+                      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
+    val banded = sigs.select(col("doc"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bI => xxhash64(concat_ws(",",
+          slice(col("sig"), bI * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("band", "bh")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over the shingle sets
+    val sets = df.select(col(idCol).as("doc"),
+      shingles(col(textCol), n).as("sh_set"))
+    candidates
+      .join(sets.select(col("doc").as("doc_a"), col("sh_set").as("sa")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("sh_set").as("sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        col("jaccard").cast("decimal(18,6)").as("jaccard"))
+  }
+
+  /** FNV-1a 64-bit — a stable, dependency-free token hash for SimHash
+    * (explicit implementation so fingerprints never change under us).
+    */
+  private[operators] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash of a token sequence: per-bit majority vote of token
+    * hashes.
+    */
+  private[operators] def simHash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = fnv1a64(t)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  private val simHashUdf = udf((toks: Seq[String]) => simHash64(toks))
+
+  /** (id, simhash) fingerprints. */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      simHashUdf(tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3).
+    *
+    * The 64-bit fingerprint is cut into 4 16-bit bands; by pigeonhole any
+    * pair within hamming distance 3 agrees on ≥1 band, so the band-bucket
+    * join has **exact recall** — no probabilistic misses — while shuffling
+    * only (band, value) keys.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantee holds up to 3")
+    val sigs = simHashes(df, idCol, textCol)
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bv")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

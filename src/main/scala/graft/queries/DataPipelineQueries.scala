@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextDedup}
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+import QueryUtil._
+
+/** Training-data-pipeline operator catalog: deduplication (exact, MinHash
+  * LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
+  * (brute-force + IVF), text analysis (token stats, quality, language-ID,
+  * fingerprints) and multimodal plumbing, over the harness `documents` /
+  * `embeddings` tables.
+  *
+  * Queries without an oracle entry (SimHash, IVF) use hashes DuckDB can't
+  * reproduce; their semantics are spec-verified against brute-force instead
+  * (see operators specs).
+  */
+object DataPipelineQueries {
+
+  /** Shared DuckDB oracle for exact 5-gram Jaccard pairs ≥ 0.5 — the
+    * inverted-index algorithm expressed relationally. Also the oracle for
+    * the MinHash-LSH variant: at 16 bands × 2 rows the miss probability for
+    * a pair at s=0.5 is (1−0.25)¹⁶ ≈ 1%, and every planted near-dup pair in
+    * the harness corpus sits at s ≥ 0.97 where misses are ~impossible, so
+    * LSH+verify returns exactly the exact-Jaccard pair set.
+    */
+  private val jaccardOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, greatest(len(toks)-4, 0)),
+      |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
+      |      FROM t),
+      |n AS (SELECT doc_id, count(*) n_sh FROM s GROUP BY 1),
+      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
+      |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup via digest group-by
+    "d1_exact_dedup" -> ((s, d) =>
+      TextDedup.exactDupGroups(table(s, d, "documents"), "doc_id", "text")),
+
+    // MinHash + banded LSH, candidates verified with exact Jaccard
+    "d2_minhash_lsh" -> ((s, d) =>
+      TextDedup.minHashLshPairs(table(s, d, "documents"), "doc_id", "text")),
+
+    // SimHash 4-band near-dups (hamming ≤ 3) — spec-verified, no SQL oracle
+    "d3_simhash" -> ((s, d) =>
+      TextDedup.simHashPairs(table(s, d, "documents"), "doc_id", "text")),
+
+    // exact n-gram Jaccard via inverted-index self-join
+    "d4_ngram_jaccard" -> ((s, d) =>
+      TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text")),
+
+    // embedding-cosine near-dup pairs
+    "d5_cosine_near_dup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(table(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45)),
+
+    // exact brute-force cosine top-k for a query subset
+    "sim1_ann_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // IVF approximate top-k (k-means buckets, nProbe probes) — spec-verified
+    "sim2_ivf_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
+      Similarity.ivfTopK(idx, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
+    // token statistics incl. BPE-ish token estimate
+    "t1_token_stats" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+        TextAnalysis.estimatedBpeTokens(col("text")).as("est_bpe_tokens"),
+        TextAnalysis.meanTokenLength(col("text")).cast("decimal(18,6)")
+          .as("mean_token_len"))),
+
+    // composite quality score
+    "t2_quality_score" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)")
+          .as("quality"))),
+
+    // marker-based language ID
+    "t3_langid" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_guess"))),
+
+    // order/repetition-insensitive fingerprint
+    "t4_fingerprint" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // multimodal plumbing: binary column + typed metadata (digest parity)
+    "mm1_media_meta" -> ((s, d) =>
+      Multimodal.withMediaColumns(table(s, d, "documents"), "doc_id", "text",
+        "text/stub")
+        .select(col("media_id"),
+          col("meta.nBytes").as("n_bytes"),
+          md5(col("content")).as("content_md5"))),
+
+    // stub decode + batched mapPartitions feature extraction — spec-verified
+    "mm2_media_features" -> ((s, d) => {
+      implicit val sp = s
+      import s.implicits._
+      val media = Multimodal.withMediaColumns(table(s, d, "documents"),
+        "doc_id", "text", "image/stub")
+        .select("media_id", "media_type", "content").as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("features"), 1).cast("decimal(18,6)").as("f0"))
+    }),
+
+    // frame sampling at video grain — spec-verified
+    "mm3_frame_sample" -> ((s, d) => {
+      implicit val sp = s
+      import s.implicits._
+      val media = Multimodal.withMediaColumns(table(s, d, "documents"),
+        "doc_id", "text", "video/stub")
+        .select("media_id", "media_type", "content").as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, nFrames = 4).toDF()
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_lsh" -> jaccardOracleSql,
+    "d4_ngram_jaccard" -> jaccardOracleSql,
+    "d5_cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,4)) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+    "sim1_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id qid, e.vec_id neighbor,
+        |        list_cosine_similarity(q.v, e.v) c,
+        |        row_number() OVER (PARTITION BY q.vec_id
+        |          ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) rn
+        |      FROM q JOIN e ON q.vec_id != e.vec_id)
+        |SELECT qid, neighbor, CAST(rn AS INTEGER) AS rank,
+        | CAST(c AS DECIMAL(18,4)) AS cosine FROM s WHERE rn <= 5""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct,
+        | CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |   t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens,
+        | CAST(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |   t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS DECIMAL(18,6)) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "t2_quality_score" ->
+      """WITH x AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT doc_id,
+        |        CAST(len(toks) AS DOUBLE) n,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) nd,
+        |        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) ns
+        |      FROM x)
+        |SELECT doc_id,
+        | CAST((least(n / 200.0, 1.0) * 0.4 + (nd / n) * 0.4
+        |   + least((ns / n) * 10.0, 1.0) * 0.2) AS DECIMAL(18,6)) AS quality
+        |FROM y""".stripMargin,
+    "t3_langid" ->
+      """WITH x AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT doc_id,
+        |        len(list_filter(toks, t -> t IN ('the','a','of','and'))) s_en,
+        |        len(list_filter(toks, t -> t IN ('der','die','das','und'))) s_de,
+        |        len(list_filter(toks, t -> t IN ('le','la','les','et'))) s_fr,
+        |        len(list_filter(toks, t -> t IN ('el','los','las','y'))) s_es
+        |      FROM x)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |  WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |  WHEN s_en >= s_de THEN 'en'
+        |  ELSE 'de' END AS lang_guess
+        |FROM y""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        | string_split(lower(text), ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    // DuckDB 1.0 md5 only takes VARCHAR; the blob is the UTF-8 encoding of
+    // `text`, so digesting the text is byte-identical
+    "mm1_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_md5
+        |FROM documents""".stripMargin
+  )
+}

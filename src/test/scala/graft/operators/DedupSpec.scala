@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup-operator semantics on controlled corpora + the harness documents
+  * table: exact groups, Jaccard math, MinHash-LSH recall vs the exact
+  * pairs, SimHash pigeonhole recall vs brute-force hamming.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup groups duplicates under one canonical id") {
+    val df = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "zz yy"))
+      .toDF("doc_id", "text")
+    val groups = TextDedup.exactDupGroups(df, "doc_id", "text")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard math on a hand-computed pair") {
+    // 2-gram shingles: a={ab,bc,cd}, b={ab,bc,ce} → |∩|=2, |∪|=4 → 0.5
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pairs = TextDedup.jaccardPairs(df, "doc_id", "text", n = 2,
+      minJaccard = 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDecimal(2).doubleValue() == 0.5)
+  }
+
+  test("minhash-LSH finds exactly the exact-Jaccard pairs on the corpus") {
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minHashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // planted near-dups exist
+    assert(lsh == exact)   // verify step kills FPs; banding recalls all
+  }
+
+  test("simhash bands recall every pair with hamming ≤ 3 (pigeonhole)") {
+    val sigs = TextDedup.simHashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = TextDedup.simHashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // near-dup docs land within hamming 3
+  }
+
+  test("shingles are distinct n-grams in order-insensitive set form") {
+    val sh = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+      .select(TextDedup.shingles(col("text"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(sh.toSet == Set("x y", "y x"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity-search semantics: exact cosine math, brute-force top-k
+  * correctness, IVF recall vs brute force.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine of hand-computed vectors") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    assert(pairs.contains((1L, 2L, 0.0)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L
+      && math.abs(p._3 - 0.7071) < 1e-4))
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val queries = emb.filter($"vec_id" < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val byQ = topk.select("qid", "rank", "neighbor")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+    // self never appears
+    assert(!topk.filter($"qid" === $"neighbor").head(1).nonEmpty)
+  }
+
+  test("IVF top-k achieves high recall vs brute force at nProbe=4/16") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
+    val ivf = Similarity.ivfTopK(idx, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // and it scans fewer vectors than brute force by construction:
+    // every query touches ≤ nProbe of nCentroids partitions
+  }
+
+  test("cosine near-dup pairs respect the threshold") {
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect()
+    pairs.foreach(r => assert(r.getDecimal(2).doubleValue() >= 0.45))
+  }
+}
