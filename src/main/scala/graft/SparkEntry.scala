@@ -21,12 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ SemanticQueries.queries ++
-      DataPipelineQueries.queries
+      DataPipelineQueries.queries ++ StreamMiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SemanticQueries.oracle ++
-      DataPipelineQueries.oracle
+      DataPipelineQueries.oracle ++ StreamMiscQueries.oracle
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.EventStreams
+import QueryUtil._
+
+/** Event-stream batch-equivalents (the same expressions the streaming path
+  * runs — SURVEY.md §2.7 extension), JSON extraction promoted into the plan
+  * (the reference parses JSON driver-side in the UDF body,
+  * `reviews_fact.py:76-89`), set operations, rollup, and distinct-agg
+  * coverage.
+  */
+object StreamMiscQueries {
+
+  val queries: Map[String, Q] = Map(
+    // tumbling event-time window aggregation — the exact frame the
+    // streaming windowedCounts produces
+    "st1_window_agg" -> ((s, d) =>
+      EventStreams.windowedCounts(events(s, d))),
+
+    // gap-based sessionization, batch window-function form (streaming
+    // stateful form is spec-checked equal)
+    "st2_sessionization" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).cast("int").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // JSON field extraction in-plan (C7/U1 JSON parsing, promoted)
+    "js1_json_extract" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).cast("bigint").as("sum_k"))),
+
+    // set operations: (BUILDING ∩ has-P-order) ∪ (AUTOMOBILE ∖ has-P-order)
+    "so1_set_ops" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val pOrders = table(s, d, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val auto = cust.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey")
+      // .distinct() for UNION (not UNION ALL) parity with the oracle SQL
+      building.intersect(pOrders).union(auto.except(pOrders)).distinct()
+    }),
+
+    // hierarchical rollup with subtotal rows
+    "ag1_rollup" -> ((s, d) =>
+      table(s, d, "nation")
+        .join(broadcast(table(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(table(s, d, "customer"),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // HLL++ approximate distinct — engine-specific estimate, rows-only
+    "ag2_approx_distinct" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st1_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_sessionization" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us
+        | FROM events)
+        |SELECT user_id,
+        | CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS INTEGER) AS n_sessions,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+    "js1_json_extract" ->
+      """SELECT event_type,
+        | CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "so1_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |UNION
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+    "ag1_rollup" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+  )
+}

