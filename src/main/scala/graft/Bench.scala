@@ -1,8 +1,23 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every catalog query at the target scale factor and
+  * prints ONE JSON line `{"metric":…,"value":…,"queries":{…},"sf":…}`.
+  *
+  * Method: a full warmup pass at sf0.001 first (JIT + codegen + parquet
+  * footer caches warm), then two timed passes at the target SF, reporting
+  * the per-query minimum (AQE-shaped plans at the target SF generate code
+  * the small-SF warmup never compiles; best-of-2 strips that one-time JIT).
+  * Each query is materialized with a `noop` write — unlike `count()`, that
+  * evaluates every output column, so projection-only queries can't
+  * degenerate to a row count.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -12,15 +27,26 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(materialize(_, warmDir)) // warmup, untimed
+    val results = names.map { n =>
+      val (r1, r2) = (materialize(n, sfDir), materialize(n, sfDir))
+      n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
+    }
+
+    val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

