@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ SemanticQueries.queries ++
-      DataPipelineQueries.queries ++ StreamMiscQueries.queries
+      DataPipelineQueries.queries ++ StreamMiscQueries.queries ++
+      FlagshipQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SemanticQueries.oracle ++
-      DataPipelineQueries.oracle ++ StreamMiscQueries.oracle
+      DataPipelineQueries.oracle ++ StreamMiscQueries.oracle ++
+      FlagshipQueries.oracle
 }

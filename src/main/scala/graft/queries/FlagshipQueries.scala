@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ingest.CsvSource
+import org.apache.spark.sql.types._
+import QueryUtil._
+
+/** Flagship analytic queries (multi-join + agg + top-k — the headline bench
+  * shapes) and the CSV round-trip that oracle-checks the reference reader
+  * option set (S1: header, multiline, escape-quote) end-to-end.
+  */
+object FlagshipQueries {
+
+  val queries: Map[String, Q] = Map(
+    // S1 — write with the reference CSV dialect, read back with the
+    // explicit-schema reader; values with embedded comma/quote/newline must
+    // survive. Oracle = recomputing the tricky column relationally.
+    "s2_csv_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft-csv-roundtrip-${d.replaceAll("[^a-z0-9.]", "_")}"
+      table(s, d, "nation")
+        .withColumn("tricky",
+          concat(col("n_name"), lit(", \"q\"\nend")))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .options(CsvSource.Options).csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("tricky", StringType)))
+      CsvSource.read(s, tmp, schema)
+        .select(col("n_nationkey"), col("n_name"), col("tricky"))
+    }),
+
+    // shipped-revenue top-10 by order among BUILDING customers (Q3 shape):
+    // broadcast customer filter, partial-agg, TakeOrderedAndProject
+    "h1_top_revenue_orders" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // local-supplier revenue by nation in ASIA (Q5 shape): 5-way star with
+    // the customer-nation = supplier-nation colocation predicate
+    "h2_region_nation_revenue" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)), 4)
+          .as("revenue")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s2_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        | n_name || ', "q"' || chr(10) || 'end' AS tricky
+        |FROM nation""".stripMargin,
+    "h1_top_revenue_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "h2_region_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin
+  )
+}
