@@ -51,6 +51,27 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
            mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.format("parquet").mode(mode).saveAsTable(fqn(layer, table))
 
+  /** Partitioned managed table — the 100TB fact layout (SURVEY.md §4):
+    * partition by ingest date/derived key so time-bounded queries prune
+    * whole partitions at the scan.
+    */
+  def savePartitioned(df: DataFrame, layer: String, table: String,
+                      partitionCols: Seq[String],
+                      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("parquet").mode(mode)
+      .partitionBy(partitionCols: _*).saveAsTable(fqn(layer, table))
+
+  /** Bucketed managed table: co-locates join/agg keys so repeated joins on
+    * `bucketCols` between same-bucketed tables run shuffle-free.
+    */
+  def saveBucketed(df: DataFrame, layer: String, table: String,
+                   nBuckets: Int, bucketCols: Seq[String],
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("parquet").mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(fqn(layer, table))
+
   /** ≙ `utilities.py:27-30`. */
   def load(layer: String, table: String): DataFrame =
     spark.read.table(fqn(layer, table))

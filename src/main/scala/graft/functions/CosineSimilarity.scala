@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array&lt;double&gt;` columns.
+  *
+  * Why an `Expression` and not a UDF: inside whole-stage codegen this emits
+  * a primitive loop directly over Tungsten `ArrayData` — no UDF
+  * serialization boundary, no per-row `Seq` materialization, and it keeps
+  * the surrounding stage fused. (SURVEY.md §7.3 — custom Catalyst code only
+  * where it buys something; this is the per-pair hot loop of similarity
+  * search.)
+  *
+  * Semantics: dot(a,b) / (‖a‖·‖b‖) with strict left-fold accumulation —
+  * bit-identical to `Similarity.dot`/`l2Norm`. Null or length-mismatched
+  * inputs → null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+
+  /** Column surface: `cosine_sim(a, b)` over `array<double>` columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQL surface registration (e.g. `SELECT cosine_sim(v1, v2) FROM …`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+}

@@ -32,7 +32,12 @@ object Similarity {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine via the native codegen'd Catalyst expression
+    * (`graft.functions.CosineSimilarity`) — same strict left-fold math as
+    * `dot`/`l2Norm`, fused into whole-stage codegen with no UDF boundary.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Tight-loop dot product for the O(pairs) stage. Left-fold order matches
     * `dot` exactly (bit-identical results).
@@ -60,12 +65,10 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol)
-    val q = withNorm(queries, idCol, vecCol)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = corpus.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("vid") =!= col("qid"))
-      .withColumn("cosine",
-        dotUdf(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
@@ -184,14 +187,13 @@ object Similarity {
               vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val q0 = withNorm(queries, idCol, vecCol)
     val q = assign(q0, index.centroids, nProbe)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+      .select(col("vid").as("qid"), col("v").as("qv"),
         explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
           .as("probe"))
     index.vectors
       .join(broadcast(q),
         col("centroid") === col("probe") && col("vid") =!= col("qid"))
-      .withColumn("cosine",
-        dotUdf(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vid"))))

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{PipelineConfig, TableStore}
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+
+/** The 100TB levers, regression-checked: salting preserves results,
+  * bucketed joins are shuffle-free, partitioned tables prune at the scan,
+  * and the native cosine expression matches the declarative math inside
+  * codegen.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin == plain join, row for row") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    val plain = li.join(ord, Seq("l_orderkey")).collect().map(_.toSeq)
+    val salted = Skew.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+      .collect().map(_.toSeq)
+    assert(salted.groupBy(identity).view.mapValues(_.size).toMap
+      == plain.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("saltedSumCount == direct groupBy aggregation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 8)
+      .as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val config = PipelineConfig(catalog = "bk")
+    val store = new TableStore(spark, config)
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      store.saveBucketed(li, "fact", "li_b", 4, Seq("l_orderkey"))
+      store.saveBucketed(ord, "fact", "ord_b", 4, Seq("o_orderkey"))
+      val joined = store.load("fact", "li_b").hint("merge")
+        .join(store.load("fact", "ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally store.dropAll()
+  }
+
+  test("partitioned fact prunes partitions at the scan") {
+    val config = PipelineConfig(catalog = "pt")
+    val store = new TableStore(spark, config)
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .withColumn("ship_year", year($"l_shipdate"))
+      store.savePartitioned(li, "fact", "li_p", Seq("ship_year"))
+      val q = store.load("fact", "li_p").filter($"ship_year" === 1995)
+        .select("l_orderkey")
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(ship_year"), p)
+      assert(q.count() > 0)
+    } finally store.dropAll()
+  }
+
+  test("native cosine expression == declarative HOF math, and codegens") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    val a = emb.filter($"vec_id" === 0).select($"v".as("va"))
+    val pairs = emb.crossJoin(a)
+      .select(
+        CosineSimilarity.cosineSim($"v", $"va").as("native"),
+        (Similarity.dot($"v", $"va")
+          / (Similarity.l2Norm($"v") * Similarity.l2Norm($"va"))).as("hof"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (n, h) => assert(n == h, s"$n != $h") } // bit-equal
+    // SQL surface
+    CosineSimilarity.register(spark)
+    emb.createOrReplaceTempView("emb_cs")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(a.v, b.v) FROM emb_cs a JOIN emb_cs b ON b.vec_id = 1 WHERE a.vec_id = 2")
+      .as[Double].head()
+    assert(!viaSql.isNaN && viaSql >= -1.0 && viaSql <= 1.0)
+  }
+}
