@@ -26,6 +26,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode scan parallelism: harness files are a few MB, so the
+      // 128MB default gives single-task scans; clusters keep the default
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSimilarity
+
+/** Session extension entry point: makes the library's native functions
+  * available to pure-SQL users via
+  * `spark.sql.extensions=graft.GraftExtensions` — no Scala imports needed.
+  *
+  * (The AI UDFs are registered per-session through `AiFunctions.register`
+  * because they carry pluggable client state; native expressions are
+  * stateless and belong here.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -15,6 +15,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark otherwise rejects;
       // read as LONG and convert in QueryUtil.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode scan parallelism: harness files are a few MB, so the
+      // 128MB default gives single-task scans; clusters keep the default
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -27,6 +27,8 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // harness events.parquet carries TIMESTAMP(NANOS); see QueryUtil.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode scan parallelism for few-MB files; clusters keep 128m
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -105,6 +105,12 @@ object DataPipelineQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // composed curation pipeline: exact dedup → near-dup removal →
+    // quality gate → language gate, one Catalyst DAG
+    "cur1_curation" -> ((s, d) =>
+      graft.operators.Curation.curate(table(s, d, "documents"),
+        "doc_id", "text")),
+
     // multimodal plumbing: binary column + typed metadata (digest parity)
     "mm1_media_meta" -> ((s, d) =>
       Multimodal.withMediaColumns(table(s, d, "documents"), "doc_id", "text",
@@ -198,6 +204,35 @@ object DataPipelineQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         | string_split(lower(text), ' '))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+    // curation oracle: recompose the same stages relationally — exact
+    // dedup survivors, near-dup drop set (shares the d4 LSH==exact
+    // argument), quality and language gates mirroring t2/t3
+    "cur1_curation" ->
+      s"""WITH pairs AS ($jaccardOracleSql),
+        |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        |exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |q AS (SELECT doc_id,
+        |        CAST((least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |          + least((CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.2)
+        |          AS DECIMAL(18,6)) AS quality,
+        |        len(list_filter(toks, t -> t IN ('the','a','of','and'))) s_en,
+        |        len(list_filter(toks, t -> t IN ('der','die','das','und'))) s_de,
+        |        len(list_filter(toks, t -> t IN ('le','la','les','et'))) s_fr,
+        |        len(list_filter(toks, t -> t IN ('el','los','las','y'))) s_es
+        |      FROM toks)
+        |SELECT q.doc_id, q.quality, 'en' AS lang_guess
+        |FROM q
+        | JOIN exact ON q.doc_id = exact.doc_id
+        | LEFT JOIN drops ON q.doc_id = drops.doc_id
+        |WHERE drops.doc_id IS NULL
+        |  AND q.quality >= 0.4
+        |  AND NOT (greatest(s_en, s_de, s_fr, s_es) = 0)
+        |  AND NOT (s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es)
+        |  AND NOT (s_es >= s_en AND s_es >= s_de)
+        |  AND s_en >= s_de""".stripMargin,
+
     // DuckDB 1.0 md5 only takes VARCHAR; the blob is the UTF-8 encoding of
     // `text`, so digesting the text is byte-identical
     "mm1_media_meta" ->
