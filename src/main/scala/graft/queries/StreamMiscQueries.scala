@@ -72,7 +72,43 @@ object StreamMiscQueries {
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders")))
+          countDistinct(col("l_orderkey")).as("exact_orders"))),
+
+    // approximate percentile (the A5 100TB path: one pass, mergeable
+    // sketch, vs the exact sort-based percentile) — rows-only
+    "a5b_median_approx" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+          .as("approx_median_chars"))),
+
+    // running aggregation window (rowsBetween frame)
+    "w2_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("decimal(18,2)").as("running_qty"))
+    }),
+
+    // regex tokenization (the BPE-ish path of token counting)
+    "t5_regex_tokens" -> ((s, d) =>
+      events(s, d) // reuse events for a second text-ish column domain
+        .select(col("event_id"),
+          size(regexp_extract_all(col("props"), lit("[a-z0-9]+"), lit(0)))
+            .cast("int").as("n_word_tokens"))),
+
+    // sliding event-time windows (1h length, 30m slide): each event lands
+    // in two windows; same expressions serve the streaming path
+    "st3_sliding_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -106,6 +142,30 @@ object StreamMiscQueries {
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 10""".stripMargin,
+    "t5_regex_tokens" ->
+      """SELECT event_id,
+        | CAST(len(regexp_extract_all(props, '[a-z0-9]+')) AS INTEGER) AS n_word_tokens
+        |FROM events""".stripMargin,
+    // window [s, s+1h) on the 30-min grid contains t iff
+    // s ∈ {floor30(t), floor30(t) − 30min}. floor30 via naive-timestamp
+    // arithmetic only — epoch/to_timestamp round-trips shift under a
+    // non-UTC DuckDB session timezone.
+    "st3_sliding_window" ->
+      """WITH g AS (SELECT ts, event_type,
+        |  date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+        |    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS f30 FROM events)
+        |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT f30 AS window_start, event_type FROM g
+        |  UNION ALL
+        |  SELECT f30 - INTERVAL 30 MINUTE AS window_start, event_type FROM g
+        |) GROUP BY 1, 2""".stripMargin
   )
 }
