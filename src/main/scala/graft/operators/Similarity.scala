@@ -20,12 +20,10 @@ object Similarity {
   /** Cast float embedding to double once, for stable downstream math. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Σ aᵢ·bᵢ as a strict left fold (deterministic order).
-    *
-    * Declarative form — kept for composition/readability. The pairwise hot
-    * paths below use `dotUdf` instead: Spark's higher-order array functions
-    * evaluate interpreted per element, and over millions of candidate pairs
-    * a tight primitive loop measured an order of magnitude faster.
+  /** Σ aᵢ·bᵢ as a strict left fold (deterministic order). Declarative
+    * reference form; hot paths use the native `CosineSimilarity` expression
+    * (Spark's higher-order array functions evaluate interpreted per element
+    * — an order of magnitude slower over millions of pairs).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -38,17 +36,6 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
-
-  /** Tight-loop dot product for the O(pairs) stage. Left-fold order matches
-    * `dot` exactly (bit-identical results).
-    */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
 
   /** Corpus projection with precomputed norm — norms are computed once per
     * vector, not once per pair.
