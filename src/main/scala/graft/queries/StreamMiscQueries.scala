@@ -67,6 +67,26 @@ object StreamMiscQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"))),
 
+    // full cube with all subtotal combinations
+    "ag3_cube" -> ((s, d) =>
+      table(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("o_totalprice")))).as("sum_price"))),
+
+    // schema-full JSON parsing (from_json → typed struct), the in-plan
+    // form of the reference's UDF-side json.loads
+    "js2_from_json" -> ((s, d) =>
+      events(s, d)
+        .withColumn("parsed",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
+        .groupBy(col("event_type"))
+        .agg(avg(col("parsed.k")).as("avg_k"),
+          min(col("parsed.k")).as("min_k"),
+          max(col("parsed.k")).as("max_k"))),
+
     // HLL++ approximate distinct — engine-specific estimate, rows-only
     "ag2_approx_distinct" -> ((s, d) =>
       table(s, d, "lineitem")
@@ -143,6 +163,16 @@ object StreamMiscQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "ag3_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "js2_from_json" ->
+      """SELECT event_type,
+        | AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+        | CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (

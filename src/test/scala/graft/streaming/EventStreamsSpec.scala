@@ -63,6 +63,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.values.exists(_._1 > 1)) // multi-session users exist
   }
 
+  test("watermark drops late data in windowed streaming aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(df, "1 hour", watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+      input.addData((t(1), "click", 1.0), (t(2), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 1's window…
+      input.addData((t(6), "click", 1.0))
+      q.processAllAvailable()
+      // …then a very late hour-1 event: must be dropped, not re-counted
+      input.addData((t(1), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((t(9), "click", 1.0)) // close hour-6 window
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select("window_start", "n").as[(java.sql.Timestamp, Long)]
+        .collect().toMap
+      assert(rows(java.sql.Timestamp.valueOf("2024-01-01 01:00:00")) == 1L,
+        "late row must not inflate the closed hour-1 window")
+    } finally q.stop()
+  }
+
   test("streaming fact ingest dedups duplicate keys exactly-once") {
     val dir = Files.createTempDirectory("graft-stream-src")
     // the same file twice → every key duplicated across micro-batch input
