@@ -82,6 +82,15 @@ object TextAnalysis {
     lenTerm * 0.4 + divTerm * 0.4 + stopTerm * 0.2
   }
 
+  /** Canonical text normalization for curation: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim. The
+    * standard pre-shingling/pre-fingerprint cleanup; plain regex so any
+    * ANSI engine reproduces it.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
   /** Document fingerprint: digest of the sorted distinct token set —
     * word-order- and repetition-insensitive, the classic "fingerprint"
     * clustering key for near-dup buckets.

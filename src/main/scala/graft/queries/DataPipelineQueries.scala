@@ -105,6 +105,32 @@ object DataPipelineQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // canonical text normalization (pre-shingling cleanup)
+    "t6_normalize" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm_text"),
+        length(TextAnalysis.normalize(col("text"))).cast("int")
+          .as("norm_len"))),
+
+    // per-source corpus report: the curation dashboard query (quality,
+    // token volume, language mix per provenance bucket)
+    "cr1_corpus_report" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.estimatedBpeTokens(col("text")).as("bpe"),
+          when(TextAnalysis.languageId(col("text")) === "en", 1)
+            .otherwise(0).as("is_en"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          // decimal sum + one double division: reduction-order-proof
+          (sum(col("q").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)).cast("double")).cast("decimal(18,6)")
+            .as("avg_quality"),
+          sum(col("bpe")).as("total_bpe_tokens"),
+          sum(col("is_en")).cast("bigint").as("n_en"))),
+
     // composed curation pipeline: exact dedup → near-dup removal →
     // quality gate → language gate, one Catalyst DAG
     "cur1_curation" -> ((s, d) =>
@@ -204,6 +230,35 @@ object DataPipelineQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         | string_split(lower(text), ' '))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    // default)
+    "t6_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        | CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+        |FROM documents""".stripMargin,
+    "cr1_corpus_report" ->
+      """WITH x AS (SELECT source, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT source,
+        |        CAST((least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |          + least((CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.2)
+        |          AS DECIMAL(18,6)) AS q,
+        |        CAST(list_sum(list_transform(toks, t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpe,
+        |        CASE WHEN len(list_filter(toks, t -> t IN ('the','a','of','and'))) = 0 THEN 0
+        |          WHEN len(list_filter(toks, t -> t IN ('le','la','les','et'))) >= len(list_filter(toks, t -> t IN ('the','a','of','and')))
+        |            AND len(list_filter(toks, t -> t IN ('le','la','les','et'))) >= len(list_filter(toks, t -> t IN ('der','die','das','und')))
+        |            AND len(list_filter(toks, t -> t IN ('le','la','les','et'))) >= len(list_filter(toks, t -> t IN ('el','los','las','y'))) THEN 0
+        |          WHEN len(list_filter(toks, t -> t IN ('el','los','las','y'))) >= len(list_filter(toks, t -> t IN ('the','a','of','and')))
+        |            AND len(list_filter(toks, t -> t IN ('el','los','las','y'))) >= len(list_filter(toks, t -> t IN ('der','die','das','und'))) THEN 0
+        |          WHEN len(list_filter(toks, t -> t IN ('the','a','of','and'))) >= len(list_filter(toks, t -> t IN ('der','die','das','und'))) THEN 1
+        |          ELSE 0 END AS is_en
+        |      FROM x)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS avg_quality,
+        | CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+        | CAST(SUM(is_en) AS BIGINT) AS n_en
+        |FROM y GROUP BY 1""".stripMargin,
     // curation oracle: recompose the same stages relationally — exact
     // dedup survivors, near-dup drop set (shares the d4 LSH==exact
     // argument), quality and language gates mirroring t2/t3
