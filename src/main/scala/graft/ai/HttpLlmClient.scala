@@ -35,15 +35,7 @@ object ResponseParser {
 
   /** The request payload shape of `reviews_fact.py:61-70`. */
   def requestBody(model: String, prompt: String): String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    import graft.util.JsonEscape.{quote => q}
     s"""{"model":${q(model)},"messages":[{"role":"user","content":${q(prompt)}}],""" +
       s""""temperature":0.0,"max_tokens":20,"response_format":{"type":"json_object"}}"""
   }

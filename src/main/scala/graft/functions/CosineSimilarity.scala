@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -26,6 +27,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Reject anything but array&lt;double&gt; at analysis (reading e.g. float
+    * slots as doubles at runtime yields garbage); the `build`/`cosineSim`
+    * constructors insert the cast for numeric arrays, so SQL users can pass
+    * array&lt;float&gt; embeddings directly.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<double> inputs, got $l and $r")
+    }
+
+  /** Length-mismatched inputs yield null even for non-null children. */
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -79,13 +96,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** Column surface: `cosine_sim(a, b)` over `array<double>` columns. */
+  /** Column surface: `cosine_sim(a, b)` over numeric-array columns. */
   def cosineSim(a: Column, b: Column): Column =
-    Bridge.column(CosineSimilarity(
-      Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(build(Seq(Bridge.expression(a), Bridge.expression(b))))
+
+  /** Builder with a proper arity error instead of IndexOutOfBounds.
+    * Inputs are wrapped in a cast to array&lt;double&gt; unconditionally —
+    * the builder runs before resolution so input types can't be inspected;
+    * the cast is a no-op for array&lt;double&gt;, upcasts float/int arrays
+    * (so SQL users can pass raw embeddings), and fails analysis with a
+    * clear cast error for non-array inputs.
+    */
+  private[graft] def build(exprs: Seq[Expression]): CosineSimilarity = {
+    require(exprs.length == 2,
+      s"cosine_sim expects 2 arguments, got ${exprs.length}")
+    CosineSimilarity(Cast(exprs(0), ArrayType(DoubleType)),
+      Cast(exprs(1), ArrayType(DoubleType)))
+  }
 
   /** SQL surface registration (e.g. `SELECT cosine_sim(v1, v2) FROM …`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", build, "built-in")
 }

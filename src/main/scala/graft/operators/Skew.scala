@@ -16,14 +16,17 @@ object Skew {
 
   /** Equi-join `big ⋈ small` on `keys`, with the big side spread over
     * `saltFactor` sub-keys. Result equals the plain join (inner or
-    * left-outer from the big side), row-for-row.
+    * left-outer from the big side), row-for-row — salt assignment cannot
+    * change the output, only the partitioning, so the nondeterministic
+    * salt below is safe.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
-    // deterministic pseudo-random salt: hash of all big-side columns
-    val saltExpr: Column =
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+    // rand(), not a row hash: fully identical rows (the duplicate-heavy
+    // case salting exists for) would all hash to one salt bucket and the
+    // hot key would still land on a single reducer
+    val saltExpr: Column = floor(rand(42) * saltFactor).cast("long")
     val bigS = big.withColumn("_salt", saltExpr)
     val smallS = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -38,8 +41,9 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      saltFactor: Int): DataFrame = {
+    // rand salt (see saltedJoin): algebraic aggregates are salt-invariant
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      floor(rand(42) * saltFactor).cast("long"))
     salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(col(valueCol)).as("_ps"), count(lit(1)).as("_pc"))

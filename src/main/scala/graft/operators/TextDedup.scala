@@ -90,11 +90,14 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    // the index feeds three consumers (both self-join sides + the counts);
-    // persist so shingling runs once, not three times
     val idx = shingleIndex(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    // per-doc set sizes come from a cheap per-row projection (no second
+    // scan of the exploded index); the self-join's two sides shuffle the
+    // identical idx subplan on the same key, so Spark's ReuseExchange
+    // computes it once — no operator-lifetime persist (which would leak
+    // cached partitions into the caller's session)
+    val counts = df.select(col(idCol).as("doc"),
+      size(shingles(col(textCol), n)).as("n_sh"))
     val inter = idx.as("a")
       .join(idx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -207,7 +210,9 @@ object TextDedup {
     sig
   }
 
-  private val simHashUdf = udf((toks: Seq[String]) => simHash64(toks))
+  private val simHashUdf = udf { (toks: Seq[String]) =>
+    simHash64(if (toks == null) Nil else toks) // null text → empty-doc hash
+  }
 
   /** (id, simhash) fingerprints. */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -68,40 +68,62 @@ object EventStreams {
 
   /** Gap-based sessionization with custom keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to the
-    * previous event of the same user exceeds `gapSeconds`. Emits one summary
-    * per user on timeout/completion.
+    * previous event of the same user exceeds `gapSeconds`. Emits the
+    * running summary per user on every update, a final one on idle
+    * timeout — and removes the timed-out state, so the store holds only
+    * active users (bounded state).
     *
     * The batch oracle for the same semantics is a window-function plan:
-    * sessions = 1 + Σ [ts − lag(ts) > gap] per user.
+    * sessions = 1 + Σ [ts − lag(ts) > gap] per user. Gap comparison is in
+    * microseconds to match the batch `unix_micros` arithmetic exactly.
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long)
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 idleTimeout: String = "2 hours")
                 (implicit spark: SparkSession): Dataset[SessionSummary] = {
     import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    val streaming = events.isStreaming // driver-side; Datasets don't serialize
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + (ts.getNanos / 1000L)
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[SessionSummary] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (state.hasTimedOut) {
+        // final emission for an idle user, then drop the state entry
+        val s = state.get
+        state.remove()
+        return Iterator(SessionSummary(userId, s.nSessions, s.nEvents))
+      }
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0L))
       sorted.foreach { e =>
-        val t = e.ts.getTime / 1000
-        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapSeconds
+        val t = micros(e.ts)
+        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMicros
         s = SessionState(t, s.nSessions + (if (newSession) 1 else 0),
           s.nEvents + 1)
       }
       state.update(s)
+      if (streaming) state.setTimeoutDuration(idleTimeout)
       Iterator(SessionSummary(userId, s.nSessions, s.nEvents))
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout)(update)
+        if (streaming) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Streaming incremental fact ingest ≙ the reference's anti-join+append
     * (J2+K1) re-expressed as a stream: file source → keyed dedup bounded by
     * watermark → idempotent append per micro-batch via `foreachBatch`.
     */
+  /** `checkpointDir` must be a STABLE location per logical ingest (it holds
+    * the source offsets and dedup state): restarts resume from it, which is
+    * what makes the append idempotent across runs. A fresh/random dir would
+    * silently re-ingest everything on every start.
+    */
   final class StreamingFactIngest(spark: SparkSession, store: TableStore,
                                   sourceDir: String, keyCol: String,
-                                  tsCol: String, watermark: String = "1 hour") {
+                                  tsCol: String, checkpointDir: String,
+                                  watermark: String = "1 hour") {
 
     def start(): org.apache.spark.sql.streaming.StreamingQuery = {
       val src = normalize(
@@ -116,8 +138,7 @@ object EventStreams {
             org.apache.spark.sql.SaveMode.Append)
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation",
-          s"/tmp/graft-ckpt-${java.util.UUID.randomUUID()}")
+        .option("checkpointLocation", checkpointDir)
         .start()
     }
   }

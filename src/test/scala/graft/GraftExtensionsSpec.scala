@@ -16,4 +16,25 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 1.0)
   }
+
+  test("cosine_sim implicitly casts array<float> SQL inputs") {
+    graft.functions.CosineSimilarity.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_f")
+    // embedding is array<float>: analyzer must insert the cast, not read
+    // float slots as doubles
+    val r = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_f LIMIT 5")
+      .collect().map(_.getDouble(0))
+    r.foreach(c => assert(math.abs(c - 1.0) < 1e-9, c))
+  }
+
+  test("cosine_sim wrong arity raises a clear error; length mismatch → null") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))"))
+    assert(e.getMessage.contains("2 arguments"))
+    val row = spark.sql(
+      "SELECT cosine_sim(array(1.0d), array(1.0d, 2.0d)) AS c").collect().head
+    assert(row.isNullAt(0))
+  }
 }

@@ -103,8 +103,10 @@ class EventStreamsSpec extends SparkSpec {
       "st" + java.util.UUID.randomUUID().toString.replace("-", "").take(8))
     val store = new TableStore(spark, config)
     try {
+      val ckpt = Files.createTempDirectory("graft-ckpt").toString
       val ingest = new EventStreams.StreamingFactIngest(spark, store, dir.toString,
-        keyCol = "event_id", tsCol = "ts", watermark = "100 days")
+        keyCol = "event_id", tsCol = "ts", checkpointDir = ckpt,
+        watermark = "100 days")
       val q = ingest.start()
       q.awaitTermination()
       val n = spark.read.schema(EventStreams.eventsRawSchema)
@@ -112,6 +114,14 @@ class EventStreamsSpec extends SparkSpec {
       val got = store.load("fact", "events")
       assert(got.count() == n) // 2n input rows → n after keyed dedup
       assert(got.select("event_id").distinct().count() == n)
+
+      // restart with the SAME checkpoint: nothing re-ingests (idempotence
+      // across restarts hinges on the stable checkpoint location)
+      val q2 = new EventStreams.StreamingFactIngest(spark, store, dir.toString,
+        keyCol = "event_id", tsCol = "ts", checkpointDir = ckpt,
+        watermark = "100 days").start()
+      q2.awaitTermination()
+      assert(store.load("fact", "events").count() == n)
     } finally store.dropAll()
   }
 }
