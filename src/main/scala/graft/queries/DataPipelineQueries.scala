@@ -76,6 +76,18 @@ object DataPipelineQueries {
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // ANN over int8-quantized vectors (4× storage cut) — deterministic,
+    // rows-only (round-half semantics differ across engines)
+    "sim3_quantized_topk" -> ((s, d) => {
+      import graft.operators.Quantization
+      val emb = table(s, d, "embeddings")
+      val deq = Quantization.dequantize(
+        Quantization.quantize(emb, "embedding"), "quantized", "deq")
+        .select(col("vec_id"), col("deq").as("embedding"))
+      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // token statistics incl. BPE-ish token estimate
     "t1_token_stats" -> ((s, d) =>
       table(s, d, "documents").select(
