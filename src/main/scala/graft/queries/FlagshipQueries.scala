@@ -11,7 +11,7 @@ import QueryUtil._
   */
 object FlagshipQueries {
 
-  val queries: Map[String, Q] = Map(
+  private val baseQueries: Map[String, Q] = Map(
     // S1 — write with the reference CSV dialect, read back with the
     // explicit-schema reader; values with embedded comma/quote/newline must
     // survive. Oracle = recomputing the tricky column relationally.
@@ -61,7 +61,57 @@ object FlagshipQueries {
           .as("revenue")))
   )
 
-  val oracle: Map[String, String] = Map(
+  lazy val queries: Map[String, Q] = baseQueries ++ extraQueries
+
+  private val rankWindow =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+
+  private val extraQueries: Map[String, Q] = Map(
+    // returned-item revenue by customer (Q10 shape): filtered fact join,
+    // per-customer agg, top-k
+    "h3_returned_revenue" -> ((s, d) =>
+      table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)), 4)
+          .as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // rank family: dense_rank + percent_rank per segment
+    "w3_rank_family" -> ((s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          dense_rank().over(rankWindow).as("acct_dense_rank"),
+          percent_rank().over(rankWindow).cast("decimal(18,6)")
+            .as("acct_pct_rank"))
+        .filter(col("acct_dense_rank") <= 10))
+  )
+
+  private val extraOracle: Map[String, String] = Map(
+    "h3_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS lost_revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "w3_rank_family" ->
+      """SELECT c_custkey, c_mktsegment, acct_dense_rank,
+        | CAST(acct_pct_rank AS DECIMAL(18,6)) AS acct_pct_rank FROM (
+        | SELECT c_custkey, c_mktsegment,
+        |  dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS acct_dense_rank,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS acct_pct_rank
+        | FROM customer)
+        |WHERE acct_dense_rank <= 10""".stripMargin
+  )
+
+  private val baseOracle: Map[String, String] = Map(
     "s2_csv_roundtrip" ->
       """SELECT n_nationkey, n_name,
         | n_name || ', "q"' || chr(10) || 'end' AS tricky
@@ -87,4 +137,6 @@ object FlagshipQueries {
         |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin
   )
+
+  lazy val oracle: Map[String, String] = baseOracle ++ extraOracle
 }

@@ -152,6 +152,13 @@ object SemanticQueries {
         Seq("line_status"))
     }),
 
+    // HAVING on aggregated measures (post-agg filter in the metric layer)
+    "m6_metric_having" -> ((s, d) => {
+      registerStar(s, d)
+      lineitemView.query(s, Seq("line_count", "avg_quantity"), Seq("brand"),
+        having = Some("line_count >= 2000"))
+    }),
+
     // K3 — registered-view round trip: CREATE VIEW + SQL over it
     "m5_view_roundtrip" -> ((s, d) => {
       registerStar(s, d)
@@ -207,6 +214,9 @@ object SemanticQueries {
     "m4_metric_fanout" ->
       ordersFanoutView.toSql(Seq("order_count", "sum_totalprice"),
         Seq("line_status")),
+    "m6_metric_having" ->
+      lineitemView.toSql(Seq("line_count", "avg_quantity"), Seq("brand"),
+        having = Some("line_count >= 2000")),
     "m5_view_roundtrip" ->
       ordersFanoutView.toSql(
         ordersFanoutView.measures.map(_.name),

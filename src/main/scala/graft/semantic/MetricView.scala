@@ -62,10 +62,13 @@ final case class MetricView(
     joins.filter(j => wanted.contains(j.name))
   }
 
-  /** Compile a metric request to a DataFrame plan. */
+  /** Compile a metric request to a DataFrame plan. `having` filters on the
+    * aggregated output (measure/dimension aliases are in scope).
+    */
   def query(spark: SparkSession, measureNames: Seq[String],
             dimNames: Seq[String] = Nil,
-            where: Option[String] = None): DataFrame = {
+            where: Option[String] = None,
+            having: Option[String] = None): DataFrame = {
     val base0 = spark.table(source).alias("source")
     val base = filter.map(f => base0.filter(expr(f))).getOrElse(base0)
     val joined = neededJoins(dimNames).foldLeft(base) { (acc, j) =>
@@ -74,15 +77,18 @@ final case class MetricView(
     val filtered = where.map(w => joined.filter(expr(w))).getOrElse(joined)
     val dimCols = dimNames.map(n => expr(dim(n).expression).as(n))
     val aggCols = measureNames.map(n => expr(measure(n).expression).as(n))
-    if (dimCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-    else filtered.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val agged =
+      if (dimCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+      else filtered.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    having.map(h => agged.filter(expr(h))).getOrElse(agged)
   }
 
   /** The expanded SQL for the same request — what Databricks' view layer
     * would emit (SURVEY.md §3.3); also the DuckDB oracle text.
     */
   def toSql(measureNames: Seq[String], dimNames: Seq[String] = Nil,
-            where: Option[String] = None, oracle: Boolean = true): String = {
+            where: Option[String] = None, oracle: Boolean = true,
+            having: Option[String] = None): String = {
     val needed = neededJoins(dimNames)
     val dimSel = dimNames.map(n => s"${dim(n).expression} AS $n")
     val aggSel = measureNames.map { n =>
@@ -105,7 +111,8 @@ final case class MetricView(
     val groupSql =
       if (dimNames.isEmpty) ""
       else " GROUP BY " + dimNames.map(dim(_).expression).mkString(", ")
-    s"SELECT $select FROM $source AS source$joinSql$whereSql$groupSql"
+    val havingSql = having.map(h => s" HAVING $h").getOrElse("")
+    s"SELECT $select FROM $source AS source$joinSql$whereSql$groupSql$havingSql"
   }
 
   /** Register the fully-expanded (all dims, all measures) query as a plain
