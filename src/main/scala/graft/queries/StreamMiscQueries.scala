@@ -67,6 +67,22 @@ object StreamMiscQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"))),
 
+    // as-of join: each purchase matched to the user's latest prior click
+    // (composed window form — one shuffle; DuckDB's native ASOF JOIN is
+    // the oracle)
+    "aj1_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+        keyCol = "user_id", leftTsCol = "purchase_ts",
+        rightTsCol = "click_ts", rightCols = Seq("click_id", "click_ts"))
+    }),
+
     // full cube with all subtotal combinations
     "ag3_cube" -> ((s, d) =>
       table(s, d, "orders")
@@ -163,6 +179,12 @@ object StreamMiscQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "aj1_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        | c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "ag3_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
