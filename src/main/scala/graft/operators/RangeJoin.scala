@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized range (interval) join.
+  *
+  * Spark plans a bare inequality join as a nested-loop — quadratic and
+  * broadcast-bound. The scalable form quantizes time into buckets of the
+  * interval width: a pair within `maxGapSeconds` always spans at most one
+  * bucket boundary, so probing each event's own and next bucket finds
+  * every candidate with an equi-join (hash-partitioned on (key, bucket) —
+  * one shuffle), and the exact interval predicate then filters candidates.
+  */
+object RangeJoin {
+
+  /** All same-key event pairs (first, second by time, id tie-break) with
+    * 0 ≤ t₂−t₁ ≤ maxGapSeconds.
+    */
+  def pairsWithinGap(df: DataFrame, keyCol: String, idCol: String,
+                     tsCol: String, maxGapSeconds: Long): DataFrame = {
+    val gapUs = maxGapSeconds * 1000000L
+    val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+      unix_micros(col(tsCol)).as("us"))
+      .withColumn("bucket", floor(col("us") / gapUs))
+
+    // earlier side probes its own and the next bucket; the later event of a
+    // qualifying pair lives in exactly one of them, so each pair matches once
+    val probed = base
+      .withColumn("probe", explode(array(col("bucket"), col("bucket") + 1)))
+      .select(col("k"), col("id").as("id_a"), col("us").as("us_a"),
+        col("probe"))
+    val later = base.select(col("k"), col("id").as("id_b"),
+      col("us").as("us_b"), col("bucket").as("probe"))
+
+    probed.join(later, Seq("k", "probe"))
+      .filter((col("us_b") - col("us_a")).between(0, gapUs)
+        && (col("us_b") > col("us_a")
+          || (col("us_b") === col("us_a") && col("id_b") > col("id_a"))))
+      .select(col("k").as(keyCol), col("id_a"), col("id_b"),
+        ((col("us_b") - col("us_a")) / 1000000L).cast("decimal(18,6)")
+          .as("gap_seconds"))
+  }
+}

@@ -67,6 +67,15 @@ object StreamMiscQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"))),
 
+    // range join: same-user error pairs within a 6-hour interval,
+    // bucketized equi-join form (one shuffle; the oracle is the naive
+    // inequality join)
+    "rj1_range_join" -> ((s, d) =>
+      graft.operators.RangeJoin.pairsWithinGap(
+        events(s, d).filter(col("event_type") === "error"),
+        keyCol = "user_id", idCol = "event_id", tsCol = "ts",
+        maxGapSeconds = 21600)),
+
     // as-of join: each purchase matched to the user's latest prior click
     // (composed window form — one shuffle; DuckDB's native ASOF JOIN is
     // the oracle)
@@ -179,6 +188,14 @@ object StreamMiscQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "rj1_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        | CAST((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000 AS DECIMAL(18,6)) AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'error') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        | ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 21600000000
+        | AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))""".stripMargin,
     "aj1_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
         | c.event_id AS click_id, c.ts AS click_ts
