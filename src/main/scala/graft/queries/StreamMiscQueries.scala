@@ -67,6 +67,25 @@ object StreamMiscQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"))),
 
+    // list-agg: the reference sketches "tags as a list per app"
+    // (`analysis.sql:15`) but never implements it — per-order sorted brand
+    // list (string-joined for engine-stable comparison)
+    "la1_list_agg" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(sort_array(collect_list(col("p_brand"))), ",")
+          .as("brands"))),
+
+    // generator/UDTF surface: explode tokens → corpus term frequencies
+    "g1_explode_tokens" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)),
+
     // range join: same-user error pairs within a 6-hour interval,
     // bucketized equi-join form (one shuffle; the oracle is the naive
     // inequality join)
@@ -188,6 +207,15 @@ object StreamMiscQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "la1_list_agg" ->
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(p_brand)), ',') AS brands
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_orderkey""".stripMargin,
+    "g1_explode_tokens" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token HAVING COUNT(*) >= 100""".stripMargin,
     "rj1_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         | CAST((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000 AS DECIMAL(18,6)) AS gap_seconds
