@@ -18,11 +18,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("j4_star_chain")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query is wrapped with [[QueryUtil.finalizeDecimals]]: decimal
+    * arithmetic stays internal for reduction-order determinism, but final
+    * DECIMAL columns are emitted as DOUBLE so both engines hash identically
+    * (the oracle SQL mirrors with `CAST(CAST(x AS DECIMAL) AS DOUBLE)`).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ SemanticQueries.queries ++
+    (CoreQueries.queries ++ SemanticQueries.queries ++
       DataPipelineQueries.queries ++ StreamMiscQueries.queries ++
-      FlagshipQueries.queries
+      FlagshipQueries.queries).map { case (name, q) =>
+      name -> { (s: SparkSession, d: String) =>
+        QueryUtil.finalizeDecimals(q(s, d))
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -180,7 +180,7 @@ object CoreQueries {
     "p1_project_rename" ->
       "SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_returnflag AS flag FROM lineitem",
     "p3_derived_column" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue FROM lineitem",
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue FROM lineitem",
     "p4_fillna" ->
       "SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS c_acctbal, COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment FROM customer",
     "f1_conj_filter" ->
@@ -201,7 +201,7 @@ object CoreQueries {
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "j4_star_chain" ->
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_totalprice
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_totalprice
         | FROM orders
         | LEFT JOIN customer ON o_custkey = c_custkey
         | LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -210,14 +210,14 @@ object CoreQueries {
     "a1_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base,
         | AVG(l_quantity) AS avg_qty,
         | CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-        | CAST(CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS pct_discounted
+        | CAST(CAST(CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS pct_discounted
         | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "a5_median" ->
-      "SELECT lang, CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,4)) AS median_chars FROM documents GROUP BY lang",
+      "SELECT lang, CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_chars FROM documents GROUP BY lang",
     "a7_distinct" ->
       "SELECT DISTINCT c_mktsegment AS segment FROM customer",
     "a8_duplicate_keys" ->
@@ -236,7 +236,7 @@ object CoreQueries {
         | p_brand || '-' || p_type AS tag,
         | CAST(length(p_name) AS INTEGER) AS name_len,
         | CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class,
-        | CAST(p_retailprice * 0.5 AS DECIMAL(18,4)) AS half_price,
+        | CAST(CAST(p_retailprice * 0.5 AS DECIMAL(18,4)) AS DOUBLE) AS half_price,
         | (p_size > 25 AND p_retailprice > 1000.0) OR p_type = 'PROMO' AS flagged
         | FROM part""".stripMargin
   )

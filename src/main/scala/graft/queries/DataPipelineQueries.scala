@@ -35,7 +35,7 @@ object DataPipelineQueries {
       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) c
       |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
-      |  CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
+      |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
       |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
       |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin
 
@@ -189,7 +189,7 @@ object DataPipelineQueries {
     "d5_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,4)) AS cosine
+        | CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,4)) AS DOUBLE) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
     "sim1_ann_topk" ->
@@ -201,16 +201,16 @@ object DataPipelineQueries {
         |          ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) rn
         |      FROM q JOIN e ON q.vec_id != e.vec_id)
         |SELECT qid, neighbor, CAST(rn AS INTEGER) AS rank,
-        | CAST(c AS DECIMAL(18,4)) AS cosine FROM s WHERE rn <= 5""".stripMargin,
+        | CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS cosine FROM s WHERE rn <= 5""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
         | CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct,
         | CAST(list_sum(list_transform(string_split(lower(text), ' '),
         |   t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens,
-        | CAST(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        | CAST(CAST(CAST(list_sum(list_transform(string_split(lower(text), ' '),
         |   t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
-        |   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS DECIMAL(18,6)) AS mean_token_len
+        |   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_token_len
         |FROM documents""".stripMargin,
     "t2_quality_score" ->
       """WITH x AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
@@ -220,8 +220,8 @@ object DataPipelineQueries {
         |        CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) ns
         |      FROM x)
         |SELECT doc_id,
-        | CAST((least(n / 200.0, 1.0) * 0.4 + (nd / n) * 0.4
-        |   + least((ns / n) * 10.0, 1.0) * 0.2) AS DECIMAL(18,6)) AS quality
+        | CAST(CAST((least(n / 200.0, 1.0) * 0.4 + (nd / n) * 0.4
+        |   + least((ns / n) * 10.0, 1.0) * 0.2) AS DECIMAL(18,6)) AS DOUBLE) AS quality
         |FROM y""".stripMargin,
     "t3_langid" ->
       """WITH x AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
@@ -267,7 +267,7 @@ object DataPipelineQueries {
         |          ELSE 0 END AS is_en
         |      FROM x)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        | CAST(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS avg_quality,
+        | CAST(CAST(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_quality,
         | CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
         | CAST(SUM(is_en) AS BIGINT) AS n_en
         |FROM y GROUP BY 1""".stripMargin,
@@ -289,7 +289,7 @@ object DataPipelineQueries {
         |        len(list_filter(toks, t -> t IN ('le','la','les','et'))) s_fr,
         |        len(list_filter(toks, t -> t IN ('el','los','las','y'))) s_es
         |      FROM toks)
-        |SELECT q.doc_id, q.quality, 'en' AS lang_guess
+        |SELECT q.doc_id, CAST(q.quality AS DOUBLE) AS quality, 'en' AS lang_guess
         |FROM q
         | JOIN exact ON q.doc_id = exact.doc_id
         | LEFT JOIN drops ON q.doc_id = drops.doc_id

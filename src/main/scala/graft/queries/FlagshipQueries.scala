@@ -94,7 +94,7 @@ object FlagshipQueries {
   private val extraOracle: Map[String, String] = Map(
     "h3_returned_revenue" ->
       """SELECT c_custkey, c_name,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS lost_revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS lost_revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -103,7 +103,7 @@ object FlagshipQueries {
         |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "w3_rank_family" ->
       """SELECT c_custkey, c_mktsegment, acct_dense_rank,
-        | CAST(acct_pct_rank AS DECIMAL(18,6)) AS acct_pct_rank FROM (
+        | CAST(CAST(acct_pct_rank AS DECIMAL(18,6)) AS DOUBLE) AS acct_pct_rank FROM (
         | SELECT c_custkey, c_mktsegment,
         |  dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS acct_dense_rank,
         |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS acct_pct_rank
@@ -118,7 +118,7 @@ object FlagshipQueries {
         |FROM nation""".stripMargin,
     "h1_top_revenue_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -127,7 +127,7 @@ object FlagshipQueries {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "h2_region_nation_revenue" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey

@@ -37,5 +37,26 @@ object QueryUtil {
   /** Exact-decimal view of a double column (see parity rules above). */
   def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
 
+  /** Cast every top-level DECIMAL output column to DOUBLE.
+    *
+    * Decimal arithmetic stays internal (reduction-order determinism), but the
+    * driver's hash canonicalizes fixed-scale decimal strings differently from
+    * float repr (`710.00` vs `710.0`), so value-exact results hash red when a
+    * DECIMAL column reaches the output. A decimal→double cast is exact for
+    * the magnitudes here (≤18 digits of which ≤6 fractional → well within
+    * 2^53 after scaling), and both engines emit bit-identical doubles.
+    * Oracle SQL mirrors this with `CAST(CAST(x AS DECIMAL(18,k)) AS DOUBLE)`.
+    */
+  def finalizeDecimals(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 }

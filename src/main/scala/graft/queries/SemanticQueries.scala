@@ -51,16 +51,18 @@ object SemanticQueries {
       Measure("line_count", "CAST(COUNT(*) AS BIGINT)"),
       // A2 avg archetype (quantities are integer-valued: exact in double)
       Measure("avg_quantity", "AVG(source.l_quantity)"),
+      // decimal arithmetic internal, DOUBLE at the boundary (hash parity —
+      // see QueryUtil.finalizeDecimals)
       Measure("sum_revenue",
-        "CAST(SUM(CAST(source.l_extendedprice * (1 - source.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4))"),
+        "CAST(CAST(SUM(CAST(source.l_extendedprice * (1 - source.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)"),
       // A3/A4 pct archetype
       Measure("discounted_pct",
-        "CAST(CAST(SUM(CASE WHEN source.l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6))"),
+        "CAST(CAST(CAST(SUM(CASE WHEN source.l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)"),
       // A5 exact-percentile archetype (dialect differs: percentile vs
       // quantile_cont)
       Measure("median_quantity",
-        "CAST(percentile(source.l_quantity, 0.5) AS DECIMAL(18,4))",
-        sqlExpr = Some("CAST(quantile_cont(source.l_quantity, 0.5) AS DECIMAL(18,4))"))))
+        "CAST(CAST(percentile(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)",
+        sqlExpr = Some("CAST(CAST(quantile_cont(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)"))))
 
   /** Fan-out view: orders source × 1:many lineitem join — reproduces the
     * reference's intentional fact-fan-out grain (SURVEY.md §7.4.3,
@@ -78,7 +80,7 @@ object SemanticQueries {
     measures = Seq(
       Measure("order_count", "CAST(COUNT(*) AS BIGINT)"),
       Measure("sum_totalprice",
-        "CAST(SUM(CAST(source.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")))
+        "CAST(CAST(SUM(CAST(source.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)")))
 
   private def registerStar(s: SparkSession, d: String): Unit =
     Seq("lineitem", "orders", "part", "supplier").foreach(n =>
@@ -178,7 +180,7 @@ object SemanticQueries {
         |  WHEN contains(lower(trim(text)), 'merge') THEN 2
         |  WHEN contains(lower(trim(text)), 'batch') THEN -2
         |  ELSE 1 END AS INTEGER) AS sentiment_score,
-        | CAST(CAST(CASE
+        | CAST(CAST(CAST(CASE
         |  WHEN text IS NULL OR text = '' THEN 0
         |  WHEN length(trim(text)) < 3 THEN 0
         |  WHEN contains(lower(trim(text)), 'fast') THEN 5
@@ -187,7 +189,7 @@ object SemanticQueries {
         |  WHEN contains(lower(trim(text)), 'batch') THEN -2
         |  ELSE 1 END AS DOUBLE)
         |  * (CASE WHEN source IN ('src0','src1') THEN 0.5 ELSE 1.0 END)
-        |  AS DECIMAL(18,1)) AS weighted_score
+        |  AS DECIMAL(18,1)) AS DOUBLE) AS weighted_score
         | FROM documents""".stripMargin,
     "u2_ai_translate" ->
       """SELECT lang,

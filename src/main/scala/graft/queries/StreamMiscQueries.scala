@@ -179,7 +179,7 @@ object StreamMiscQueries {
     "st1_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st2_sessionization" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) us,
@@ -218,7 +218,7 @@ object StreamMiscQueries {
         |GROUP BY token HAVING COUNT(*) >= 100""".stripMargin,
     "rj1_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
-        | CAST((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000 AS DECIMAL(18,6)) AS gap_seconds
+        | CAST(CAST((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000 AS DECIMAL(18,6)) AS DOUBLE) AS gap_seconds
         |FROM (SELECT * FROM events WHERE event_type = 'error') a
         |JOIN (SELECT * FROM events WHERE event_type = 'error') b
         | ON a.user_id = b.user_id
@@ -232,7 +232,7 @@ object StreamMiscQueries {
         | ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "ag3_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "js2_from_json" ->
       """SELECT event_type,
@@ -242,10 +242,10 @@ object StreamMiscQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |   PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 10""".stripMargin,
     "t5_regex_tokens" ->
       """SELECT event_id,

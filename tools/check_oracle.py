@@ -5,21 +5,30 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 For each <name>/ parquet dir under verify_out_dir, runs oracle_sql.json[name]
 in DuckDB over the sf_dir tables and compares: row count, column names
-(sorted), and values (sorted rows, exact for non-floats, 1e-9 rel tol for
-floats). Stricter than any plausible driver compare — if this passes, the
-driver's hash match should too.
+(sorted), and values. Values are compared as EXACT canonical strings — floats
+via repr, Decimals via str (keeping fixed-scale trailing zeros) — so a
+DECIMAL-vs-DOUBLE representation split between the two sides fails loudly
+here, exactly as it does in the driver's hash compare. No numeric tolerance.
 """
-import sys, os, json, math
+import sys, os, json
+import decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def canon(v):
+    """Canonical string for hashing-style exact compare (driver-like)."""
+    if v is None:
+        return "\x00NULL"
     if isinstance(v, float):
-        return round(v, 9)
-    return v
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # keeps trailing zeros: '710.00' != '710.0'
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def main(out_dir, sf_dir):
@@ -53,23 +62,17 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             ok = False
         else:
-            # reorder spark columns to oracle order by name
-            idx = [got_cols.index(c) for c in exp_cols]
-            skey = lambda t: [(v is None, str(v)) for v in t]
-            g = sorted((tuple(norm(r[i]) for i in idx) for r in got), key=skey)
-            e = sorted((tuple(norm(v) for v in r) for r in exp), key=skey)
+            # driver-style: columns sorted by name, rows sorted by canonical
+            # string, every value compared as an exact canonical string
+            gidx = [got_cols.index(c) for c in sorted(got_cols)]
+            eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+            g = sorted(tuple(canon(r[i]) for i in gidx) for r in got)
+            e = sorted(tuple(canon(r[i]) for i in eidx) for r in exp)
             for i, (a, b) in enumerate(zip(g, e)):
                 if a != b:
-                    # allow tiny float diffs
-                    close = all(
-                        (isinstance(x, float) and isinstance(y, float)
-                         and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9))
-                        or x == y
-                        for x, y in zip(a, b))
-                    if not close:
-                        print(f"FAIL {name}: first diff row {i}:\n  spark={a}\n  duck ={b}")
-                        ok = False
-                        break
+                    print(f"FAIL {name}: first diff row {i}:\n  spark={a}\n  duck ={b}")
+                    ok = False
+                    break
         if ok:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
