@@ -40,11 +40,20 @@ final case class PipelineConfig(
   */
 final class TableStore(spark: SparkSession, config: PipelineConfig) {
 
-  private val db: String = s"${config.catalog}_${config.schema}"
+  /** Name parts are interpolated into DDL (CREATE/DROP DATABASE), so a
+    * malformed or hostile config value must fail here, not inject SQL.
+    */
+  private def ident(s: String): String = {
+    require(s.matches("[A-Za-z0-9_]+"), s"invalid SQL identifier: '$s'")
+    s
+  }
+
+  private val db: String = ident(s"${config.catalog}_${config.schema}")
   spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
   /** `{catalog}_{schema}.{layer}_{table}` — e.g. `steam_analytics.dim_games`. */
-  def fqn(layer: String, table: String): String = s"$db.${layer}_$table"
+  def fqn(layer: String, table: String): String =
+    s"$db.${ident(s"${layer}_$table")}"
 
   /** ≙ `utilities.py:20-23` (mode defaults to overwrite; fact append). */
   def save(df: DataFrame, layer: String, table: String,
@@ -71,6 +80,37 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(fqn(layer, table))
+
+  /** Replay-idempotent batch landing: the frame (carrying `batchCol`, one
+    * value per micro-batch) lands in its own partition with DYNAMIC
+    * partition overwrite — a replayed batch rewrites exactly its partition
+    * instead of appending duplicates. This is what makes `foreachBatch`
+    * ingest exactly-once on a plain-file sink: the write is idempotent per
+    * batchId, and the streaming checkpoint guarantees batchIds replay with
+    * identical content.
+    */
+  def saveBatchPartition(df: DataFrame, layer: String, table: String,
+                         batchCol: String): Unit = {
+    val name = fqn(layer, table)
+    if (!spark.catalog.tableExists(name)) {
+      df.write.format("parquet").partitionBy(batchCol).saveAsTable(name)
+    } else {
+      import org.apache.spark.sql.functions.col
+      // the writer-level partitionOverwriteMode option is not honored on
+      // this insertInto path — set the session conf for the write, restore
+      // after (df.sparkSession: foreachBatch hands a cloned session)
+      val sess = df.sparkSession
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = sess.conf.getOption(key)
+      sess.conf.set(key, "dynamic")
+      try df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Overwrite).insertInto(name)
+      finally prev match {
+        case Some(v) => sess.conf.set(key, v)
+        case None    => sess.conf.unset(key)
+      }
+    }
+  }
 
   /** ≙ `utilities.py:27-30`. */
   def load(layer: String, table: String): DataFrame =

@@ -41,7 +41,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"cosine_sim requires array<double> inputs, got $l and $r")
     }
 
-  /** Length-mismatched inputs yield null even for non-null children. */
+  /** Length-mismatched inputs, null elements, and zero-norm vectors yield
+    * null even for non-null children (an undefined similarity must never
+    * leak out as a plausible-looking number).
+    */
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -54,6 +57,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -61,7 +65,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -73,18 +78,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
+      val denom = ctx.freshName("denom")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    final double $xi = $a.getDouble($i);
          |    final double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($anyNull || $denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / $denom;
+         |  }
          |}
        """.stripMargin
     })

@@ -53,10 +53,14 @@ object AsOfJoin {
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
 
-    val out = carried.select(
+    // match-existence = the _match struct itself (non-null iff a right row
+    // matched); testing a projected field instead would wrongly drop left
+    // rows whose matched right row has a legitimate NULL in that field
+    val matched =
+      if (joinType == "inner") carried.filter(col("_match").isNotNull)
+      else carried
+    matched.select(
       leftCols.map(col) ++ rightCols.map(c =>
         col(s"_match.$c").as(c)): _*)
-    if (joinType == "inner") out.filter(col(rightCols.head).isNotNull)
-    else out
   }
 }

@@ -19,6 +19,10 @@ object RangeJoin {
     */
   def pairsWithinGap(df: DataFrame, keyCol: String, idCol: String,
                      tsCol: String, maxGapSeconds: Long): DataFrame = {
+    // 0 would divide by zero in the bucket expression (ANSI runtime error);
+    // the upper bound keeps gapUs = maxGapSeconds·10⁶ inside Long
+    require(maxGapSeconds > 0 && maxGapSeconds <= 9_000_000_000_000L,
+      s"maxGapSeconds must be in (0, 9e12], got $maxGapSeconds")
     val gapUs = maxGapSeconds * 1000000L
     val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
       unix_micros(col(tsCol)).as("us"))

@@ -65,58 +65,47 @@ object Similarity {
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
 
-  /** All near-duplicate pairs with cosine ≥ threshold (ids ordered).
+  /** All near-duplicate pairs with cosine ≥ threshold (ids ordered
+    * `id_a < id_b`).
     *
-    * Exact O(n²) comparison, organized as a broadcast-matrix scan: the
-    * corpus (unit-normalized, primitive arrays) is broadcast once, and each
-    * partition streams its rows against the in-memory matrix — zero per-pair
-    * allocation, ~10× faster than a join + per-row array UDF. The collect
-    * only builds the broadcast side (the pair loop itself is distributed),
-    * which bounds this exact variant to corpora whose vectors fit an
-    * executor (~10⁷ × 64 dims); beyond that, restrict the pair space first
-    * with `ivfIndex` buckets or SimHash sign-bit bands.
+    * Exact O(n²) comparison, organized as a distributed block-pair
+    * equi-join (triangle scheme): each vector gets a deterministic block
+    * `blk = xxhash64(id) mod B`; the left side is replicated to every
+    * target block ≥ its own, then equi-joined on `target = right.blk`, so
+    * every unordered block pair — and therefore every vector pair — is
+    * produced on exactly one task. Nothing is collected to the driver and
+    * no executor ever holds more than two blocks (~n/B vectors each), so
+    * the operator scales out: total shuffle volume is n·(B+1)/2 rows of
+    * (id, vector) against a driver-memory ceiling in the old
+    * collect+broadcast form. Per-pair math is the codegen'd native
+    * `CosineSimilarity` loop.
+    *
+    * This is the exact-output variant (every qualifying pair, no
+    * probabilistic recall). At extreme corpus sizes, prefilter the pair
+    * space with `ivfIndex` buckets or SimHash sign-bands and verify with
+    * the same expression — at the cost of exactness for straddling pairs.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-
-    def unit(v: Seq[Double]): Array[Double] = {
-      val a = v.toArray
-      var ss = 0.0
-      var i = 0
-      while (i < a.length) { ss += a(i) * a(i); i += 1 }
-      val n = math.sqrt(ss)
-      i = 0
-      while (i < a.length) { a(i) /= n; i += 1 }
-      a
-    }
-
-    val corpus = df
-      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
-      .as[(Long, Seq[Double])]
-    val matrix = corpus.collect().map { case (id, v) => (id, unit(v)) }
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(matrix)
-
-    corpus.mapPartitions { it =>
-      val m = bc.value
-      val ids = m.map(_._1)
-      it.flatMap { case (ida, va0) =>
-        val va = unit(va0)
-        // m is id-sorted: start past ida to emit each pair once, ordered
-        var lo = java.util.Arrays.binarySearch(ids, ida)
-        if (lo < 0) lo = -lo - 1 else lo += 1
-        (lo until m.length).iterator.flatMap { j =>
-          val (idb, vb) = m(j)
-          var d = 0.0
-          var i = 0
-          while (i < va.length) { d += va(i) * vb(i); i += 1 }
-          if (d >= threshold) Some((ida, idb, d)) else None
-        }
-      }
-    }.toDF("id_a", "id_b", "cosine")
-      .select(col("id_a"), col("id_b"),
+                         threshold: Double, nBlocks: Int = 16): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be positive")
+    val c = df.select(col(idCol).cast("long").as("vid"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)).cast("int"))
+    val left = c
+      .withColumn("tgt", explode(sequence(col("blk"), lit(nBlocks - 1))))
+      .select(col("vid").as("ida"), col("v").as("va"),
+        col("blk").as("blk_a"), col("tgt"))
+    val right = c.select(col("vid").as("idb"), col("v").as("vb"),
+      col("blk").as("blk_b"))
+    left.join(right, col("tgt") === col("blk_b"))
+      // same-block pairs appear twice (x→y and y→x): keep one; cross-block
+      // pairs appear once by construction (only the smaller block replicates
+      // up to the larger)
+      .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
 
@@ -130,7 +119,13 @@ object Similarity {
     import org.apache.spark.mllib.clustering.KMeans
     import org.apache.spark.mllib.linalg.Vectors
     val c = withNorm(df, idCol, vecCol)
-    val sample = c.select("v").limit(sampleSize).collect()
+    // deterministic sample: un-ordered limit() picks whichever partitions
+    // answer first, so the trained centroids (and every IVF result) would
+    // vary run to run; ordering by a hash of the id is a seeded uniform
+    // draw with a stable outcome
+    val sample = c.select(col("v"), col("vid"))
+      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+      .limit(sampleSize).select("v").collect()
       .map(r => Vectors.dense(r.getSeq[Double](0).toArray))
     val sc = df.sparkSession.sparkContext
     // random init: k-means|| costs ~5 extra Spark rounds for marginal

@@ -159,9 +159,13 @@ object TextDedup {
           && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the shingle sets
-    val sets = df.select(col(idCol).as("doc"),
-      shingles(col(textCol), n).as("sh_set"))
+    // verify candidates with exact Jaccard over xxhash64'd shingle sets:
+    // only (doc, array<long>) rows shuffle — 8 bytes per shingle, never the
+    // n-gram text (the same 64-bit collision argument as shingleIndex). The
+    // groupBy exchange is canonically identical for the doc_a and doc_b join
+    // sides, so ReuseExchange computes the hashed sets once.
+    val sets = shingleIndex(df, idCol, textCol, n)
+      .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
     candidates
       .join(sets.select(col("doc").as("doc_a"), col("sh_set").as("sa")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("sh_set").as("sb")), "doc_b")

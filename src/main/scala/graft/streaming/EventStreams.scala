@@ -113,7 +113,11 @@ object EventStreams {
 
   /** Streaming incremental fact ingest ≙ the reference's anti-join+append
     * (J2+K1) re-expressed as a stream: file source → keyed dedup bounded by
-    * watermark → idempotent append per micro-batch via `foreachBatch`.
+    * watermark → exactly-once landing via `foreachBatch` + per-batchId
+    * partition overwrite (a blind append would be at-least-once: a crash
+    * between the write and the checkpoint commit would duplicate the
+    * replayed micro-batch; overwriting the batch's own partition is
+    * replay-idempotent).
     */
   /** `checkpointDir` must be a STABLE location per logical ingest (it holds
     * the source offsets and dedup state): restarts resume from it, which is
@@ -133,9 +137,10 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(keyCol)
       deduped.writeStream
         .outputMode(OutputMode.Append)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          store.save(batch, "fact", "events",
-            org.apache.spark.sql.SaveMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          store.saveBatchPartition(
+            batch.withColumn("ingest_batch", lit(batchId)),
+            "fact", "events", "ingest_batch")
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpointDir)

@@ -40,6 +40,18 @@ class AsOfJoinSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(3L, 4L))
   }
 
+  test("inner keeps a match whose first carried column is NULL") {
+    // the matched quote has a NULL quote_id: match-existence must be judged
+    // on the match struct, not a projected field
+    val q = Seq(
+      (100L, Option.empty[Long], ts("2024-01-01 10:00:00")))
+      .toDF("acct", "quote_id", "quote_ts")
+    val got = AsOfJoin.asOf(trades.filter($"trade_id" === 1L), q,
+      "acct", "trade_ts", "quote_ts", Seq("quote_id", "quote_ts"))
+    assert(got.count() == 1)
+    assert(got.select("quote_id").head().isNullAt(0))
+  }
+
   test("one shuffle: a single window exchange in the plan") {
     val df = AsOfJoin.asOf(trades, quotes, "acct", "trade_ts", "quote_ts",
       Seq("quote_id"))

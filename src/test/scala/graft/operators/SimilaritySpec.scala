@@ -55,4 +55,47 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     pairs.foreach(r => assert(r.getDecimal(2).doubleValue() >= 0.45))
   }
+
+  test("blocked pair join is exact: equals the all-pairs reference set") {
+    // reference: O(n²) pair set computed test-side from collected vectors
+    val vecs = emb.select($"vec_id".cast("long"),
+      Similarity.toDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.45
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    // block counts 1 (trivially exact) and 7 (blocks smaller than the
+    // pair spread) must both reproduce it — exercises same-block dedup
+    // and cross-block once-only generation
+    Seq(1, 7).foreach { b =>
+      val got = Similarity
+        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45, nBlocks = b)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"nBlocks=$b mismatch")
+    }
+  }
+
+  test("near-dup plan is a distributed equi-join: no cartesian, no BNLJ") {
+    val plan = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("IVF index sampling is deterministic: same centroids across runs") {
+    val c1 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+      .centroids.map(_.toSeq).toSeq
+    val c2 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+      .centroids.map(_.toSeq).toSeq
+    assert(c1 == c2)
+  }
 }
