@@ -40,10 +40,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-query hygiene, OUTSIDE the timed section: without it, broadcast
+    // blocks, cached relations and codegen'd classes accumulate across the
+    // 60+ queries × 3 passes of one JVM and inflate late queries 8-60×
+    // (GC pressure), which misreports plans that run in ~1s in a clean
+    // session. An explicit GC lets the ContextCleaner drop dead broadcasts
+    // promptly; clearCache covers anything a query left cached.
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(materialize(_, warmDir)) // warmup, untimed
+    names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
     val results = names.map { n =>
-      val (r1, r2) = (materialize(n, sfDir), materialize(n, sfDir))
+      val r1 = materialize(n, sfDir); hygiene()
+      val r2 = materialize(n, sfDir); hygiene()
       n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
     }
 
