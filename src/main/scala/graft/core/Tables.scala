@@ -123,5 +123,14 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
   def exists(layer: String, table: String): Boolean =
     spark.catalog.tableExists(fqn(layer, table))
 
+  /** The raw layer as queryable `raw_*` views alongside dim/fact tables —
+    * the catalog face of `steam.raw.inbound_*` (see
+    * [[graft.ingest.RawCatalog]]).
+    */
+  def registerRaw(dir: String,
+                  schemas: Map[String, org.apache.spark.sql.types.StructType] =
+                    Map.empty): Seq[String] =
+    graft.ingest.RawCatalog.register(spark, dir, schemas)
+
   def dropAll(): Unit = spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
 }

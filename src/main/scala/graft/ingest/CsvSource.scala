@@ -32,6 +32,36 @@ object CsvSource {
     spark.read.options(Options).option("inferSchema", "true").csv(path)
 }
 
+/** Raw-zone catalog surface ≙ the reference's queryable raw tables
+  * `steam.raw.inbound_*` (`/root/reference/exploration/analysis.sql:20-21,
+  * 25,36,55-59,68`): every landing-zone CSV (file or directory of parts)
+  * becomes a `raw_<stem>` temp view, so an analyst's ad-hoc SQL runs
+  * directly against the raw layer. Registration is lazy — it scans nothing;
+  * SQL over a view reads the CSV with the reference dialect, with an
+  * explicit schema where provided (one scan) and inference otherwise
+  * (reference-verbatim, two scans).
+  */
+object RawCatalog {
+
+  def register(spark: SparkSession, dir: String,
+               schemas: Map[String, StructType] = Map.empty): Seq[String] = {
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".csv") || f.isDirectory)
+      .sortBy(_.getName)
+    entries.toSeq.map { f =>
+      val stem = f.getName.stripSuffix(".csv")
+      val df = schemas.get(stem) match {
+        case Some(sc) => CsvSource.read(spark, f.getAbsolutePath, sc)
+        case None     => CsvSource.readInferred(spark, f.getAbsolutePath)
+      }
+      val view = s"raw_$stem"
+      df.createOrReplaceTempView(view)
+      view
+    }
+  }
+}
+
 /** Explicit schemas for every raw-zone file (FIXTURES.md §1). */
 object Schemas {
 

@@ -76,8 +76,9 @@ object DataPipelineQueries {
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
-    // ANN over int8-quantized vectors (4× storage cut) — deterministic,
-    // rows-only (round-half semantics differ across engines)
+    // ANN over int8-quantized vectors (4× storage cut); the oracle
+    // reproduces the quantization arithmetic exactly (float-cast scale
+    // metadata + floor(x+0.5) rounding)
     "sim3_quantized_topk" -> ((s, d) => {
       import graft.operators.Quantization
       val emb = table(s, d, "embeddings")
@@ -200,6 +201,25 @@ object DataPipelineQueries {
         |        row_number() OVER (PARTITION BY q.vec_id
         |          ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) rn
         |      FROM q JOIN e ON q.vec_id != e.vec_id)
+        |SELECT qid, neighbor, CAST(rn AS INTEGER) AS rank,
+        | CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS cosine FROM s WHERE rn <= 5""".stripMargin,
+    // mirrors Quantization exactly: per-vector min/max, step=(max−min)/255,
+    // k = floor(x+0.5)-rounded level, reconstruction with FLOAT-cast
+    // (qmin, qstep) metadata promoted back to DOUBLE — then sim1's top-k
+    "sim3_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) mn, list_max(v) mx FROM e),
+        |p AS (SELECT vec_id, v, mn,
+        |        CASE WHEN mx > mn THEN (mx - mn)/255.0 ELSE 1.0 END AS step,
+        |        CAST(CAST(mn AS REAL) AS DOUBLE) AS qmin,
+        |        CAST(CAST(CASE WHEN mx > mn THEN (mx - mn)/255.0 ELSE 1.0 END AS REAL) AS DOUBLE) AS qstep
+        |      FROM m),
+        |d AS (SELECT vec_id, list_transform(v, x -> qmin + floor((x - mn)/step + 0.5) * qstep) dq FROM p),
+        |q AS (SELECT * FROM d WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id qid, d.vec_id neighbor, list_cosine_similarity(q.dq, d.dq) c,
+        |        row_number() OVER (PARTITION BY q.vec_id
+        |          ORDER BY list_cosine_similarity(q.dq, d.dq) DESC, d.vec_id) rn
+        |      FROM q JOIN d ON q.vec_id != d.vec_id)
         |SELECT qid, neighbor, CAST(rn AS INTEGER) AS rank,
         | CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS cosine FROM s WHERE rn <= 5""".stripMargin,
     "t1_token_stats" ->

@@ -32,6 +32,28 @@ object FlagshipQueries {
         .select(col("n_nationkey"), col("n_name"), col("tricky"))
     }),
 
+    // S7/raw-catalog — the raw zone as a queryable layer (≙ the reference's
+    // `steam.raw.inbound_*` exploration tables, `analysis.sql:20-21`): land
+    // nation+region as reference-dialect CSVs, register `raw_*` views, then
+    // ad-hoc J3-shape SQL straight over the raw layer.
+    "r1_raw_explore" -> ((s, d) => {
+      val tmp = s"/tmp/graft-rawzone-${d.replaceAll("[^a-z0-9.]", "_")}"
+      Seq("nation", "region").foreach(t =>
+        table(s, d, t).coalesce(1).write.mode("overwrite")
+          .options(CsvSource.Options).csv(s"$tmp/$t"))
+      graft.ingest.RawCatalog.register(s, tmp, Map(
+        "nation" -> StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))),
+        "region" -> StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType)))))
+      s.sql("""SELECT n_nationkey, n_name, r_name
+              |FROM raw_nation JOIN raw_region ON n_regionkey = r_regionkey
+              |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // shipped-revenue top-10 by order among BUILDING customers (Q3 shape):
     // broadcast customer filter, partial-agg, TakeOrderedAndProject
     "h1_top_revenue_orders" -> ((s, d) =>
@@ -112,6 +134,8 @@ object FlagshipQueries {
   )
 
   private val baseOracle: Map[String, String] = Map(
+    "r1_raw_explore" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "s2_csv_roundtrip" ->
       """SELECT n_nationkey, n_name,
         | n_name || ', "q"' || chr(10) || 'end' AS tricky

@@ -131,20 +131,34 @@ object StreamMiscQueries {
           min(col("parsed.k")).as("min_k"),
           max(col("parsed.k")).as("max_k"))),
 
-    // HLL++ approximate distinct — engine-specific estimate, rows-only
+    // HLL++ approximate distinct — the estimate itself is engine-specific,
+    // so the oracle-checked surface is the relational assertion: the
+    // estimate must sit within 15% (3× the sketch's 5% rsd) of the exact
+    // count, emitted as a boolean that DuckDB reproduces as literal TRUE
     "ag2_approx_distinct" -> ((s, d) =>
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("apx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("apx") - col("exact_parts")).cast("double")
+            / col("exact_parts").cast("double") <= 0.15)
+            .as("within_15pct"))),
 
     // approximate percentile (the A5 100TB path: one pass, mergeable
-    // sketch, vs the exact sort-based percentile) — rows-only
+    // sketch, vs the exact sort-based percentile) — same verdict scheme:
+    // the sketch median must land inside the exact interquartile range
     "a5b_median_approx" -> ((s, d) =>
       table(s, d, "documents")
         .groupBy(col("lang"))
-        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000))
-          .as("approx_median_chars"))),
+        .agg(count(lit(1)).as("n_docs"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("am"),
+          percentile(col("n_chars"), lit(0.25)).as("q1"),
+          percentile(col("n_chars"), lit(0.75)).as("q3"))
+        .select(col("lang"), col("n_docs"),
+          (col("am") >= col("q1") && col("am") <= col("q3"))
+            .as("within_iqr"))),
 
     // running aggregation window (rowsBetween frame)
     "w2_running_sum" -> ((s, d) => {
@@ -202,6 +216,14 @@ object StreamMiscQueries {
         |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         | EXCEPT
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+    "ag2_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | TRUE AS within_15pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a5b_median_approx" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS within_iqr
+        |FROM documents GROUP BY 1""".stripMargin,
     "ag1_rollup" ->
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM nation JOIN region ON n_regionkey = r_regionkey

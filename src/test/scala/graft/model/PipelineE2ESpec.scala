@@ -179,6 +179,34 @@ class PipelineE2ESpec extends SparkSpec {
     } finally store.dropAll()
   }
 
+  test("Runner serializes runs: a trigger during a run queues, FIFO (§2.10)") {
+    val runner = new Pipeline.Runner(maxConcurrent = 1)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    lazy val second: Seq[Stage] =
+      Seq(Stage("s2")(() => order += "second"))
+    val first = Seq(Stage("s1") { () =>
+      order += "first-start"
+      // a cron tick landing mid-run: must queue, not interleave
+      runner.submit(second)
+      order += "first-end"
+    })
+    runner.submit(first)
+    assert(order.toSeq == Seq("first-start", "first-end", "second"))
+    assert(runner.completedRuns == Seq(Seq("s1"), Seq("s2")))
+  }
+
+  test("raw layer registers as queryable raw_* views (S7 catalog face)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/things.csv"), "id,name\n1,alpha\n2,beta\n")
+    val store = new TableStore(spark, freshConfig())
+    try {
+      val views = store.registerRaw(dir)
+      assert(views == Seq("raw_things"))
+      assert(spark.sql("SELECT count(*) FROM raw_things").head().getLong(0) == 2)
+    } finally store.dropAll()
+  }
+
   test("CSV reader handles multiline + escaped quotes (S1 option set)") {
     val raw = graft.ingest.CsvSource.read(spark, s"$rawZone/reviews.csv",
       graft.ingest.Schemas.reviews)
