@@ -88,9 +88,25 @@ object TextDedup {
     * pairs are only docs sharing ≥1 shingle, so with high-order shingles
     * (n≥5) the join output stays near-linear in corpus size.
     */
+  /** @param maxShingleDocFreq 100TB cost lever: when set, shingles occurring
+    *   in more than this many documents (boilerplate headers, license text)
+    *   are dropped from the inverted index BEFORE the self-join — a shingle
+    *   with document frequency f produces f² join rows, so a single hot
+    *   shingle dominates the whole operator. Dropping affects candidate
+    *   generation and the intersection count (overlap carried only by hot
+    *   shingles is missed / undercounted), so results are exact iff the cap
+    *   is at or above the highest meaningful document frequency; `None`
+    *   (default) is fully exact.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n)
+                   n: Int = 5, minJaccard: Double = 0.5,
+                   maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val idx0 = shingleIndex(df, idCol, textCol, n)
+    val idx = maxShingleDocFreq.fold(idx0) { cap =>
+      val hot = idx0.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("sh")
+      idx0.join(hot, Seq("sh"), "left_anti")
+    }
     // per-doc set sizes come from a cheap per-row projection (no second
     // scan of the exploded index); the self-join's two sides shuffle the
     // identical idx subplan on the same key, so Spark's ReuseExchange

@@ -32,6 +32,30 @@ object FlagshipQueries {
         .select(col("n_nationkey"), col("n_name"), col("tricky"))
     }),
 
+    // S4/K1 — managed-table sink + scan round trip through the catalog
+    // (`utilities.py:20-30`): overwrite a dim table, read it back by name
+    "k1_table_roundtrip" -> ((s, d) => {
+      val store = new graft.core.TableStore(s,
+        graft.core.PipelineConfig(schema = "verifyk1"))
+      store.save(table(s, d, "nation"), "dim", "nation_copy")
+      store.load("dim", "nation_copy")
+    }),
+
+    // A6 — count() action / batch arithmetic (`reviews_fact.py:82`),
+    // as a 1-row aggregate so the oracle can check it
+    "a6_count" -> ((s, d) =>
+      table(s, d, "orders").agg(count(lit(1)).as("n_rows"))),
+
+    // P2 — schema-driven prefix-strip projection (`auxillary_dims.py:
+    // 136-148`): mat_-prefixed source columns publish unprefixed
+    "p2_strip_prefix" -> ((s, d) =>
+      graft.operators.Projections.stripPrefix(
+        table(s, d, "part").select(
+          col("p_partkey"),
+          col("p_retailprice").as("mat_retailprice"),
+          col("p_brand").as("mat_brand")),
+        "mat_")),
+
     // S7/raw-catalog — the raw zone as a queryable layer (≙ the reference's
     // `steam.raw.inbound_*` exploration tables, `analysis.sql:20-21`): land
     // nation+region as reference-dialect CSVs, register `raw_*` views, then
@@ -134,6 +158,12 @@ object FlagshipQueries {
   )
 
   private val baseOracle: Map[String, String] = Map(
+    "k1_table_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "a6_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders",
+    "p2_strip_prefix" ->
+      "SELECT p_partkey, p_retailprice AS retailprice, p_brand AS brand FROM part",
     "r1_raw_explore" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "s2_csv_roundtrip" ->

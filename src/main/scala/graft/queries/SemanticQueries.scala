@@ -161,6 +161,20 @@ object SemanticQueries {
         having = Some("line_count >= 2000"))
     }),
 
+    // display()/ad-hoc exploration shape (`analysis.sql:29-37`,
+    // `auxillary_dims.py:35`): a deterministic LIMIT-10 sample with
+    // ai_query applied to the sampled rows only — the notebook's "peek at
+    // a few AI-scored rows" pattern
+    "x1_adhoc_sample" -> ((s, d) => {
+      registerAi(s)
+      table(s, d, "documents")
+        .orderBy(col("doc_id")).limit(10)
+        .select(col("doc_id"), col("lang"),
+          expr("ai_query('offline-dict', lang)").as("lang_name"),
+          when(col("text").isNull || col("text") === "", lit(0))
+            .otherwise(expr("sentiment_score(text)")).as("sentiment"))
+    }),
+
     // K3 — registered-view round trip: CREATE VIEW + SQL over it
     "m5_view_roundtrip" -> ((s, d) => {
       registerStar(s, d)
@@ -197,6 +211,19 @@ object SemanticQueries {
         |  WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish' ELSE 'NA' END AS lang_name,
         | CAST(COUNT(*) AS BIGINT) AS n
         | FROM documents GROUP BY 1, 2""".stripMargin,
+    "x1_adhoc_sample" ->
+      """SELECT doc_id, lang,
+        | CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+        |  WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish' ELSE 'NA' END AS lang_name,
+        | CAST(CASE
+        |  WHEN text IS NULL OR text = '' THEN 0
+        |  WHEN length(trim(text)) < 3 THEN 0
+        |  WHEN contains(lower(trim(text)), 'fast') THEN 5
+        |  WHEN contains(lower(trim(text)), 'slow') THEN -5
+        |  WHEN contains(lower(trim(text)), 'merge') THEN 2
+        |  WHEN contains(lower(trim(text)), 'batch') THEN -2
+        |  ELSE 1 END AS INTEGER) AS sentiment
+        | FROM documents ORDER BY doc_id LIMIT 10""".stripMargin,
     "dq_checks" ->
       """SELECT o_orderkey,
         | CAST((CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
