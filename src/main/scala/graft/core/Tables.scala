@@ -112,6 +112,20 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     }
   }
 
+  /** Drop a table from BOTH catalog and storage. The physical location
+    * outlives an in-memory catalog (a new JVM no longer knows the table but
+    * its directory persists in the warehouse, and `saveAsTable` then fails
+    * with LOCATION_ALREADY_EXISTS), so the stale directory is removed too.
+    */
+  def drop(layer: String, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${fqn(layer, table)}")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/" +
+        ident(s"${layer}_$table"))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** ≙ `utilities.py:27-30`. */
   def load(layer: String, table: String): DataFrame =
     spark.read.table(fqn(layer, table))

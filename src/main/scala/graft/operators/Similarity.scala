@@ -70,15 +70,17 @@ object Similarity {
     *
     * Exact O(n²) comparison, organized as a distributed block-pair
     * equi-join (triangle scheme): each vector gets a deterministic block
-    * `blk = xxhash64(id) mod B`; the left side is replicated to every
-    * target block ≥ its own, then equi-joined on `target = right.blk`, so
-    * every unordered block pair — and therefore every vector pair — is
-    * produced on exactly one task. Nothing is collected to the driver and
-    * no executor ever holds more than two blocks (~n/B vectors each), so
-    * the operator scales out: total shuffle volume is n·(B+1)/2 rows of
-    * (id, vector) against a driver-memory ceiling in the old
-    * collect+broadcast form. Per-pair math is the codegen'd native
-    * `CosineSimilarity` loop.
+    * `blk = xxhash64(id) mod B`, and both sides replicate to the ordered
+    * block-pair keys they participate in (`i·B+j`, i ≤ j — the left side
+    * as the smaller block, the right as the larger), so the join runs one
+    * task per unordered block pair: B(B+1)/2 uniform tasks, each holding
+    * exactly two blocks (~n/B vectors each). Keying on the pair id rather
+    * than the partner block keeps parallelism quadratic in B and skew-free
+    * (keying on the block alone would cap at B tasks, with the last block
+    * doing B× the work of the first). Nothing is collected to the driver —
+    * shuffle volume is ~n·(B+1) (id, vector) rows, against a driver-memory
+    * ceiling in the old collect+broadcast form. Per-pair math is the
+    * codegen'd native `CosineSimilarity` loop.
     *
     * This is the exact-output variant (every qualifying pair, no
     * probabilistic recall). At extreme corpus sizes, prefilter the pair
@@ -91,16 +93,23 @@ object Similarity {
     val c = df.select(col(idCol).cast("long").as("vid"),
       toDouble(col(vecCol)).as("v"))
       .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)).cast("int"))
+    // pair key i·B+j (i ≤ j): a row in block b joins as the i-side of pairs
+    // (b, j≥b) and as the j-side of pairs (i≤b, b)
     val left = c
-      .withColumn("tgt", explode(sequence(col("blk"), lit(nBlocks - 1))))
+      .withColumn("pk", explode(sequence(
+        col("blk") * nBlocks + col("blk"),
+        col("blk") * nBlocks + lit(nBlocks - 1))))
       .select(col("vid").as("ida"), col("v").as("va"),
-        col("blk").as("blk_a"), col("tgt"))
-    val right = c.select(col("vid").as("idb"), col("v").as("vb"),
-      col("blk").as("blk_b"))
-    left.join(right, col("tgt") === col("blk_b"))
+        col("blk").as("blk_a"), col("pk"))
+    val right = c
+      .withColumn("pk", explode(transform(
+        sequence(lit(0), col("blk")),
+        i => i * nBlocks + col("blk"))))
+      .select(col("vid").as("idb"), col("v").as("vb"),
+        col("blk").as("blk_b"), col("pk"))
+    left.join(right, Seq("pk"))
       // same-block pairs appear twice (x→y and y→x): keep one; cross-block
-      // pairs appear once by construction (only the smaller block replicates
-      // up to the larger)
+      // pairs appear once by construction (pair key is ordered i ≤ j)
       .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)

@@ -37,6 +37,7 @@ object FlagshipQueries {
     "k1_table_roundtrip" -> ((s, d) => {
       val store = new graft.core.TableStore(s,
         graft.core.PipelineConfig(schema = "verifyk1"))
+      store.drop("dim", "nation_copy") // clear any stale prior-JVM location
       store.save(table(s, d, "nation"), "dim", "nation_copy")
       store.load("dim", "nation_copy")
     }),
