@@ -45,4 +45,38 @@ object RangeJoin {
         ((col("us_b") - col("us_a")) / 1000000L).cast("decimal(18,6)")
           .as("gap_seconds"))
   }
+
+  /** Attribution-shape interval join between two relations: each left row
+    * pairs with the same-key right rows whose timestamp lies in the
+    * lookback window `[leftTs − maxGapSeconds, leftTs]` (e.g. purchases
+    * joined to the clicks that preceded them).
+    *
+    * Same bucketization as [[pairsWithinGap]]: a right row lands in one
+    * gap-width bucket, and a qualifying right row lies in the left row's
+    * bucket or the previous one, so probing both finds every candidate
+    * with a single (key, bucket) equi-join shuffle — no nested-loop plan —
+    * and the exact interval predicate filters candidates. A left row's two
+    * probes are distinct buckets, so no pair is produced twice.
+    */
+  def joinWithinGap(left: DataFrame, right: DataFrame, keyCol: String,
+                    leftIdCol: String, leftTsCol: String,
+                    rightIdCol: String, rightTsCol: String,
+                    maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds > 0 && maxGapSeconds <= 9_000_000_000_000L,
+      s"maxGapSeconds must be in (0, 9e12], got $maxGapSeconds")
+    val gapUs = maxGapSeconds * 1000000L
+    val l = left.select(col(keyCol).as("k"), col(leftIdCol).as("lid"),
+      unix_micros(col(leftTsCol)).as("lus"))
+      .withColumn("probe", explode(array(
+        floor(col("lus") / gapUs) - 1, floor(col("lus") / gapUs))))
+    val r = right.select(col(keyCol).as("k"), col(rightIdCol).as("rid"),
+      unix_micros(col(rightTsCol)).as("rus"))
+      .withColumn("probe", floor(col("rus") / gapUs))
+    l.join(r, Seq("k", "probe"))
+      .filter((col("lus") - col("rus")).between(0, gapUs))
+      .select(col("k").as(keyCol), col("lid").as(leftIdCol),
+        col("rid").as(rightIdCol),
+        ((col("lus") - col("rus")) / 1000000L).cast("decimal(18,6)")
+          .as("gap_seconds"))
+  }
 }

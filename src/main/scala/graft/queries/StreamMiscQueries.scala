@@ -111,6 +111,22 @@ object StreamMiscQueries {
         rightTsCol = "click_ts", rightCols = Seq("click_id", "click_ts"))
     }),
 
+    // two-relation interval join, bucketized (the batch form of the
+    // stream-stream attribution join; EventStreamsSpec asserts the
+    // watermarked streaming plan produces the identical pair set)
+    "st4_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.operators.RangeJoin.joinWithinGap(purchases, clicks, "user_id",
+        "purchase_id", "purchase_ts", "click_id", "click_ts",
+        maxGapSeconds = 21600L)
+    }),
+
     // full cube with all subtotal combinations
     "ag3_cube" -> ((s, d) =>
       table(s, d, "orders")
@@ -246,6 +262,13 @@ object StreamMiscQueries {
         | ON a.user_id = b.user_id
         | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 21600000000
         | AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))""".stripMargin,
+    "st4_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        | CAST(CAST((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000 AS DECIMAL(18,6)) AS DOUBLE) AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000""".stripMargin,
     "aj1_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
         | c.event_id AS click_id, c.ts AS click_ts

@@ -57,6 +57,37 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Stream-stream interval join (§2.7): purchases matched to every click
+    * that preceded them within `maxGapSeconds` on the same user. Both
+    * sides carry watermarks and the interval predicate bounds the state
+    * store: a buffered click is evicted once the watermark passes
+    * `click_ts + gap`, so state stays proportional to the lookback window,
+    * not the stream. The identical expressions run on a batch frame (how
+    * the spec cross-checks it); the scale-safe BATCH form of the same
+    * semantics is `RangeJoin.joinWithinGap` (bucketized equi-join — batch
+    * planners turn a bare interval predicate into a nested loop).
+    */
+  def attributionJoin(events: DataFrame, maxGapSeconds: Long = 21600L,
+                      watermark: String = "2 hours"): DataFrame = {
+    val streaming = events.isStreaming
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      if (streaming) df.withWatermark(tsCol, watermark) else df
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts")), "purchase_ts")
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts")), "click_ts")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts")
+             - expr(s"INTERVAL $maxGapSeconds SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          / 1000000L).cast("decimal(18,6)").as("gap_seconds"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
 

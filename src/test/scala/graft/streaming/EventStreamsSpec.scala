@@ -63,6 +63,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.values.exists(_._1 > 1)) // multi-session users exist
   }
 
+  test("stream-stream interval join == bucketized batch interval join") {
+    // batch scale-safe form
+    val purchases = batchEvents.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val clicks = batchEvents.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val bucketized = graft.operators.RangeJoin.joinWithinGap(
+      purchases, clicks, "user_id", "purchase_id", "purchase_ts",
+      "click_id", "click_ts", maxGapSeconds = 21600L)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+
+    // same semantics on the batch frame via the streaming expressions
+    val joined = EventStreams.attributionJoin(batchEvents)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(joined == bucketized)
+    assert(bucketized.nonEmpty)
+
+    // and genuinely streaming: both sides from a stream source
+    val dir = Files.createTempDirectory("graft-ssj-src")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("e.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.normalize(
+      spark.readStream.schema(EventStreams.eventsRawSchema)
+        .parquet(dir.toString))
+    val q = EventStreams.attributionJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(streamed == bucketized)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in windowed streaming aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
