@@ -150,6 +150,12 @@ object DataPipelineQueries {
       graft.operators.Curation.curate(table(s, d, "documents"),
         "doc_id", "text")),
 
+    // deterministic engine-portable train/val/test assignment (md5 bucket —
+    // reproducible in any engine, unlike xxhash64/murmur)
+    "sp1_dataset_split" -> ((s, d) =>
+      graft.operators.Splits.assignSplit(
+        table(s, d, "documents").select(col("doc_id")), "doc_id")),
+
     // multimodal plumbing: binary column + typed metadata (digest parity)
     "mm1_media_meta" -> ((s, d) =>
       Multimodal.withMediaColumns(table(s, d, "documents"), "doc_id", "text",
@@ -320,6 +326,13 @@ object DataPipelineQueries {
         |  AND NOT (s_es >= s_en AND s_es >= s_de)
         |  AND s_en >= s_de""".stripMargin,
 
+    "sp1_dataset_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        | FROM documents)""".stripMargin,
     // DuckDB 1.0 md5 only takes VARCHAR; the blob is the UTF-8 encoding of
     // `text`, so digesting the text is byte-identical
     "mm1_media_meta" ->

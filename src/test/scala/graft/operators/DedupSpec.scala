@@ -54,6 +54,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dataset split is deterministic with sane proportions") {
+    val a = Splits.assignSplit(docs.select($"doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val b = Splits.assignSplit(docs.select($"doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(a == b) // pure function of the id
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train off 0.8")
+    assert(a.values.toSet == Set("train", "validation", "test"))
+  }
+
   test("minhash-LSH finds exactly the exact-Jaccard pairs on the corpus") {
     val exact = TextDedup.jaccardPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
