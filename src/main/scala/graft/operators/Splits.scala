@@ -33,4 +33,22 @@ object Splits {
         .when(b < trainPct + valPct, "validation")
         .otherwise("test"))
   }
+
+  /** Deterministic weighted corpus mixing — the "dataset mixing weights"
+    * step of a training-data pipeline: keep each row with its source's
+    * sampling rate (percent kept, 0–100), decided by the same portable
+    * md5 bucket, so the mix is reproducible across engines and immune to
+    * partition layout. A plain filter: pipelines into the scan, no
+    * shuffle.
+    */
+  def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
+                  ratesPct: Map[String, Int],
+                  defaultPct: Int = 100): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      s"rates must be 0-100 percent: $ratesPct / $defaultPct")
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      when(col(sourceCol) === src, lit(pct)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < rate)
+  }
 }

@@ -156,6 +156,15 @@ object DataPipelineQueries {
       graft.operators.Splits.assignSplit(
         table(s, d, "documents").select(col("doc_id")), "doc_id")),
 
+    // deterministic weighted corpus mixing (per-source sampling rates via
+    // the same portable bucket)
+    "mix1_corpus_mix" -> ((s, d) =>
+      graft.operators.Splits.mixBySource(
+        table(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        ratesPct = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
+        defaultPct = 10)),
+
     // multimodal plumbing: binary column + typed metadata (digest parity)
     "mm1_media_meta" -> ((s, d) =>
       Multimodal.withMediaColumns(table(s, d, "documents"), "doc_id", "text",
@@ -326,6 +335,13 @@ object DataPipelineQueries {
         |  AND NOT (s_es >= s_en AND s_es >= s_de)
         |  AND s_en >= s_de""".stripMargin,
 
+    "mix1_corpus_mix" ->
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        | FROM documents)
+        |WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |  WHEN 'src2' THEN 25 ELSE 10 END""".stripMargin,
     "sp1_dataset_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'

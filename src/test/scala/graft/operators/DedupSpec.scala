@@ -66,6 +66,27 @@ class DedupSpec extends SparkSpec {
     assert(a.values.toSet == Set("train", "validation", "test"))
   }
 
+  test("corpus mixing keeps sources at their sampling rates, deterministically") {
+    val src = docs.select($"doc_id", $"source")
+    val mixed = Splits.mixBySource(src, "doc_id", "source",
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 50)
+    val bySrc = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val total = src.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == total("src0")) // 100% kept
+    assert(!bySrc.contains("src1"))        // 0% kept
+    val others = total.keySet -- Set("src0", "src1")
+    val keptFrac = others.toSeq.map(s => bySrc.getOrElse(s, 0L)).sum.toDouble /
+      others.toSeq.map(total).sum
+    assert(keptFrac > 0.3 && keptFrac < 0.7, s"~50% expected, got $keptFrac")
+    // deterministic: second evaluation is identical
+    assert(Splits.mixBySource(src, "doc_id", "source",
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 50)
+      .as[(Long, String)].collect().toSet ==
+      mixed.as[(Long, String)].collect().toSet)
+  }
+
   test("minhash-LSH finds exactly the exact-Jaccard pairs on the corpus") {
     val exact = TextDedup.jaccardPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
