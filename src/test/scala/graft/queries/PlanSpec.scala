@@ -67,4 +67,29 @@ class PlanSpec extends SparkSpec {
   test("topk lowers to TakeOrderedAndProject (no global sort)") {
     assert(plan("s1_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("interval joins are equi-joins: no nested loop, no cartesian") {
+    Seq("rj1_range_join", "st4_interval_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("split and mix are scan-pipelined: no exchange in the plan") {
+    Seq("sp1_dataset_split", "mix1_corpus_mix").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: $p")
+    }
+  }
+
+  test("LSH verify joins hashed shingle sets, not strings") {
+    val df = graft.SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    // the verify-side set column must be array<bigint> (hashed), and no
+    // array<string> shingle set may appear anywhere in the plan
+    assert(analyzed.contains("sh_set"), analyzed.take(500))
+    assert(!analyzed.matches("(?s).*sh_set[^,\\n]*array<string>.*"),
+      "verify stage must not carry raw shingle strings")
+  }
 }
