@@ -93,22 +93,52 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
                          batchCol: String): Unit = {
     val name = fqn(layer, table)
     if (!spark.catalog.tableExists(name)) {
-      df.write.format("parquet").partitionBy(batchCol).saveAsTable(name)
-    } else {
-      import org.apache.spark.sql.functions.col
-      // the writer-level partitionOverwriteMode option is not honored on
-      // this insertInto path — set the session conf for the write, restore
-      // after (df.sparkSession: foreachBatch hands a cloned session)
-      val sess = df.sparkSession
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = sess.conf.getOption(key)
-      sess.conf.set(key, "dynamic")
-      try df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Overwrite).insertInto(name)
-      finally prev match {
-        case Some(v) => sess.conf.set(key, v)
-        case None    => sess.conf.unset(key)
+      // restart path: the catalog may have been lost (in-memory metastore,
+      // new JVM) while the table directory persists in the warehouse — a
+      // plain saveAsTable would fail with LOCATION_ALREADY_EXISTS and a
+      // delete would lose committed batches. Re-register the table over
+      // the existing location and recover its partitions, then land the
+      // batch idempotently like any other.
+      val loc = tablePath(layer, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) {
+        spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING parquet " +
+          s"PARTITIONED BY ($batchCol) LOCATION '$loc'")
+        spark.sql(s"MSCK REPAIR TABLE $name")
+        insertDynamic(df, name)
+      } else {
+        df.write.format("parquet").partitionBy(batchCol).saveAsTable(name)
       }
+    } else {
+      insertDynamic(df, name)
+    }
+  }
+
+  /** Physical warehouse path of a managed table. The metastore lowercases
+    * database/table directory names, so the path must too (mixed-case
+    * identifiers pass `ident` but land in lowercased directories).
+    */
+  private def tablePath(layer: String, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${db.toLowerCase}.db/" +
+        ident(s"${layer}_$table").toLowerCase)
+
+  /** Dynamic-partition-overwrite insert: the writer-level
+    * partitionOverwriteMode option is not honored on this insertInto path,
+    * so the session conf is set for the write and restored after
+    * (df.sparkSession: foreachBatch hands a cloned session).
+    */
+  private def insertDynamic(df: DataFrame, name: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sess = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = sess.conf.getOption(key)
+    sess.conf.set(key, "dynamic")
+    try df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).insertInto(name)
+    finally prev match {
+      case Some(v) => sess.conf.set(key, v)
+      case None    => sess.conf.unset(key)
     }
   }
 
@@ -119,9 +149,7 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     */
   def drop(layer: String, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${fqn(layer, table)}")
-    val loc = new org.apache.hadoop.fs.Path(
-      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/" +
-        ident(s"${layer}_$table"))
+    val loc = tablePath(layer, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

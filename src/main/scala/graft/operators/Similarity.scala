@@ -89,7 +89,10 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBlocks: Int = 16): DataFrame = {
-    require(nBlocks > 0, "nBlocks must be positive")
+    // pair keys are Int (blk·B+j): B² must stay within Int range — and far
+    // smaller B already saturates any cluster (B=4096 → 8.4M uniform tasks)
+    require(nBlocks > 0 && nBlocks <= 10000,
+      s"nBlocks must be in [1, 10000], got $nBlocks")
     val c = df.select(col(idCol).cast("long").as("vid"),
       toDouble(col(vecCol)).as("v"))
       .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)).cast("int"))

@@ -23,23 +23,52 @@ object Pipeline {
     private var active = 0
     private val queue = scala.collection.mutable.Queue.empty[Seq[Stage]]
     private var executed = Vector.empty[Seq[String]]
+    private var failures = Vector.empty[Throwable]
 
-    def submit(stages: Seq[Stage]): Unit = synchronized {
-      if (active >= maxConcurrent) queue.enqueue(stages)
-      else runNow(stages)
+    /** Enqueue a run. Caller-runs semantics: if a slot is free, the
+      * submitting thread drains the queue (so the common idle-submit case
+      * executes synchronously); otherwise submit returns immediately with
+      * the run queued — a trigger never blocks behind an active run. A
+      * failed run is recorded in [[failedRuns]] and does NOT drop queued
+      * runs (the next trigger still fires after a failed one, as with a
+      * scheduler); the monitor guards only queue state, never a running
+      * pipeline, so FIFO order is strict.
+      */
+    def submit(stages: Seq[Stage]): Unit = {
+      val acquired = synchronized {
+        queue.enqueue(stages)
+        if (active < maxConcurrent) { active += 1; true } else false
+      }
+      if (acquired) drainLoop()
     }
 
-    private def runNow(stages: Seq[Stage]): Unit = {
-      active += 1
-      try executed :+= Pipeline.run(stages)
-      finally active -= 1
-      // drain anything queued during the run (re-check the slot each time:
-      // a drained run may itself queue more)
-      while (queue.nonEmpty && active < maxConcurrent) runNow(queue.dequeue())
+    private def drainLoop(): Unit = {
+      var continue = true
+      while (continue) {
+        val next = synchronized {
+          if (queue.isEmpty) { active -= 1; None } else Some(queue.dequeue())
+        }
+        next match {
+          case None => continue = false
+          case Some(stages) =>
+            val r =
+              try Right(Pipeline.run(stages))
+              catch { case e: Throwable => Left(e) }
+            synchronized {
+              r match {
+                case Right(order) => executed :+= order
+                case Left(e)      => failures :+= e
+              }
+            }
+        }
+      }
     }
 
     /** Stage orders of completed runs, in completion order. */
     def completedRuns: Seq[Seq[String]] = synchronized(executed)
+
+    /** Failures of runs that aborted (fail-fast inside `Pipeline.run`). */
+    def failedRuns: Seq[Throwable] = synchronized(failures)
   }
 
   /** Run stages in dependency order; any failure aborts the rest

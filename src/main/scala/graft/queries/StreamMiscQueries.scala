@@ -149,8 +149,10 @@ object StreamMiscQueries {
 
     // HLL++ approximate distinct — the estimate itself is engine-specific,
     // so the oracle-checked surface is the relational assertion: the
-    // estimate must sit within 15% (3× the sketch's 5% rsd) of the exact
-    // count, emitted as a boolean that DuckDB reproduces as literal TRUE
+    // estimate must sit within 25% (5σ of the sketch's 5% rsd — the bound
+    // must hold on ANY dataset, not just fixtures, so it is set where a
+    // correct sketch essentially cannot violate it) of the exact count,
+    // emitted as a boolean that DuckDB reproduces as literal TRUE
     "ag2_approx_distinct" -> ((s, d) =>
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -159,22 +161,25 @@ object StreamMiscQueries {
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("apx") - col("exact_parts")).cast("double")
-            / col("exact_parts").cast("double") <= 0.15)
-            .as("within_15pct"))),
+            / col("exact_parts").cast("double") <= 0.25)
+            .as("within_25pct"))),
 
     // approximate percentile (the A5 100TB path: one pass, mergeable
-    // sketch, vs the exact sort-based percentile) — same verdict scheme:
-    // the sketch median must land inside the exact interquartile range
+    // sketch, vs the exact sort-based percentile) — same verdict scheme.
+    // The assertion is a true invariant: percentile_approx returns an
+    // observed value, so it always lies in [min, max] (an IQR bound would
+    // NOT be invariant — the interpolated exact quartiles of a 2-element
+    // group can exclude every observed value).
     "a5b_median_approx" -> ((s, d) =>
       table(s, d, "documents")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("am"),
-          percentile(col("n_chars"), lit(0.25)).as("q1"),
-          percentile(col("n_chars"), lit(0.75)).as("q3"))
+          min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"))
         .select(col("lang"), col("n_docs"),
-          (col("am") >= col("q1") && col("am") <= col("q3"))
-            .as("within_iqr"))),
+          (col("am") >= col("lo") && col("am") <= col("hi"))
+            .as("within_range"))),
 
     // running aggregation window (rowsBetween frame)
     "w2_running_sum" -> ((s, d) => {
@@ -235,10 +240,10 @@ object StreamMiscQueries {
     "ag2_approx_distinct" ->
       """SELECT l_returnflag,
         | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        | TRUE AS within_15pct
+        | TRUE AS within_25pct
         |FROM lineitem GROUP BY 1""".stripMargin,
     "a5b_median_approx" ->
-      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS within_iqr
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS within_range
         |FROM documents GROUP BY 1""".stripMargin,
     "ag1_rollup" ->
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
