@@ -57,6 +57,23 @@ object FlagshipQueries {
           col("p_brand").as("mat_brand")),
         "mat_")),
 
+    // skew salting — result is salt-invariant (equals the plain join), so
+    // the oracle is the unsalted SQL; what salting changes is only the
+    // partitioning (hot keys spread over saltFactor reducers)
+    "sk1_salted_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+        table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        table(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        keys = Seq("l_partkey"), saltFactor = 8)),
+
+    // two-phase skew-safe aggregation (algebraic → salt-invariant; quantity
+    // is integer-valued so double summation is order-exact)
+    "sk2_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedSumCount(table(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", saltFactor = 8)),
+
     // S7/raw-catalog — the raw zone as a queryable layer (≙ the reference's
     // `steam.raw.inbound_*` exploration tables, `analysis.sql:20-21`): land
     // nation+region as reference-dialect CSVs, register `raw_*` views, then
@@ -165,6 +182,10 @@ object FlagshipQueries {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders",
     "p2_strip_prefix" ->
       "SELECT p_partkey, p_retailprice AS retailprice, p_brand AS brand FROM part",
+    "sk1_salted_join" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey",
+    "sk2_salted_agg" ->
+      "SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1",
     "r1_raw_explore" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "s2_csv_roundtrip" ->
