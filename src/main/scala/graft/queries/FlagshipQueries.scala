@@ -57,6 +57,39 @@ object FlagshipQueries {
           col("p_brand").as("mat_brand")),
         "mat_")),
 
+    // bucketed managed tables: both sides bucketed on the join key land
+    // co-located, so the join runs shuffle-free (ScaleSpec asserts the
+    // no-Exchange plan); the result is layout-invariant → plain-join oracle
+    "bk1_bucketed_join" -> ((s, d) => {
+      val store = new graft.core.TableStore(s,
+        graft.core.PipelineConfig(schema = "verifybk"))
+      store.drop("dim", "cust_b"); store.drop("fact", "orders_b")
+      store.saveBucketed(table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        "dim", "cust_b", nBuckets = 8, bucketCols = Seq("c_custkey"))
+      store.saveBucketed(table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "fact", "orders_b", nBuckets = 8, bucketCols = Seq("o_custkey"))
+      store.load("fact", "orders_b")
+        .join(store.load("dim", "cust_b"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+    }),
+
+    // partitioned managed table + partition-pruned scan (the 100TB fact
+    // layout; ScaleSpec asserts PartitionFilters reach the scan)
+    "pt1_partition_pruning" -> ((s, d) => {
+      val store = new graft.core.TableStore(s,
+        graft.core.PipelineConfig(schema = "verifybk"))
+      store.drop("fact", "orders_p")
+      store.savePartitioned(table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        "fact", "orders_p", partitionCols = Seq("o_orderstatus"))
+      store.load("fact", "orders_p")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // skew salting — result is salt-invariant (equals the plain join), so
     // the oracle is the unsalted SQL; what salting changes is only the
     // partitioning (hot keys spread over saltFactor reducers)
@@ -182,6 +215,10 @@ object FlagshipQueries {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders",
     "p2_strip_prefix" ->
       "SELECT p_partkey, p_retailprice AS retailprice, p_brand AS brand FROM part",
+    "bk1_bucketed_join" ->
+      "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey",
+    "pt1_partition_pruning" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'",
     "sk1_salted_join" ->
       "SELECT l_orderkey, l_linenumber, l_partkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey",
     "sk2_salted_agg" ->
