@@ -102,8 +102,11 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
       val loc = tablePath(layer, table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) {
+        // same interpolation rules as every other DDL here: validate the
+        // column name, escape quotes in the path
+        val escapedLoc = loc.toString.replace("'", "''")
         spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING parquet " +
-          s"PARTITIONED BY ($batchCol) LOCATION '$loc'")
+          s"PARTITIONED BY (${ident(batchCol)}) LOCATION '$escapedLoc'")
         spark.sql(s"MSCK REPAIR TABLE $name")
         insertDynamic(df, name)
       } else {
@@ -174,5 +177,17 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
                     Map.empty): Seq[String] =
     graft.ingest.RawCatalog.register(spark, dir, schemas)
 
-  def dropAll(): Unit = spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  /** DROP DATABASE CASCADE removes managed tables' files, but a table
+    * re-registered over its surviving location by the restart-recovery
+    * path is EXTERNAL — CASCADE leaves its directory, and a later ingest
+    * would resurrect the dropped data. Remove the database directory
+    * physically as well.
+    */
+  def dropAll(): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val dbDir = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${db.toLowerCase}.db")
+    val fs = dbDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbDir)) fs.delete(dbDir, true)
+  }
 }

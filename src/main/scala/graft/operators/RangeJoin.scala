@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bucketized range (interval) join.
@@ -17,13 +17,24 @@ object RangeJoin {
   /** All same-key event pairs (first, second by time, id tie-break) with
     * 0 ≤ t₂−t₁ ≤ maxGapSeconds.
     */
-  def pairsWithinGap(df: DataFrame, keyCol: String, idCol: String,
-                     tsCol: String, maxGapSeconds: Long): DataFrame = {
-    // 0 would divide by zero in the bucket expression (ANSI runtime error);
-    // the upper bound keeps gapUs = maxGapSeconds·10⁶ inside Long
+  /** Shared gap validation + µs conversion: 0 would divide by zero in the
+    * bucket expressions (ANSI runtime error); the upper bound keeps
+    * gapUs = maxGapSeconds·10⁶ inside Long. `EventStreams.attributionJoin`
+    * mirrors the same domain for stream==batch equivalence.
+    */
+  private[graft] def gapMicros(maxGapSeconds: Long): Long = {
     require(maxGapSeconds > 0 && maxGapSeconds <= 9_000_000_000_000L,
       s"maxGapSeconds must be in (0, 9e12], got $maxGapSeconds")
-    val gapUs = maxGapSeconds * 1000000L
+    maxGapSeconds * 1000000L
+  }
+
+  /** `(later − earlier)` µs difference as the shared `gap_seconds` output. */
+  private def gapSeconds(laterUs: Column, earlierUs: Column): Column =
+    ((laterUs - earlierUs) / 1000000L).cast("decimal(18,6)").as("gap_seconds")
+
+  def pairsWithinGap(df: DataFrame, keyCol: String, idCol: String,
+                     tsCol: String, maxGapSeconds: Long): DataFrame = {
+    val gapUs = gapMicros(maxGapSeconds)
     val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
       unix_micros(col(tsCol)).as("us"))
       .withColumn("bucket", floor(col("us") / gapUs))
@@ -42,8 +53,7 @@ object RangeJoin {
         && (col("us_b") > col("us_a")
           || (col("us_b") === col("us_a") && col("id_b") > col("id_a"))))
       .select(col("k").as(keyCol), col("id_a"), col("id_b"),
-        ((col("us_b") - col("us_a")) / 1000000L).cast("decimal(18,6)")
-          .as("gap_seconds"))
+        gapSeconds(col("us_b"), col("us_a")))
   }
 
   /** Attribution-shape interval join between two relations: each left row
@@ -62,9 +72,7 @@ object RangeJoin {
                     leftIdCol: String, leftTsCol: String,
                     rightIdCol: String, rightTsCol: String,
                     maxGapSeconds: Long): DataFrame = {
-    require(maxGapSeconds > 0 && maxGapSeconds <= 9_000_000_000_000L,
-      s"maxGapSeconds must be in (0, 9e12], got $maxGapSeconds")
-    val gapUs = maxGapSeconds * 1000000L
+    val gapUs = gapMicros(maxGapSeconds)
     val l = left.select(col(keyCol).as("k"), col(leftIdCol).as("lid"),
       unix_micros(col(leftTsCol)).as("lus"))
       .withColumn("probe", explode(array(
@@ -76,7 +84,6 @@ object RangeJoin {
       .filter((col("lus") - col("rus")).between(0, gapUs))
       .select(col("k").as(keyCol), col("lid").as(leftIdCol),
         col("rid").as(rightIdCol),
-        ((col("lus") - col("rus")) / 1000000L).cast("decimal(18,6)")
-          .as("gap_seconds"))
+        gapSeconds(col("lus"), col("rus")))
   }
 }

@@ -69,6 +69,10 @@ object EventStreams {
     */
   def attributionJoin(events: DataFrame, maxGapSeconds: Long = 21600L,
                       watermark: String = "2 hours"): DataFrame = {
+    // same domain as the batch twin RangeJoin.joinWithinGap — the two must
+    // accept/reject identical inputs for the stream==batch equivalence
+    require(maxGapSeconds > 0 && maxGapSeconds <= 9_000_000_000_000L,
+      s"maxGapSeconds must be in (0, 9e12], got $maxGapSeconds")
     val streaming = events.isStreaming
     def wm(df: DataFrame, tsCol: String): DataFrame =
       if (streaming) df.withWatermark(tsCol, watermark) else df
