@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.DecimalType
+
+/** Whole-catalog invariants: every query plans against the harness tables,
+  * the DECIMAL→DOUBLE output contract holds for all of them (the driver
+  * hash canonicalizes fixed-scale decimals differently from doubles), and
+  * the oracle map stays in lockstep with the query map.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every catalog query builds and emits no DECIMAL output column") {
+    graft.SparkEntry.queries.foreach { case (name, q) =>
+      val schema = q(spark, sf).schema
+      val decimals = schema.filter(_.dataType.isInstanceOf[DecimalType])
+      assert(decimals.isEmpty,
+        s"$name leaks DECIMAL at the boundary: ${decimals.map(_.name)}")
+    }
+  }
+
+  test("oracle map matches the query map; no-oracle set is the justified 4") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    // each of these carries a written justification in SparkEntry's scaladoc
+    assert(q -- o == Set("d3_simhash", "sim2_ivf_topk",
+      "mm2_media_features", "mm3_frame_sample"), s"unjustified: ${q -- o}")
+  }
+}
