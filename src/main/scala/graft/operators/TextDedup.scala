@@ -132,6 +132,36 @@ object TextDedup {
         col("jaccard").cast("decimal(18,6)").as("jaccard"))
   }
 
+  /** Cross-corpus n-gram overlap — the DECONTAMINATION scan run before
+    * training: every (train doc, benchmark doc) pair with shingle Jaccard
+    * ≥ `minJaccard`. Same inverted-index scheme as [[jaccardPairs]], but
+    * the self-join becomes a train↔benchmark join, so the candidate space
+    * is bounded by shared shingles between the two corpora (the benchmark
+    * side is typically tiny — at scale it broadcasts and the train corpus
+    * never shuffles).
+    */
+  def crossJaccardPairs(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val ti = shingleIndex(train, idCol, textCol, n)
+    val bi = shingleIndex(bench, idCol, textCol, n)
+    val tCounts = train.select(col(idCol).as("train_id"),
+      size(shingles(col(textCol), n)).as("n_t"))
+    val bCounts = bench.select(col(idCol).as("bench_id"),
+      size(shingles(col(textCol), n)).as("n_b"))
+    ti.as("t").join(bi.as("b"), col("t.sh") === col("b.sh"))
+      .groupBy(col("t.doc").as("train_id"), col("b.doc").as("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(tCounts, "train_id")
+      .join(bCounts, "bench_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_t") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("train_id"), col("bench_id"),
+        col("jaccard").cast("decimal(18,6)").as("jaccard"))
+  }
+
   /** MinHash signatures: hash function i is the salted digest
     * xxhash64(i, shingle); sig(i) = min over the doc's shingles. Salting
     * (instead of the classic a·h+b mod p) keeps the expressions overflow-free

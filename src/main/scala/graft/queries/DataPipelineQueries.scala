@@ -150,6 +150,16 @@ object DataPipelineQueries {
       graft.operators.Curation.curate(table(s, d, "documents"),
         "doc_id", "text")),
 
+    // decontamination: cross-corpus n-gram overlap between the train split
+    // and a held-out benchmark slice (doc_id ≡ 0 mod 10)
+    "ct1_contamination" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextDedup.crossJaccardPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
+
     // deterministic engine-portable train/val/test assignment (md5 bucket —
     // reproducible in any engine, unlike xxhash64/murmur)
     "sp1_dataset_split" -> ((s, d) =>
@@ -335,6 +345,20 @@ object DataPipelineQueries {
         |  AND NOT (s_es >= s_en AND s_es >= s_de)
         |  AND s_en >= s_de""".stripMargin,
 
+    "ct1_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(toks)-4, 0)),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
+        |      FROM t),
+        |n AS (SELECT doc_id, count(*) n_sh FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id train_id, b.doc_id bench_id, count(*) c
+        |      FROM s a JOIN s b ON a.sh = b.sh
+        |      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT train_id, bench_id,
+        |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON p.train_id = na.doc_id JOIN n nb ON p.bench_id = nb.doc_id
+        |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
     "mix1_corpus_mix" ->
       """SELECT doc_id, source
         |FROM (SELECT doc_id, source,

@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
       mixed.as[(Long, String)].collect().toSet)
   }
 
+  test("cross-corpus contamination finds only true train↔benchmark overlap") {
+    val train = Seq((1L, "a b c d e f"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d e f"), (11L, "k l m n o p"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.crossJaccardPairs(train, bench, "doc_id", "text")
+      .select("train_id", "bench_id", "jaccard").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    assert(got.head.getDecimal(2).doubleValue() == 1.0) // identical docs
+  }
+
   test("minhash-LSH finds exactly the exact-Jaccard pairs on the corpus") {
     val exact = TextDedup.jaccardPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
