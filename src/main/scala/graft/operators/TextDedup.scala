@@ -187,9 +187,19 @@ object TextDedup {
     * similarity s is 1−(1−s^r)^b — with 16×2 defaults, &gt;0.99 at s=0.5 and
     * ≈1 beyond 0.8.
     */
+  /** @param verifyCandidatesOnly 100TB lever: when true, the verify stage
+    *   semi-joins the shingle sets down to candidate docs before the
+    *   collect_set aggregation, so only candidates' shingles shuffle —
+    *   near-dup candidates are a vanishing fraction of a web-scale corpus,
+    *   and shuffling every document's hashed set would dominate. The
+    *   filter recomputes the candidate subplan, which at small corpus
+    *   sizes costs more than the full-set shuffle it saves — hence off by
+    *   default and correct either way (spec-asserted equal).
+    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 32, bands: Int = 16,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      verifyCandidatesOnly: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
@@ -207,10 +217,15 @@ object TextDedup {
       .distinct()
     // verify candidates with exact Jaccard over xxhash64'd shingle sets:
     // only (doc, array<long>) rows shuffle — 8 bytes per shingle, never the
-    // n-gram text (the same 64-bit collision argument as shingleIndex). The
-    // groupBy exchange is canonically identical for the doc_a and doc_b join
-    // sides, so ReuseExchange computes the hashed sets once.
-    val sets = shingleIndex(df, idCol, textCol, n)
+    // n-gram text (the same 64-bit collision argument as shingleIndex)
+    val allSets = shingleIndex(df, idCol, textCol, n)
+    val filtered =
+      if (verifyCandidatesOnly) {
+        val candDocs = candidates.select(col("doc_a").as("doc"))
+          .union(candidates.select(col("doc_b").as("doc"))).distinct()
+        allSets.join(candDocs, Seq("doc"), "left_semi")
+      } else allSets
+    val sets = filtered
       .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
     candidates
       .join(sets.select(col("doc").as("doc_a"), col("sh_set").as("sa")), "doc_a")

@@ -105,6 +105,11 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty) // planted near-dups exist
     assert(lsh == exact)   // verify step kills FPs; banding recalls all
+    // the candidate-only verify path (the 100TB shuffle lever) is equal
+    val lshFiltered = TextDedup.minHashLshPairs(docs, "doc_id", "text",
+      verifyCandidatesOnly = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lshFiltered == exact)
   }
 
   test("simhash bands recall every pair with hamming ≤ 3 (pigeonhole)") {
