@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON; sbt's
+// "[success] Total time" trailer would shadow it, and the default fork
+// output strategy prefixes every forked-process line with "[info] ".
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

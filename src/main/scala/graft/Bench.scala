@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every catalog query at the target scale factor and
-  * prints ONE JSON line `{"metric":…,"value":…,"queries":{…},"sf":…}`.
+  * prints ONE JSON line `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
   *
   * Method: a full warmup pass at sf0.001 first (JIT + codegen + parquet
   * footer caches warm), then two timed passes at the target SF, reporting
@@ -12,8 +12,45 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized with a `noop` write — unlike `count()`, that
   * evaluates every output column, so projection-only queries can't
   * degenerate to a row count.
+  *
+  * Output contract (learned from BENCH_r01/r02 `parsed:null`): the harness
+  * keeps only the last ~2000 chars of stdout and parses the LAST line as
+  * JSON. So the line is printed after `spark.stop()` (nothing can follow
+  * it), sbt's "[success]" trailer is suppressed in build.sbt, values are
+  * rendered compactly (ms precision), and if the full per-query map would
+  * overflow the tail buffer the FASTEST queries are dropped first
+  * (`"dropped":N` records how many) — the slow ones are the signal.
   */
 object Bench {
+
+  /** Compact fixed-point seconds: ms precision under 10s, cs under 100s. */
+  def fmt(v: Double): String =
+    if (v < 0) "-1"
+    else if (v < 10) f"$v%.3f"
+    else if (v < 100) f"$v%.2f"
+    else f"$v%.1f"
+
+  /** Render the single-line JSON report, capped at `maxLen` chars by
+    * dropping the fastest queries from the map (total always reflects all).
+    */
+  def renderLine(results: Seq[(String, Double)], sf: String, maxLen: Int = 1900): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def line(kept: Seq[(String, Double)], dropped: Int): String = {
+      val qs = kept.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+      val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$drop,"sf":"$sf"}"""
+    }
+    // Drop fastest-first until the rendered line fits.
+    val byTime = results.sortBy { case (_, v) => -v }
+    var keep = results.length
+    var out = line(results, 0)
+    while (out.length > maxLen && keep > 1) {
+      keep -= 1
+      val keptNames = byTime.take(keep).map(_._1).toSet
+      out = line(results.filter(r => keptNames(r._1)), results.length - keep)
+    }
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,10 +96,9 @@ object Bench {
       n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
     }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val out = renderLine(results, sfName)
     spark.stop()
+    println(out) // LAST line of output — the harness parses exactly this
   }
 }

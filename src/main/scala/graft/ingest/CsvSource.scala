@@ -49,6 +49,13 @@ object RawCatalog {
       .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".csv") || f.isDirectory)
       .sortBy(_.getName)
+    // Same identifier rule as TableStore.ident, and fail fast on collisions
+    // (`x.csv` next to a directory `x` would otherwise silently last-win).
+    val stems = entries.map(_.getName.stripSuffix(".csv"))
+    stems.foreach(s => require(s.matches("[A-Za-z0-9_]+"),
+      s"raw landing name '$s' is not a valid view identifier ([A-Za-z0-9_]+)"))
+    val dup = stems.groupBy(identity).collect { case (s, g) if g.length > 1 => s }
+    require(dup.isEmpty, s"raw landing name collision: ${dup.mkString(", ")}")
     entries.toSeq.map { f =>
       val stem = f.getName.stripSuffix(".csv")
       val df = schemas.get(stem) match {

@@ -44,23 +44,34 @@ object Pipeline {
 
     private def drainLoop(): Unit = {
       var continue = true
-      while (continue) {
-        val next = synchronized {
-          if (queue.isEmpty) { active -= 1; None } else Some(queue.dequeue())
-        }
-        next match {
-          case None => continue = false
-          case Some(stages) =>
-            val r =
-              try Right(Pipeline.run(stages))
-              catch { case e: Throwable => Left(e) }
-            synchronized {
-              r match {
-                case Right(order) => executed :+= order
-                case Left(e)      => failures :+= e
+      try {
+        while (continue) {
+          val next = synchronized {
+            if (queue.isEmpty) { active -= 1; None } else Some(queue.dequeue())
+          }
+          next match {
+            case None => continue = false
+            case Some(stages) =>
+              // Only NonFatal failures are ordinary run failures; a fatal
+              // throwable (OOM, InterruptedException, LinkageError) means
+              // the JVM/thread is unsafe to keep draining on — propagate.
+              val r =
+                try Right(Pipeline.run(stages))
+                catch { case scala.util.control.NonFatal(e) => Left(e) }
+              synchronized {
+                r match {
+                  case Right(order) => executed :+= order
+                  case Left(e)      => failures :+= e
+                }
               }
-            }
+          }
         }
+      } catch {
+        case t: Throwable =>
+          // Fatal escape mid-drain: release the slot so a later submit on a
+          // healthy thread can still drain the queue, then rethrow.
+          synchronized { active -= 1 }
+          throw t
       }
     }
 

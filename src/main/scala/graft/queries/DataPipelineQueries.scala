@@ -212,12 +212,17 @@ object DataPipelineQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1""".stripMargin,
     "d2_minhash_lsh" -> jaccardOracleSql,
     "d4_ngram_jaccard" -> jaccardOracleSql,
+    // Zero-norm guard: Spark's native cosine yields NULL for a zero vector
+    // (filtered out); DuckDB's list_cosine_similarity yields NaN, which
+    // DuckDB orders ABOVE any number — without the isnan() exclusion a zero
+    // vector in the fixtures would keep a row Spark drops.
     "d5_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,4)) AS DOUBLE) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+        |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
     "sim1_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 10),

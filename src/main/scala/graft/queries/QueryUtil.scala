@@ -11,9 +11,14 @@ import org.apache.spark.sql.types.DecimalType
   *  - every computed column is explicitly aliased, identically on both sides;
   *  - money aggregates go through DECIMAL so both engines do exact decimal
   *    arithmetic (double-sum reduction order differs between engines);
-  *  - double→decimal casts are safe: no IEEE double is ever exactly on a
-  *    decimal rounding boundary ending in 5 (5·10^-k is not dyadic), so both
-  *    engines round identically;
+  *  - double→decimal casts are safe for ARITHMETIC-DERIVED doubles: such a
+  *    value is never exactly on a decimal rounding boundary ending in 5
+  *    (5·10^-k is not dyadic), so both engines round identically. CAVEAT:
+  *    a double holding a float32 (or any low-mantissa value) with exactly
+  *    scale+1 fractional bits DOES tie (e.g. 15625/2^7 at scale 6), where
+  *    Spark HALF_UP and DuckDB half-even diverge — for float-sourced
+  *    columns keep decimal scale ≤6 and verify tie-freedom on the data
+  *    (see VectorStats);
   *  - integer aggregates are cast to BIGINT in the oracle SQL (DuckDB SUM on
   *    integers returns HUGEINT, Spark returns LONG).
   */
@@ -49,6 +54,15 @@ object QueryUtil {
     */
   def finalizeDecimals(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // A DECIMAL nested inside a struct/array/map would reach the driver
+    // hash uncast and break parity silently — fail loudly instead (no
+    // catalog query emits one; this keeps it that way).
+    df.schema.fields.foreach { f =>
+      require(
+        f.dataType.isInstanceOf[DecimalType] || !containsDecimal(f.dataType),
+        s"output column '${f.name}': nested DECIMAL in ${f.dataType.sql} — " +
+          "cast it to DOUBLE inside the query before finalizeDecimals")
+    }
     if (!df.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) df
     else df.select(df.schema.fields.map { f =>
       f.dataType match {
@@ -56,6 +70,18 @@ object QueryUtil {
         case _              => col(f.name)
       }
     }.toIndexedSeq: _*)
+  }
+
+  /** True if a DecimalType occurs anywhere in the (possibly nested) type. */
+  def containsDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType     => true
+      case s: StructType      => s.fields.exists(f => containsDecimal(f.dataType))
+      case a: ArrayType       => containsDecimal(a.elementType)
+      case m: MapType         => containsDecimal(m.keyType) || containsDecimal(m.valueType)
+      case _                  => false
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

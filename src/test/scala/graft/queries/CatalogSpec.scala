@@ -15,7 +15,9 @@ class CatalogSpec extends SparkSpec {
   test("every catalog query builds and emits no DECIMAL output column") {
     graft.SparkEntry.queries.foreach { case (name, q) =>
       val schema = q(spark, sf).schema
-      val decimals = schema.filter(_.dataType.isInstanceOf[DecimalType])
+      // Recursive: a DECIMAL nested in a struct/array/map output would hit
+      // the driver hash just like a top-level one.
+      val decimals = schema.filter(f => QueryUtil.containsDecimal(f.dataType))
       assert(decimals.isEmpty,
         s"$name leaks DECIMAL at the boundary: ${decimals.map(_.name)}")
     }
