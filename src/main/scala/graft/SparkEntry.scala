@@ -28,7 +28,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.queries ++ SemanticQueries.queries ++
       DataPipelineQueries.queries ++ StreamMiscQueries.queries ++
-      FlagshipQueries.queries).map { case (name, q) =>
+      FlagshipQueries.queries ++ TrainPrepQueries.queries).map { case (name, q) =>
       name -> { (s: SparkSession, d: String) =>
         QueryUtil.finalizeDecimals(q(s, d))
       }
@@ -57,5 +57,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SemanticQueries.oracle ++
       DataPipelineQueries.oracle ++ StreamMiscQueries.oracle ++
-      FlagshipQueries.oracle
+      FlagshipQueries.oracle ++ TrainPrepQueries.oracle
 }

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-corpus curation: domain extraction and
+  * blocklist-based filtering.
+  *
+  * `extractDomain` is a plain `regexp_extract` (Java∩RE2 subset — see
+  * [[PiiRedaction]]) rather than Spark's `parse_url`, so the oracle side
+  * reproduces it verbatim in any engine with regex support. Per-row
+  * projection, codegen'd, pipelines into the scan.
+  */
+object UrlFunctions {
+
+  /** Scheme + authority grab: the host[:port] part of an http(s) URL,
+    * empty string when the value isn't URL-shaped (regexp_extract's
+    * no-match convention in both Spark and DuckDB).
+    */
+  val DomainRe = "^https?://([^/]+)"
+
+  def extractDomain(url: Column): Column = regexp_extract(url, DomainRe, 1)
+}

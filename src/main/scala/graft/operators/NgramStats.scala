@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** N-gram repetition statistics and corpus token frequencies — the
+  * Gopher-style repetition filters ("fraction of characters in the most
+  * common n-gram", "fraction of duplicated n-grams") and the corpus
+  * vocabulary report of a training-data pipeline.
+  *
+  * Shape at scale: both operators explode per-doc n-grams and aggregate —
+  * one shuffle keyed on (doc, gram) resp. (token), with map-side partial
+  * aggregation, the same posture as the shingle-based dedup family
+  * ([[TextDedup]]). Nothing is collected to the driver; the top-k is a
+  * `TakeOrderedAndProject` over the aggregated counts.
+  */
+object NgramStats {
+
+  /** Adjacent-token 2-gram array: zip of the token array with its own tail
+    * (codegen'd builtins, no UDF). Empty for docs under 2 tokens.
+    */
+  def bigrams(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Per-document Gopher-style repetition stats over 2-grams:
+    * `top_frac` = occurrences of the most frequent 2-gram / total 2-grams,
+    * `dup_frac` = fraction of 2-gram instances beyond first occurrence.
+    * Docs with fewer than 2 tokens carry no 2-grams and are excluded
+    * (mirrored by the oracle).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(size(TextAnalysis.tokens(col(textCol))) >= 2)
+      .select(col(idCol), explode(bigrams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("max_c"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(idCol),
+        col("n_grams").cast("bigint").as("n_grams"),
+        (col("max_c").cast("double") / col("n_grams").cast("double"))
+          .as("top_frac"),
+        ((col("n_grams") - col("n_distinct")).cast("double")
+          / col("n_grams").cast("double")).as("dup_frac"))
+
+  /** Corpus-wide token frequency top-k with dense ordering: the vocabulary
+    * head report. Deterministic tie-break on the token itself.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k) // TakeOrderedAndProject: only k rows reach the window below
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_occurrences").desc, col("token")))
+        .cast("int"))
+  }
+}

@@ -34,6 +34,25 @@ object Splits {
         .otherwise("test"))
   }
 
+  /** Deterministic stratified sample: the first `n` rows per stratum in
+    * portable-hash order — "give me a reproducible k-per-source eval
+    * slice". Ordering by (bucket-of-id, id) makes the pick pseudo-random
+    * but engine-portable and stable under repartitioning; `sample_rank`
+    * records the order. One window shuffle partitioned by the stratum —
+    * per-task state is one stratum's rows, and the rank short-circuits via
+    * the `<=` filter (WindowGroupLimit pushes the limit into the sort at
+    * execution), so skewed strata don't materialize beyond n winners.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"sample size must be positive: $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(bucket(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Deterministic weighted corpus mixing — the "dataset mixing weights"
     * step of a training-data pipeline: keep each row with its source's
     * sampling rate (percent kept, 0–100), decided by the same portable

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregate statistics over embedding columns: per-label centroids (the
+  * class-prototype / cluster-summary step of an embedding pipeline).
+  *
+  * Shape at scale: `posexplode` turns N vectors × D dims into N·D rows,
+  * then one hash aggregation on (label, dim) — map-side partial aggregation
+  * applies, the shuffle carries only (label, dim, partial sum, partial
+  * count), i.e. |labels|·D rows per task regardless of N. No driver
+  * materialization, no windows.
+  *
+  * Parity: float→double cast is exact; each double is rounded once to
+  * DECIMAL(38,6), summed exactly as decimal (reduction order can't
+  * matter), and divided once as double. Any ANSI engine reproduces the
+  * result bit-for-bit.
+  *
+  * Scale 6 is deliberate: a float32 with exactly `scale+1` fractional
+  * bits lands EXACTLY on a decimal rounding boundary, where Spark
+  * (HALF_UP) and half-even engines (DuckDB) round apart. At scale 12
+  * that's a ~2⁻¹⁶ per-value event (observed: 7 ties in the sf0.1
+  * corpus); at scale 6 it needs 22 trailing zero mantissa bits
+  * (~2⁻²², observed zero at every SF). QueryUtil's "doubles never tie"
+  * note holds for arithmetic-derived doubles, not float-sourced ones.
+  */
+object VectorStats {
+
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        sum(col("x").cast("double").cast(DecimalType(38, 6))).as("s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(labelCol), col("dim").cast("int").as("dim"),
+        (col("s").cast("double") / col("n_vecs").cast("double")).as("centroid"),
+        col("n_vecs").cast("bigint").as("n_vecs"))
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.PiiRedaction
+import graft.operators.NgramStats
+import QueryUtil._
+
+/** Round-3 training-data-preparation catalog: PII redaction, Gopher-style
+  * repetition filters, corpus vocabulary reports. Every query has a DuckDB
+  * oracle; regex-based ops stick to the Java∩RE2 regex subset so both
+  * engines replace identically.
+  */
+object TrainPrepQueries {
+
+  /** Deterministic PII decoration of the harness corpus: append an email,
+    * a phone and an IP derived from `doc_id`, identically on both sides, so
+    * the redaction regexes are exercised on every row (the synthetic corpus
+    * itself contains no PII). Kept in lockstep with `piiSynthSql`.
+    */
+  private def piiSynth: Column = concat(
+    col("text"), lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or +1-555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" from 10."), (col("doc_id") % 250).cast("string"),
+    lit(".0."), (col("doc_id") % 200).cast("string"))
+
+  // single line: this fragment is interpolated into a stripMargin SQL
+  // string, where a multi-line value would be re-margin-stripped
+  private val piiSynthSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com or +1-555-'" +
+      " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+      " || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)" +
+      " || '.0.' || CAST(doc_id % 200 AS VARCHAR)"
+
+  val queries: Map[String, Q] = Map(
+    // PII scrub: email → phone → IPv4, single codegen'd projection pass
+    "pii1_redaction" -> ((s, d) => {
+      val clean = PiiRedaction.redactPii(piiSynth)
+      table(s, d, "documents").select(
+        col("doc_id"),
+        clean.as("clean_text"),
+        length(clean).cast("int").as("clean_len"))
+    }),
+
+    // Gopher-style repetition stats over 2-grams
+    "gq1_gopher_repetition" -> ((s, d) =>
+      NgramStats.repetitionStats(table(s, d, "documents"), "doc_id", "text")),
+
+    // corpus vocabulary head: top-20 tokens by frequency
+    "fr1_token_frequency" -> ((s, d) =>
+      NgramStats.topTokens(table(s, d, "documents"), "text", k = 20)),
+
+    // contiguous sequence packing into 2048-token context windows,
+    // group = source (the scale-safe window partition)
+    "pk1_sequence_packing" -> ((s, d) =>
+      graft.operators.Packing.packContiguous(
+        table(s, d, "documents").select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.estimatedBpeTokens(col("text"))
+            .as("n_tokens")),
+        "source", "doc_id", "n_tokens", capacity = 2048L)),
+
+    // reproducible 50-per-source eval slice via the portable md5 bucket
+    "ss1_stratified_sample" -> ((s, d) =>
+      graft.operators.Splits.stratifiedSample(
+        table(s, d, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", n = 50)),
+
+    // per-label embedding centroids (class prototypes)
+    "cen1_label_centroids" -> ((s, d) =>
+      graft.operators.VectorStats.labelCentroids(
+        table(s, d, "embeddings"), "label", "embedding")),
+
+    // z-order (Morton) key for 2-D data layout: the write-clustering key,
+    // shown on (l_partkey, l_suppkey); top-100 by z proves the interleave
+    "zo1_zorder_key" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ZOrder.zkey(
+            col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // URL extraction + blocklist filter over a deterministically
+    // URL-decorated corpus (synthetic docs carry no URLs); the blocklist is
+    // a broadcast anti-join, the curation shape for a real (large) corpus
+    "url1_url_filter" -> ((s, d) => {
+      import graft.functions.UrlFunctions
+      val url = concat(lit("https://"),
+        element_at(array(lit("example.com"), lit("cdn.example.net"),
+          lit("bad.site"), lit("spam.example")),
+          (col("doc_id") % 4).cast("int") + 1),
+        lit("/d/"), col("doc_id").cast("string"))
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("domain", UrlFunctions.extractDomain(col("url")))
+      val block = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("bad.site"),
+          org.apache.spark.sql.Row("spam.example")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("blocked_domain",
+            org.apache.spark.sql.types.StringType))))
+      docs.join(broadcast(block),
+        docs("domain") === block("blocked_domain"), "left_anti")
+    }),
+
+    // batch first-occurrence dedup per (user, event_type) — the batch twin
+    // of the streaming dropDuplicatesWithinWatermark ingest
+    "sd1_first_event" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pii1_redaction" ->
+      s"""WITH s AS (SELECT doc_id, $piiSynthSql AS t FROM documents),
+        |r AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '${PiiRedaction.EmailRe}', '<EMAIL>', 'g'),
+        |    '${PiiRedaction.PhoneRe}', '<PHONE>', 'g'),
+        |    '${PiiRedaction.Ipv4Re}', '<IP>', 'g') AS clean_text
+        | FROM s)
+        |SELECT doc_id, clean_text,
+        | CAST(length(clean_text) AS INTEGER) AS clean_len FROM r""".stripMargin,
+    "gq1_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |        i -> toks[i] || ' ' || toks[i+1])) gram
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, SUM(c) n_grams, MAX(c) max_c, COUNT(*) n_distinct
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(max_c AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_frac,
+        |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+        |FROM a""".stripMargin,
+    "fr1_token_frequency" ->
+      """WITH x AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |n AS (SELECT token, CAST(count(*) AS BIGINT) n_occurrences FROM x GROUP BY 1),
+        |r AS (SELECT token, n_occurrences,
+        |        row_number() OVER (ORDER BY n_occurrences DESC, token) rn FROM n)
+        |SELECT token, n_occurrences, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 20""".stripMargin,
+    // integer division (`//`) on the BIGINT cumsum ≡ Spark's `div` — exact
+    "pk1_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |    t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+        | FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(cum // 2048 AS BIGINT) AS pack_id FROM c""".stripMargin,
+    "ss1_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+        | FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) rn FROM b)
+        |SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+        |FROM r WHERE rn <= 50""".stripMargin,
+    // unnest + generate_subscripts zip positionally in DuckDB; the decimal
+    // round-then-exact-sum mirrors VectorStats.labelCentroids — scale 6,
+    // where float32 inputs can't tie at the rounding boundary (see
+    // VectorStats scaladoc; at scale 12 HALF_UP vs half-even diverge)
+    "cen1_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        | CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS centroid,
+        | CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // disjoint bit positions → sum ≡ bitwise OR; list_sum mirrors the
+    // Spark-side OR-reduce exactly
+    "zo1_zorder_key" ->
+      """WITH z AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    ((((l_partkey % 65536) >> i) & 1) << (2*i))
+        |    + ((((l_suppkey % 65536) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, zkey FROM z
+        |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "url1_url_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || CASE CAST(doc_id % 4 AS INTEGER)
+        |     WHEN 0 THEN 'example.com' WHEN 1 THEN 'cdn.example.net'
+        |     WHEN 2 THEN 'bad.site' ELSE 'spam.example' END
+        |   || '/d/' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |e AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u)
+        |SELECT doc_id, url, domain FROM e
+        |WHERE domain NOT IN ('bad.site', 'spam.example')""".stripMargin,
+    "sd1_first_event" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) rn
+        | FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        | ts AS first_ts FROM r WHERE rn = 1""".stripMargin
+  )
+}

@@ -87,6 +87,21 @@ class DedupSpec extends SparkSpec {
       mixed.as[(Long, String)].collect().toSet)
   }
 
+  test("stratified sample: n per stratum, deterministic, layout-immune") {
+    val src = docs.select($"doc_id", $"source")
+    val a = Splits.stratifiedSample(src, "source", "doc_id", n = 5)
+      .as[(Long, String, Int)].collect().toSet
+    // exactly 5 per source, ranks 1..5
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.size == 5, s"stratum $s")
+      assert(rows.map(_._3) == Set(1, 2, 3, 4, 5), s"stratum $s ranks")
+    }
+    // identical under a different physical layout
+    val b = Splits.stratifiedSample(src.repartition(7), "source", "doc_id", 5)
+      .as[(Long, String, Int)].collect().toSet
+    assert(a == b)
+  }
+
   test("cross-corpus contamination finds only true train↔benchmark overlap") {
     val train = Seq((1L, "a b c d e f"), (2L, "x y z w q r"))
       .toDF("doc_id", "text")
