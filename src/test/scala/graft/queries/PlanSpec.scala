@@ -83,6 +83,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-3 ops: redaction/packing pipeline into the scan shape") {
+    // pii1 is a pure projection: no exchange at all
+    assert(!plan("pii1_redaction").contains("Exchange"),
+      plan("pii1_redaction"))
+    // zo1's unrolled bit-interleave stays a projection + top-k
+    val zo = plan("zo1_zorder_key")
+    assert(zo.contains("TakeOrderedAndProject"), zo)
+    assert(!zo.contains("Exchange"), zo)
+  }
+
+  test("url1 blocklist filter is a broadcast anti-join") {
+    val p = plan("url1_url_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("stratified sample and first-event push the rank limit into the sort") {
+    Seq("ss1_stratified_sample", "sd1_first_event").foreach { q =>
+      val p = plan(q)
+      // Spark's WindowGroupLimit keeps only n winners per key before the
+      // full window sort — the property that makes rank<=n scale on skew
+      assert(p.contains("WindowGroupLimit"), s"$q: $p")
+    }
+  }
+
+  test("centroid aggregation runs partial+final (map-side combine)") {
+    val p = plan("cen1_label_centroids")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LSH verify joins hashed shingle sets, not strings") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val df = graft.SparkEntry.queries("d2_minhash_lsh")(spark, sf)
