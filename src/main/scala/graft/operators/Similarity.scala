@@ -128,8 +128,6 @@ object Similarity {
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, seed: Long = 42L,
                sampleSize: Int = 10000): IvfIndex = {
-    import org.apache.spark.mllib.clustering.KMeans
-    import org.apache.spark.mllib.linalg.Vectors
     val c = withNorm(df, idCol, vecCol)
     // deterministic sample: un-ordered limit() picks whichever partitions
     // answer first, so the trained centroids (and every IVF result) would
@@ -138,16 +136,52 @@ object Similarity {
     val sample = c.select(col("v"), col("vid"))
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
       .limit(sampleSize).select("v").collect()
-      .map(r => Vectors.dense(r.getSeq[Double](0).toArray))
-    val sc = df.sparkSession.sparkContext
-    // random init: k-means|| costs ~5 extra Spark rounds for marginal
-    // centroid quality on a coarse quantizer (recall is governed by nProbe)
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIterations(10)
-      .setInitializationMode("random")
-      .run(sc.parallelize(sample.toIndexedSeq, 4))
-    val centroids = model.clusterCenters.map(_.toArray)
+      .map(r => r.getSeq[Double](0).toArray)
+    val centroids = trainKMeans(sample, nCentroids, iters = 10, seed = seed)
     IvfIndex(assign(c, centroids, 1).select(
       col("vid"), col("v"), col("nrm"), col("c0").as("centroid")), centroids)
+  }
+
+  /** Driver-local seeded Lloyd's iterations on the bounded training sample.
+    * The sample is already in driver memory (≤ sampleSize vectors by
+    * construction), so training it locally costs
+    * O(iters·|sample|·k·dim) flops (~100M at the defaults — milliseconds)
+    * and ZERO Spark jobs, where an RDD-based trainer pays a full job per
+    * iteration just to ship 10k rows around. A coarse quantizer doesn't
+    * need distributed training — recall is governed by nProbe, and only
+    * the centroid matrix leaves the driver.
+    */
+  private def trainKMeans(points: Array[Array[Double]], k: Int,
+                          iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.length >= k,
+      s"k-means needs at least k=$k sample vectors, got ${points.length}")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids: Array[Array[Double]] =
+      rnd.shuffle(points.indices.toVector).take(k).map(i => points(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < k) {
+          val cc = centroids(ci)
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cc(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { ci =>
+        if (counts(ci) == 0) centroids(ci) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(i => sums(ci)(i) / counts(ci))
+      }
+    }
+    centroids
   }
 
   /** Nearest-`p` centroid ids (by squared L2, index tie-break) as columns

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Grouped descriptive statistics with cross-engine-exact results.
+  *
+  * Built-in `corr`/`stddev` aggregates are NOT reproducible across engines
+  * (Welford vs naive accumulation → different float error, different
+  * reduction order). This operator instead aggregates the five moment sums
+  * (Σx, Σy, Σxy, Σx², Σy²) as exact DECIMALs — reduction order can't
+  * matter — and derives the statistic with a fixed chain of IEEE double
+  * ops, so any ANSI engine emits the identical bits. One partial+final
+  * aggregation, no extra pass.
+  */
+object Stats {
+
+  private def d(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Pearson correlation of (x, y) per group:
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄)), all terms from
+    * exact decimal sums cast to double once.
+    */
+  def groupedCorrelation(df: DataFrame, groupCol: String,
+                         xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(d(x)).as("sx"), sum(d(y)).as("sy"),
+      sum(d(x * y)).as("sxy"),
+      sum(d(x * x)).as("sxx"), sum(d(y * y)).as("syy"))
+    val n = col("n").cast("double")
+    def dd(name: String) = col(name).cast("double")
+    // Final value is rounded to 12 decimals: decimal→double of a LARGE sum
+    // (raw units beyond 2^53) is correctly rounded in Spark but 1 ulp off
+    // in engines that convert via int128→double→÷10^scale, so the raw
+    // double chains can differ in the last ulp; 12 decimals (corr carries
+    // ~8 significant digits here) absorbs that while staying exact to
+    // convert back (raw units < 2^53 for |corr| ≤ 1).
+    agg.select(col(groupCol), col("n").cast("bigint").as("n"),
+      ((n * dd("sxy") - dd("sx") * dd("sy"))
+        / (sqrt(n * dd("sxx") - dd("sx") * dd("sx"))
+          * sqrt(n * dd("syy") - dd("sy") * dd("sy"))))
+        .cast(DecimalType(18, 12)).cast("double")
+        .as("corr_xy"))
+  }
+}

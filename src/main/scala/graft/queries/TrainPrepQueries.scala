@@ -116,7 +116,62 @@ object TrainPrepQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"),
           col("event_id").as("first_event_id"), col("ts").as("first_ts"))
-    })
+    }),
+
+    // TF-IDF keyword extraction: top-3 distinguishing terms per doc
+    "tf1_tfidf_topterms" -> ((s, d) =>
+      graft.operators.Keywords.tfIdfTopTerms(
+        table(s, d, "documents"), "doc_id", "text", k = 3)),
+
+    // per-source top-10 docs by quality (the curation shortlist)
+    "qk1_top_quality_docs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"), q.as("q"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("source"),
+          col("q").cast("decimal(18,6)").as("quality"), col("rank"))
+    }),
+
+    // quality quartiles within source (ntile partitioned by the stratum —
+    // the scale-safe form; a global ntile would serialize the corpus)
+    "qb1_quality_quartile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"), q.as("q"))
+        .withColumn("quartile", ntile(4).over(w).cast("int"))
+        .select(col("doc_id"), col("source"), col("quartile"))
+    }),
+
+    // weekly retention: users active in week w AND w+1 (naive timestamp
+    // arithmetic — tz-proof)
+    "ret1_weekly_retention" -> ((s, d) => {
+      val wk = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val nxt = wk.select(col("user_id").as("u2"), col("wk").as("wk2"))
+      val ret = wk.join(nxt, col("u2") === col("user_id")
+          && col("wk2") === col("wk") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_retained"))
+      wk.groupBy(col("wk")).agg(count(lit(1)).as("n_active"))
+        .join(ret, Seq("wk"), "left")
+        .select(col("wk").as("week_start"),
+          col("n_active").cast("bigint").as("n_active"),
+          coalesce(col("n_retained"), lit(0L)).cast("bigint").as("n_retained"))
+    }),
+
+    // cross-engine-exact Pearson correlation per group (decimal moment sums)
+    "stat1_correlation" -> ((s, d) =>
+      graft.operators.Stats.groupedCorrelation(
+        table(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -208,6 +263,80 @@ object TrainPrepQueries {
         |    ORDER BY ts, event_id) rn
         | FROM events)
         |SELECT user_id, event_type, event_id AS first_event_id,
-        | ts AS first_ts FROM r WHERE rn = 1""".stripMargin
+        | ts AS first_ts FROM r WHERE rn = 1""".stripMargin,
+    // rational idf (N+1)/(df+1): same ranking as log-idf, but every step a
+    // single IEEE op both engines reproduce bit-for-bit (ln differs by ulps
+    // across libm builds)
+    "tf1_tfidf_topterms" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(df AS DOUBLE) + 1.0)) score
+        |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN tot),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, term) rn FROM sc)
+        |SELECT doc_id, term, CAST(rn AS INTEGER) AS rank, score
+        |FROM r WHERE rn <= 3""".stripMargin,
+    "qk1_top_quality_docs" ->
+      """WITH x AS (SELECT doc_id, source, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT doc_id, source,
+        |        least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |          + least((CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.2
+        |          AS q
+        |      FROM x),
+        |r AS (SELECT doc_id, source, q,
+        |        row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) rn
+        |      FROM y)
+        |SELECT doc_id, source,
+        | CAST(CAST(q AS DECIMAL(18,6)) AS DOUBLE) AS quality,
+        | CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 10""".stripMargin,
+    "qb1_quality_quartile" ->
+      """WITH x AS (SELECT doc_id, source, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT doc_id, source,
+        |        least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |          + least((CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.2
+        |          AS q
+        |      FROM x)
+        |SELECT doc_id, source,
+        | CAST(ntile(4) OVER (PARTITION BY source ORDER BY q, doc_id) AS INTEGER) AS quartile
+        |FROM y""".stripMargin,
+    // DuckDB date_trunc('week', TIMESTAMP) yields DATE — cast back to
+    // TIMESTAMP to match Spark's truncation type
+    "ret1_weekly_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS TIMESTAMP) wk FROM events),
+        |act AS (SELECT wk, CAST(COUNT(*) AS BIGINT) n_active FROM wk GROUP BY 1),
+        |ret AS (SELECT a.wk, CAST(COUNT(*) AS BIGINT) n_retained
+        |        FROM wk a JOIN wk b ON a.user_id = b.user_id
+        |          AND b.wk = a.wk + INTERVAL 7 DAY
+        |        GROUP BY 1)
+        |SELECT act.wk AS week_start, n_active,
+        | COALESCE(n_retained, 0) AS n_retained
+        |FROM act LEFT JOIN ret ON act.wk = ret.wk""".stripMargin,
+    // moment sums as exact decimals (order-proof), one double chain at the
+    // end — mirrors Stats.groupedCorrelation op for op
+    "stat1_correlation" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) n,
+        |  SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6))) sx,
+        |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6))) sy,
+        |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6))) sxy,
+        |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6))) sxx,
+        |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6))) syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | CAST(CAST(
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS DECIMAL(18,12)) AS DOUBLE) AS corr_xy
+        |FROM a""".stripMargin
   )
 }

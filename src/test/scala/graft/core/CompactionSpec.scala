@@ -1,0 +1,38 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction reduces file count, preserves content, stays queryable") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"compact_${System.nanoTime()}"))
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartition(8)
+    store.save(df, "tmp", "compact_src")
+    val fqn = store.fqn("tmp", "compact_src")
+    assert(spark.table(fqn).inputFiles.length == 8)
+
+    val (before, after) = Compaction.compactTable(spark, fqn, targetRows = 1000)
+    assert(before == 8 && after == 1, s"files $before -> $after")
+    val got = spark.table(fqn).as[(Long, Long)].collect().toSet
+    assert(got == (0L until 1000L).map(i => (i, i % 7)).toSet)
+    // the staging table is gone after the swap
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+  }
+
+  test("target above row count compacts to a single file") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"compact1_${System.nanoTime()}"))
+    store.save(spark.range(50).toDF("id").repartition(4), "tmp", "tiny")
+    val fqn = store.fqn("tmp", "tiny")
+    val (_, after) = Compaction.compactTable(spark, fqn, targetRows = 1000000)
+    assert(after == 1)
+    assert(spark.table(fqn).count() == 50)
+  }
+}

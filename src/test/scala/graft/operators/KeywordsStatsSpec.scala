@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KeywordsStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tf-idf: hand-computed scores and ranks") {
+    // N=2. d1: a×2,b×1; d2: a×1,c×1. df: a=2,b=1,c=1. idf=(N+1)/(df+1).
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Keywords.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 1, 2.0),   // 2 · 3/3
+      (1L, "b", 2, 1.5),   // 1 · 3/2
+      (2L, "c", 1, 1.5),   // 1 · 3/2
+      (2L, "a", 2, 1.0)))  // 1 · 3/3
+  }
+
+  test("correlation: ±1 on perfectly linear data (within one sqrt ulp)") {
+    // the value is DETERMINISTIC (that's the operator's contract — both
+    // engines emit identical bits); it is not mathematically exact: the
+    // final sqrt/division chain rounds, so ±1 comes back as 1±2e-16
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+      ("h", 1.0, -2.0), ("h", 2.0, -4.0), ("h", 3.0, -6.0))
+      .toDF("grp", "x", "y")
+    val got = Stats.groupedCorrelation(df, "grp", "x", "y")
+      .orderBy("grp").as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("g", "h") && got.map(_._2) == Seq(3L, 3L))
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12, got(0).toString)
+    assert(math.abs(got(1)._3 + 1.0) < 1e-12, got(1).toString)
+  }
+
+  test("correlation is layout-invariant (decimal moment sums)") {
+    val rows = (0 until 500).map(i =>
+      ("g", (i % 37) * 1.25, ((i * 13) % 41) * 0.75))
+    val a = Stats.groupedCorrelation(rows.toDF("grp", "x", "y"),
+      "grp", "x", "y").as[(String, Long, Double)].head()
+    val b = Stats.groupedCorrelation(
+        scala.util.Random.shuffle(rows).toDF("grp", "x", "y").repartition(7),
+        "grp", "x", "y").as[(String, Long, Double)].head()
+    assert(a == b)
+    assert(a._3 >= -1.0 && a._3 <= 1.0)
+  }
+}
