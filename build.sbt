@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 catalog queries × (warmup + 2 passes) × several whole-stage-codegen
+  // units each exhaust the default 240m JIT code cache mid-bench; the JVM
+  // then silently stops JIT-compiling and later queries run interpreted
+  // (observed: the first target-SF query 15× slower in the full bench than
+  // in isolation). Standard Spark guidance for many-query JVMs.
+  "-XX:ReservedCodeCacheSize=512m",
 )

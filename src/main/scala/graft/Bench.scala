@@ -88,7 +88,11 @@ object Bench {
       System.gc()
     }
 
+    // Optional comma-separated filter for isolating queries when profiling
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
     val results = names.map { n =>
       val r1 = materialize(n, sfDir); hygiene()

