@@ -30,8 +30,18 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
       .cast("double") / tokenCount(text).cast("double")
 
-  /** Count of tokens that appear in `markers`. */
+  /** Count of tokens that appear in `markers` — the native one-pass
+    * expression ([[MarkerCount]]); language-ID calls this once per
+    * language, and the declarative HOF form paid an interpreted
+    * array-filter pass each time. Semantics identical (spec-asserted
+    * against [[markerCountDeclarative]]).
+    */
   def markerCount(text: Column, markers: Seq[String]): Column =
+    MarkerCount.markerCount(text, markers)
+
+  /** Declarative reference form, kept for the equivalence spec. */
+  private[graft] def markerCountDeclarative(text: Column,
+                                            markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit): _*))).cast("int")
 
   /** Stopword ratio against a marker list. */

@@ -36,4 +36,14 @@ class PiiRedactionSpec extends SparkSpec {
     val s = "the quick brown fox at example dot com"
     assert(clean(s) == s)
   }
+
+  test("redaction is idempotent on the harness corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat($"text", lit(" x"), $"doc_id".cast("string"),
+        lit("@y.com 10.1.2.3 +1-555-0101")).as("t"))
+    val once = docs.select(PiiRedaction.redactPii($"t").as("r"))
+    val twice = once.select(PiiRedaction.redactPii($"r").as("r"))
+    assert(once.except(twice).count() == 0 && twice.except(once).count() == 0)
+  }
 }

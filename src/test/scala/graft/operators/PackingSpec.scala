@@ -37,4 +37,20 @@ class PackingSpec extends SparkSpec {
     assert(packed.select("doc_id").as[Long].collect().toSet ==
       docs.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("pack ids are monotone in doc order within a group (contiguity)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source",
+        graft.functions.TextAnalysis.estimatedBpeTokens($"text").as("n_tokens"))
+    val packed = Packing.packContiguous(real, "source", "doc_id", "n_tokens", 2048L)
+      .select("source", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    packed.foreach { case (src, rows) =>
+      val byDoc = rows.sortBy(_._2).map(_._3)
+      assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b },
+        s"non-monotone packs in $src")
+      assert(byDoc.head == 0L, s"first pack of $src must be 0")
+    }
+  }
 }
