@@ -48,6 +48,28 @@ object NgramStats {
         ((col("n_grams") - col("n_distinct")).cast("double")
           / col("n_grams").cast("double")).as("dup_frac"))
 
+  /** Mean corpus frequency of a document's tokens — the integer-exact
+    * "fluency proxy" quality signal (a cheap stand-in for LM perplexity:
+    * documents of common words score high, gibberish scores ~1). All
+    * arithmetic is integer sums + one double division, so any engine
+    * reproduces it bit-for-bit — deliberately NOT log-probability, whose
+    * `ln` differs across libm builds.
+    *
+    * Shape: explode → token-count agg → token-keyed equi-join back →
+    * doc agg. Three compact-key shuffles, map-side combine on both aggs.
+    */
+  def meanTokenFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    tok.join(freq, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
+      .select(col(idCol), col("n_tokens").cast("bigint").as("n_tokens"),
+        (col("sum_cf").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_token_freq"))
+  }
+
   /** Corpus-wide token frequency top-k with dense ordering: the vocabulary
     * head report. Deterministic tie-break on the token itself.
     */

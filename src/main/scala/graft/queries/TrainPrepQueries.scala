@@ -171,7 +171,11 @@ object TrainPrepQueries {
     "stat1_correlation" -> ((s, d) =>
       graft.operators.Stats.groupedCorrelation(
         table(s, d, "lineitem"), "l_returnflag",
-        "l_quantity", "l_extendedprice"))
+        "l_quantity", "l_extendedprice")),
+
+    // fluency proxy: mean corpus frequency of each doc's tokens
+    "fq1_mean_token_freq" -> ((s, d) =>
+      NgramStats.meanTokenFrequency(table(s, d, "documents"), "doc_id", "text"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -337,6 +341,13 @@ object TrainPrepQueries {
         |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  AS DECIMAL(18,12)) AS DOUBLE) AS corr_xy
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "fq1_mean_token_freq" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) token FROM documents),
+        |cf AS (SELECT token, CAST(count(*) AS BIGINT) cf FROM tk GROUP BY 1),
+        |j AS (SELECT doc_id, cf FROM tk JOIN cf ON tk.token = cf.token)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq
+        |FROM j GROUP BY 1""".stripMargin
   )
 }

@@ -32,6 +32,14 @@ class NgramStatsSpec extends SparkSpec {
     assert(rows == Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 1L, 3)))
   }
 
+  test("mean token frequency: common words score high, hand-computed") {
+    // corpus counts: a=2, b=2, z=1. doc1 "a b a": (2+2+2)/3; doc2 "z b": (1+2)/2
+    val df = Seq((1L, "a b a"), (2L, "z b")).toDF("doc_id", "text")
+    val got = NgramStats.meanTokenFrequency(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2.0), (2L, 2L, 1.5)))
+  }
+
   test("topTokens plan is TakeOrderedAndProject, not a global sort") {
     val df = Seq("a b c").toDF("text")
     val plan = NgramStats.topTokens(df, "text", 5)
