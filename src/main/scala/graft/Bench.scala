@@ -23,12 +23,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Compact fixed-point seconds: ms precision under 10s, cs under 100s. */
+  /** Compact fixed-point seconds: ms precision under 10s, cs under 100s.
+    * Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    * comma-decimal locale would emit invalid JSON.
+    */
   def fmt(v: Double): String =
     if (v < 0) "-1"
-    else if (v < 10) f"$v%.3f"
-    else if (v < 100) f"$v%.2f"
-    else f"$v%.1f"
+    else {
+      val p = if (v < 10) "%.3f" else if (v < 100) "%.2f" else "%.1f"
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    }
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
     * dropping the fastest queries from the map (total always reflects all).
@@ -40,8 +44,12 @@ object Bench {
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$drop,"sf":"$sf"}"""
     }
-    // Drop fastest-first until the rendered line fits.
-    val byTime = results.sortBy { case (_, v) => -v }
+    // Drop fastest-first until the rendered line fits. Failed queries
+    // (v<0) sort as if infinitely slow: a failure marker is the one entry
+    // that must never be dropped from the report.
+    val byTime = results.sortBy { case (_, v) =>
+      -(if (v < 0) Double.MaxValue else v)
+    }
     var keep = results.length
     var out = line(results, 0)
     while (out.length > maxLen && keep > 1) {

@@ -8,12 +8,15 @@ import org.apache.spark.sql.SparkSession
   * and footer reads dominate; compaction rewrites the table into
   * row-budgeted files.
   *
-  * The rewrite stages into a `__compact` sibling table and swaps via
-  * catalog rename, so a reader never observes a half-written table and a
-  * failure before the swap leaves the original untouched. At cluster scale
-  * the same pattern runs per partition (rewrite one partition's files,
-  * swap that partition) — the whole-table form here is the unit the spec
-  * can exercise.
+  * The rewrite stages into a `__compact` sibling table; the swap is
+  * rename-rename-drop, so DATA IS NEVER LOST at any crash point: a
+  * failure before the swap leaves the original untouched, and a failure
+  * mid-swap leaves the full table under `__old` and/or `__compact`
+  * (recover by renaming back). The swap itself is two catalog renames —
+  * a Hive-style catalog has no atomic multi-table commit, so a reader
+  * racing the swap can transiently miss the name (table formats with a
+  * transaction log make that window disappear; this is the portable
+  * form). At cluster scale the same pattern runs per partition.
   */
 object Compaction {
 
@@ -27,10 +30,14 @@ object Compaction {
     val rows = spark.table(fqn).count()
     val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
     val tmp = s"${fqn}__compact"
+    val old = s"${fqn}__old"
     spark.table(fqn).repartition(nOut)
       .write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $fqn")
+    // rename-rename-drop: every intermediate state keeps one complete
+    // copy of the data reachable by SOME name
+    spark.sql(s"ALTER TABLE $fqn RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $fqn")
+    spark.sql(s"DROP TABLE $old")
     (before, spark.table(fqn).inputFiles.length)
   }
 }

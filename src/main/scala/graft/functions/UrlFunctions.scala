@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object UrlFunctions {
 
-  /** Scheme + authority grab: the host[:port] part of an http(s) URL,
-    * empty string when the value isn't URL-shaped (regexp_extract's
-    * no-match convention in both Spark and DuckDB).
+  /** Host extraction from an http(s) URL: skips optional userinfo
+    * (`user@`), stops before port/path/query/fragment — otherwise
+    * `https://bad.site:8080/x` or `https://u@bad.site/x` would slip past
+    * a host blocklist. Empty string when the value isn't URL-shaped
+    * (regexp_extract's no-match convention in both Spark and DuckDB).
     */
-  val DomainRe = "^https?://([^/]+)"
+  val DomainRe = "^https?://(?:[^/@]*@)?([^/:?#]+)"
 
   def extractDomain(url: Column): Column = regexp_extract(url, DomainRe, 1)
 }

@@ -152,12 +152,16 @@ object Similarity {
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
     val bandUdf = udf { (v: Seq[Double]) =>
       val vv = v.toArray
+      // fail loudly on a dim mismatch — silently truncating the signature
+      // would quietly degrade recall below the documented figures
+      require(vv.length == dim,
+        s"cosineNearDupPairsBanded: dim=$dim but vector has ${vv.length}")
       val bands = new Array[Long](nBands)
       var bit = 0
       while (bit < nBits) {
         val p = planes(bit)
         var d = 0.0; var i = 0
-        val n = math.min(vv.length, dim)
+        val n = dim
         while (i < n) { d += vv(i) * p(i); i += 1 }
         val band = bit / r
         if (d >= 0) bands(band) |= (1L << (bit % r))

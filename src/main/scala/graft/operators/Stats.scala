@@ -39,11 +39,17 @@ object Stats {
     // double chains can differ in the last ulp; 12 decimals (corr carries
     // ~8 significant digits here) absorbs that while staying exact to
     // convert back (raw units < 2^53 for |corr| ≤ 1).
+    // Degenerate groups (constant x or y, single-row) have a zero
+    // denominator: correlation is undefined → NULL. The guard matters
+    // under Spark 4's default ANSI mode, where the NaN/Infinity the bare
+    // division would produce THROWS on the decimal cast instead of
+    // flowing through.
+    val num = n * dd("sxy") - dd("sx") * dd("sy")
+    val den = sqrt(n * dd("sxx") - dd("sx") * dd("sx")) *
+      sqrt(n * dd("syy") - dd("sy") * dd("sy"))
     agg.select(col(groupCol), col("n").cast("bigint").as("n"),
-      ((n * dd("sxy") - dd("sx") * dd("sy"))
-        / (sqrt(n * dd("sxx") - dd("sx") * dd("sx"))
-          * sqrt(n * dd("syy") - dd("sy") * dd("sy"))))
-        .cast(DecimalType(18, 12)).cast("double")
+      when(den === 0.0, lit(null))
+        .otherwise((num / den).cast(DecimalType(18, 12)).cast("double"))
         .as("corr_xy"))
   }
 }

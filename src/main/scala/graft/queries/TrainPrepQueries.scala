@@ -258,7 +258,7 @@ object TrainPrepQueries {
         |   || '/d/' || CAST(doc_id AS VARCHAR) AS url
         | FROM documents),
         |e AS (SELECT doc_id, url,
-        |  regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u)
+        |  regexp_extract(url, '^https?://(?:[^/@]*@)?([^/:?#]+)', 1) AS domain FROM u)
         |SELECT doc_id, url, domain FROM e
         |WHERE domain NOT IN ('bad.site', 'spam.example')""".stripMargin,
     "sd1_first_event" ->

@@ -48,4 +48,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.fmt(123.456) == "123.5")
     assert(Bench.fmt(-1.0) == "-1")
   }
+
+  test("a failed query (-1 marker) is never dropped from an overflowing line") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
+      case (n, i) => n -> (100.0 + i) // force overflow → drops happen
+    }
+    val failedName = results(results.length / 2)._1
+    val withFailure = results.map { case (n, v) =>
+      n -> (if (n == failedName) -1.0 else v)
+    }
+    val line = Bench.renderLine(withFailure, "sf0.1")
+    assert(line.contains(s""""$failedName":-1"""), line)
+  }
 }

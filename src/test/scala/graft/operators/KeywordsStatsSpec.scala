@@ -33,6 +33,16 @@ class KeywordsStatsSpec extends SparkSpec {
     assert(math.abs(got(1)._3 + 1.0) < 1e-12, got(1).toString)
   }
 
+  test("degenerate groups (constant column, single row) yield NULL not a crash") {
+    // under default ANSI mode the unguarded NaN→DECIMAL cast would throw
+    val df = Seq(("const", 1.0, 5.0), ("const", 2.0, 5.0),
+      ("single", 3.0, 4.0)).toDF("grp", "x", "y")
+    val got = Stats.groupedCorrelation(df, "grp", "x", "y")
+      .orderBy("grp").collect()
+    assert(got.length == 2)
+    assert(got.forall(_.isNullAt(2)), got.mkString(","))
+  }
+
   test("correlation is layout-invariant (decimal moment sums)") {
     val rows = (0 until 500).map(i =>
       ("g", (i % 37) * 1.25, ((i * 13) % 41) * 0.75))
