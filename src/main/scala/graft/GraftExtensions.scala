@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MarkerCount}
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("marker_count"),
+      new ExpressionInfo(classOf[MarkerCount].getName, "marker_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MarkerCount.build(exprs)))
   }
 }

@@ -94,4 +94,32 @@ object MarkerCount {
     */
   def markerCount(text: Column, markers: Seq[String]): Column =
     Bridge.column(MarkerCount(Lower(Bridge.expression(text)), markers))
+
+  /** SQL builder: `marker_count(text, array('the','a',…))`. The marker
+    * array must be a foldable literal (it parameterizes the generated
+    * code); evaluated here at build time with a clear error otherwise.
+    */
+  private[graft] def build(exprs: Seq[Expression]): MarkerCount = {
+    require(exprs.length == 2,
+      s"marker_count expects 2 arguments (text, array<string>), got ${exprs.length}")
+    val markersExpr = exprs(1)
+    require(markersExpr.foldable,
+      "marker_count: the marker list must be a literal array of strings")
+    val markers = markersExpr.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(v => if (v == null) null else v.toString).toSeq
+      case other =>
+        throw new IllegalArgumentException(
+          s"marker_count: expected array<string> literal, got $other")
+    }
+    require(markers.forall(_ != null),
+      "marker_count: marker list must not contain nulls")
+    MarkerCount(Lower(exprs.head), markers)
+  }
+
+  /** SQL surface registration (`SELECT marker_count(text, array('the'))`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "marker_count", build, "built-in")
 }

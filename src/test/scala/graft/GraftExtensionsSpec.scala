@@ -29,6 +29,23 @@ class GraftExtensionsSpec extends SparkSpec {
     r.foreach(c => assert(math.abs(c - 1.0) < 1e-9, c))
   }
 
+  test("marker_count resolves in SQL with a literal marker array") {
+    graft.functions.MarkerCount.register(spark)
+    val r = spark.sql(
+      "SELECT marker_count('The cat AND the hat', array('the', 'and')) AS c")
+      .collect().head.getInt(0)
+    assert(r == 3)
+  }
+
+  test("marker_count rejects a non-literal marker list with a clear error") {
+    graft.functions.MarkerCount.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_mc")
+    val e = intercept[Exception](spark.sql(
+      "SELECT marker_count(text, array(lang)) FROM docs_mc"))
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("cosine_sim wrong arity raises a clear error; length mismatch → null") {
     graft.functions.CosineSimilarity.register(spark)
     val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))"))
