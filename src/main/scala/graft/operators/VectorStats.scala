@@ -32,7 +32,9 @@ object VectorStats {
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col(labelCol), col("dim"))
       .agg(
-        sum(col("x").cast("double").cast(DecimalType(38, 6))).as("s"),
+        // (18,6): Long-backed fast decimal per row (embedding components
+        // are O(1) — far inside the 10^12 magnitude bound)
+        sum(col("x").cast("double").cast(DecimalType(18, 6))).as("s"),
         count(lit(1)).as("n_vecs"))
       .select(col(labelCol), col("dim").cast("int").as("dim"),
         (col("s").cast("double") / col("n_vecs").cast("double")).as("centroid"),

@@ -178,6 +178,21 @@ object FlagshipQueries {
         .orderBy(col("lost_revenue").desc, col("c_custkey"))
         .limit(20)),
 
+    // large-quantity orders (Q18 shape): aggregate-then-filter on the fact
+    // producing a compact key set, joined back to orders/customer — the
+    // "HAVING subquery as semi-join" pattern
+    "h4_big_orders" -> ((s, d) => {
+      val big = table(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(dec(sum(dec(col("l_quantity"))), 2).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
     // rank family: dense_rank + percent_rank per segment
     "w3_rank_family" -> ((s, d) =>
       table(s, d, "customer")
@@ -189,6 +204,16 @@ object FlagshipQueries {
   )
 
   private val extraOracle: Map[String, String] = Map(
+    "h4_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        | CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
     "h3_returned_revenue" ->
       """SELECT c_custkey, c_name,
         | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS lost_revenue

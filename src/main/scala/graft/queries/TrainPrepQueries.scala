@@ -236,7 +236,7 @@ object TrainPrepQueries {
       """WITH e AS (SELECT label, unnest(embedding) AS x,
         |  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings)
         |SELECT label, CAST(dim AS INTEGER) AS dim,
-        | CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+        | CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
         |   / CAST(COUNT(*) AS DOUBLE) AS centroid,
         | CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY 1, 2""".stripMargin,
@@ -329,11 +329,11 @@ object TrainPrepQueries {
     "stat1_correlation" ->
       """WITH a AS (SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) n,
-        |  SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6))) sx,
-        |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6))) sy,
-        |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6))) sxy,
-        |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6))) sxx,
-        |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6))) syy
+        |  SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(18,6))) sx,
+        |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(18,6))) sy,
+        |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(18,6))) sxy,
+        |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(18,6))) sxx,
+        |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(18,6))) syy
         | FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         | CAST(CAST(
