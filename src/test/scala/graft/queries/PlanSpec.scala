@@ -107,6 +107,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("h4 big-orders: partial+final agg, top-k lowering, no cartesian") {
+    val p = plan("h4_big_orders")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("centroid aggregation runs partial+final (map-side combine)") {
     val p = plan("cen1_label_centroids")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
