@@ -26,11 +26,19 @@ object Compaction {
   def compactTable(spark: SparkSession, fqn: String,
                    targetRows: Long): (Int, Int) = {
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val old = s"${fqn}__old"
+    // Self-heal a previous run that died mid-swap: if __old survives next
+    // to a complete fqn the final DROP was all that was missed; if fqn is
+    // gone the crash was between the two renames — rename the copy back.
+    // Without this, a leftover __old wedges every retry at the RENAME.
+    if (spark.catalog.tableExists(old)) {
+      if (spark.catalog.tableExists(fqn)) spark.sql(s"DROP TABLE $old")
+      else spark.sql(s"ALTER TABLE $old RENAME TO $fqn")
+    }
     val before = spark.table(fqn).inputFiles.length
     val rows = spark.table(fqn).count()
     val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
     val tmp = s"${fqn}__compact"
-    val old = s"${fqn}__old"
     spark.table(fqn).repartition(nOut)
       .write.mode("overwrite").format("parquet").saveAsTable(tmp)
     // rename-rename-drop: every intermediate state keeps one complete

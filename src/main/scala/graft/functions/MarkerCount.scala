@@ -105,6 +105,14 @@ object MarkerCount {
     val markersExpr = exprs(1)
     require(markersExpr.foldable,
       "marker_count: the marker list must be a literal array of strings")
+    // check the TYPE before eval — array(1,2) would otherwise surface as a
+    // raw ClassCastException with no mention of marker_count
+    markersExpr.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"marker_count: the marker list must be array<string>, got ${other.sql}")
+    }
     val markers = markersExpr.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         a.toObjectArray(org.apache.spark.sql.types.StringType)
@@ -115,6 +123,12 @@ object MarkerCount {
     }
     require(markers.forall(_ != null),
       "marker_count: marker list must not contain nulls")
+    // text is lowercased before matching, so an uppercase marker can never
+    // match — reject it loudly instead of silently counting 0
+    val notLower = markers.filter(m => m != m.toLowerCase)
+    require(notLower.isEmpty,
+      s"marker_count: markers must be lowercase (text is lowercased before " +
+        s"matching); offending: ${notLower.mkString(", ")}")
     MarkerCount(Lower(exprs.head), markers)
   }
 

@@ -18,8 +18,12 @@ object UrlFunctions {
     * `https://bad.site:8080/x` or `https://u@bad.site/x` would slip past
     * a host blocklist. Empty string when the value isn't URL-shaped
     * (regexp_extract's no-match convention in both Spark and DuckDB).
+    *
+    * The userinfo class excludes `?`/`#` too: a greedy `[^/@]*@` would let
+    * `https://bad.site?x=@good.com` smuggle its host out of the blocklist
+    * by disguising everything before the query-string `@` as userinfo.
     */
-  val DomainRe = "^https?://(?:[^/@]*@)?([^/:?#]+)"
+  val DomainRe = "^https?://(?:[^/@?#]*@)?([^/:?#]+)"
 
   def extractDomain(url: Column): Column = regexp_extract(url, DomainRe, 1)
 }

@@ -139,8 +139,8 @@ object Similarity {
     * (empirically: 4-bit bands timed out at 20k vectors where the exact
     * join takes 79 s). The defaults (64 bits, 4 bands × 16 bits) give 65k
     * buckets per band: candidates stay ~linear for hash-spread
-    * signatures, recall ≈ 99.8% at cosine ≥ 0.99 (true duplicates),
-    * ≈ 30% at τ=0.9, ~0 at τ=0.45. This operator is for DEDUP of
+    * signatures, recall ≈ 99.8% at cosine 0.999 (true duplicates),
+    * ≈ 93% at 0.99, ≈ 30% at τ=0.9, ~0 at τ=0.45. This operator is for DEDUP of
     * true near-duplicates; for low-threshold similarity search use
     * [[ivfTopK]] — sign-LSH cannot cheaply recall low-similarity pairs.
     * Verified pairs are exact: precision 1 vs the all-pairs reference.

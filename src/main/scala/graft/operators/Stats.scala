@@ -43,17 +43,20 @@ object Stats {
     // double chains can differ in the last ulp; 12 decimals (corr carries
     // ~8 significant digits here) absorbs that while staying exact to
     // convert back (raw units < 2^53 for |corr| ≤ 1).
-    // Degenerate groups (constant x or y, single-row) have a zero
-    // denominator: correlation is undefined → NULL. The guard matters
-    // under Spark 4's default ANSI mode, where the NaN/Infinity the bare
-    // division would produce THROWS on the decimal cast instead of
-    // flowing through.
+    // Degenerate groups (constant x or y, single-row) have zero variance:
+    // correlation is undefined → NULL. The guard is on the RADICANDS, not
+    // the denominator: double rounding can push n·Σx²−(Σx)² a few ulps
+    // NEGATIVE for a constant column (e.g. x=0.1, n=2 → −6.9e-18), where
+    // sqrt yields NaN and — under Spark 4's default ANSI mode — the
+    // decimal cast of NaN THROWS. `vx <= 0` catches the exact-zero, the
+    // negative-residue, and the tiny-positive-garbage cases alike.
     val num = n * dd("sxy") - dd("sx") * dd("sy")
-    val den = sqrt(n * dd("sxx") - dd("sx") * dd("sx")) *
-      sqrt(n * dd("syy") - dd("sy") * dd("sy"))
+    val vx = n * dd("sxx") - dd("sx") * dd("sx")
+    val vy = n * dd("syy") - dd("sy") * dd("sy")
     agg.select(col(groupCol), col("n").cast("bigint").as("n"),
-      when(den === 0.0, lit(null))
-        .otherwise((num / den).cast(DecimalType(18, 12)).cast("double"))
+      when(vx <= 0.0 || vy <= 0.0, lit(null))
+        .otherwise((num / (sqrt(vx) * sqrt(vy)))
+          .cast(DecimalType(18, 12)).cast("double"))
         .as("corr_xy"))
   }
 }

@@ -250,15 +250,17 @@ object TrainPrepQueries {
         | FROM lineitem)
         |SELECT l_orderkey, l_linenumber, zkey FROM z
         |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    // DomainRe interpolated from the single source of truth — a hand-synced
+    // copy here drifted once already (the userinfo ?/# fix)
     "url1_url_filter" ->
-      """WITH u AS (SELECT doc_id,
+      s"""WITH u AS (SELECT doc_id,
         |  'https://' || CASE CAST(doc_id % 4 AS INTEGER)
         |     WHEN 0 THEN 'example.com' WHEN 1 THEN 'cdn.example.net'
         |     WHEN 2 THEN 'bad.site' ELSE 'spam.example' END
         |   || '/d/' || CAST(doc_id AS VARCHAR) AS url
         | FROM documents),
         |e AS (SELECT doc_id, url,
-        |  regexp_extract(url, '^https?://(?:[^/@]*@)?([^/:?#]+)', 1) AS domain FROM u)
+        |  regexp_extract(url, '${graft.functions.UrlFunctions.DomainRe}', 1) AS domain FROM u)
         |SELECT doc_id, url, domain FROM e
         |WHERE domain NOT IN ('bad.site', 'spam.example')""".stripMargin,
     "sd1_first_event" ->

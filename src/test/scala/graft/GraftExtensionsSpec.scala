@@ -46,6 +46,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
+  test("marker_count rejects wrong element types and uppercase markers clearly") {
+    graft.functions.MarkerCount.register(spark)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT marker_count('x', array(1, 2))"))
+    assert(e1.getMessage.contains("array<string>"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT marker_count('x', array('The'))"))
+    assert(e2.getMessage.contains("lowercase"), e2.getMessage)
+  }
+
   test("cosine_sim wrong arity raises a clear error; length mismatch → null") {
     graft.functions.CosineSimilarity.register(spark)
     val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))"))

@@ -25,6 +25,21 @@ class CompactionSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${fqn}__compact"))
   }
 
+  test("a leftover __old from a mid-swap crash self-heals on retry") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"heal_${System.nanoTime()}"))
+    store.save(spark.range(100).toDF("id").repartition(4), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    // simulate run-1 dying after the renames but before DROP __old
+    spark.range(100).toDF("id").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${fqn}__old")
+    val (_, after) = Compaction.compactTable(spark, fqn, targetRows = 1000)
+    assert(after == 1)
+    assert(!spark.catalog.tableExists(s"${fqn}__old"))
+    assert(spark.table(fqn).count() == 100)
+  }
+
   test("target above row count compacts to a single file") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc",

@@ -18,6 +18,12 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(dom("https://example.com?q=1") == "example.com")
   }
 
+  test("an @ inside the query string cannot disguise the host as userinfo") {
+    assert(dom("https://bad.site?x=@good.com") == "bad.site")
+    assert(dom("https://good.com?next=@bad.site") == "good.com")
+    assert(dom("https://bad.site#@good.com") == "bad.site")
+  }
+
   test("non-URL input yields empty string (no-match convention)") {
     assert(dom("not a url") == "")
     assert(dom("ftp://example.com/x") == "")

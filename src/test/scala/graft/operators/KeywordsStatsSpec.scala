@@ -43,6 +43,14 @@ class KeywordsStatsSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(2)), got.mkString(","))
   }
 
+  test("non-dyadic constant column: negative rounding residue → NULL, no throw") {
+    // x = 0.1 constant, n = 2: n·Σx²−(Σx)² lands a few ulps NEGATIVE in
+    // doubles; an unguarded sqrt(NaN) path would throw on the ANSI cast
+    val df = Seq(("g", 0.1, 1.0), ("g", 0.1, 2.0)).toDF("grp", "x", "y")
+    val got = Stats.groupedCorrelation(df, "grp", "x", "y").collect()
+    assert(got.length == 1 && got.head.isNullAt(2), got.mkString(","))
+  }
+
   test("correlation is layout-invariant (decimal moment sums)") {
     val rows = (0 until 500).map(i =>
       ("g", (i % 37) * 1.25, ((i * 13) % 41) * 0.75))
