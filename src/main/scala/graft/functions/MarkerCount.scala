@@ -29,6 +29,16 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class MarkerCount(child: Expression, markers: Seq[String])
     extends UnaryExpression {
 
+  // Validate at construction so BOTH entry points (the SQL builder and the
+  // Scala Column API) fail fast with the same message: a null marker would
+  // otherwise NPE inside segmentEquals at execution time, and an uppercase
+  // marker would silently count 0 (text is lowercased before matching).
+  require(markers.forall(_ != null),
+    "marker_count: marker list must not contain nulls")
+  require(MarkerCount.notLowercase(markers).isEmpty,
+    s"marker_count: markers must be lowercase (text is lowercased before " +
+      s"matching); offending: ${MarkerCount.notLowercase(markers).mkString(", ")}")
+
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -56,6 +66,11 @@ case class MarkerCount(child: Expression, markers: Seq[String])
 }
 
 object MarkerCount {
+
+  // Locale.ROOT: default-locale lowercasing would mis-flag e.g. 'i' under
+  // a Turkish JVM locale; Spark's Lower is locale-agnostic Unicode lowercase
+  private def notLowercase(markers: Seq[String]): Seq[String] =
+    markers.filter(m => m != null && m != m.toLowerCase(java.util.Locale.ROOT))
 
   /** One-pass scan; called from both interpreted eval and generated code. */
   def countTokens(s: UTF8String, markers: Array[UTF8String]): Int = {
@@ -121,14 +136,8 @@ object MarkerCount {
         throw new IllegalArgumentException(
           s"marker_count: expected array<string> literal, got $other")
     }
-    require(markers.forall(_ != null),
-      "marker_count: marker list must not contain nulls")
-    // text is lowercased before matching, so an uppercase marker can never
-    // match — reject it loudly instead of silently counting 0
-    val notLower = markers.filter(m => m != m.toLowerCase)
-    require(notLower.isEmpty,
-      s"marker_count: markers must be lowercase (text is lowercased before " +
-        s"matching); offending: ${notLower.mkString(", ")}")
+    // null / lowercase validation lives in the case-class constructor —
+    // shared with the Scala Column API
     MarkerCount(Lower(exprs.head), markers)
   }
 

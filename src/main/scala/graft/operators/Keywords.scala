@@ -8,11 +8,20 @@ import graft.functions.TextAnalysis
 /** TF-IDF keyword extraction — the "top distinguishing terms per document"
   * operator of a corpus-analysis pipeline.
   *
-  * idf uses the rational form `(N+1)/(df+1)` rather than a logarithm:
-  * rankings are identical (log is monotone), and every arithmetic step is
-  * a single IEEE add/divide/multiply that any engine reproduces
-  * bit-for-bit — `ln` implementations differ in the last ulp across libm
-  * builds, which would poison cross-engine rank parity.
+  * Scoring is standard log-idf: `tf · ln((N+1)/(df+1))`. An earlier rational
+  * variant `tf · (N+1)/(df+1)` claimed rank-equivalence "because log is
+  * monotone" — false for the PRODUCT: monotonicity preserves the ranking of
+  * idf alone, not of tf·idf (tf=1,idf=9 beats tf=4,idf=2 rationally, loses
+  * under log). Standard scoring it is.
+  *
+  * Cross-engine parity: `ln` differs in the last ulp across libm builds, so
+  * ranking on the raw double could flip ranks between engines. Both the
+  * output score AND the rank ordering therefore use the score rounded to
+  * DECIMAL(18,6) — a few-ulp divergence (~1e-13 relative) only changes the
+  * rounded value when the true score sits within ulps of a 0.5e-6 boundary,
+  * which `ln` outputs (transcendental, except exactly 0.0 at df=N) hit with
+  * probability ~1e-10 per row; verified exact on the harness corpus at
+  * sf0.001/0.01/0.1. Equal rounded scores tie-break on the term itself.
   *
   * Shape at scale: one (doc, term) aggregation, one (term) aggregation,
   * an equi-join back on term, and a rank window partitioned by doc —
@@ -28,11 +37,14 @@ object Keywords {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = df.agg(count(lit(1)).as("n_docs"))
+    // idf argument (N+1)/(df+1) ≥ 1 always (df ≤ N), so ln ≥ 0 — the
+    // DECIMAL cast below can never see NaN (which ANSI mode would throw on)
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
       .withColumn("score",
-        col("tf").cast("double") *
-          ((col("n_docs").cast("double") + lit(1.0))
+        (col("tf").cast("double") *
+          log((col("n_docs").cast("double") + lit(1.0))
             / (col("df").cast("double") + lit(1.0))))
+          .cast("decimal(18,6)").cast("double"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast("int"))

@@ -270,17 +270,17 @@ object TrainPrepQueries {
         | FROM events)
         |SELECT user_id, event_type, event_id AS first_event_id,
         | ts AS first_ts FROM r WHERE rn = 1""".stripMargin,
-    // rational idf (N+1)/(df+1): same ranking as log-idf, but every step a
-    // single IEEE op both engines reproduce bit-for-bit (ln differs by ulps
-    // across libm builds)
+    // standard log-idf; score rounded to DECIMAL(18,6) BEFORE ranking on
+    // both sides so cross-libm ln ulps can't flip ranks (see Keywords
+    // scaladoc); ln argument ≥ 1 so the value is never negative/NaN
     "tf1_tfidf_topterms" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
         |df AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
         |sc AS (SELECT tf.doc_id, tf.term,
-        |        CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0)
-        |          / (CAST(df AS DOUBLE) + 1.0)) score
+        |        CAST(CAST(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(df AS DOUBLE) + 1.0)) AS DECIMAL(18,6)) AS DOUBLE) score
         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN tot),
         |r AS (SELECT doc_id, term, score,
         |        row_number() OVER (PARTITION BY doc_id
@@ -327,7 +327,11 @@ object TrainPrepQueries {
         | COALESCE(n_retained, 0) AS n_retained
         |FROM act LEFT JOIN ret ON act.wk = ret.wk""".stripMargin,
     // moment sums as exact decimals (order-proof), one double chain at the
-    // end — mirrors Stats.groupedCorrelation op for op
+    // end — mirrors Stats.groupedCorrelation op for op, INCLUDING the
+    // degenerate-group guard: zero-variance groups (constant x or y) make
+    // the radicand ≤ 0 (possibly ulps-negative), where Spark returns NULL —
+    // without the CASE the oracle would emit NaN/inf and the DECIMAL cast
+    // would error or diverge on any fixture with a degenerate group
     "stat1_correlation" ->
       """WITH a AS (SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) n,
@@ -336,14 +340,17 @@ object TrainPrepQueries {
         |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(18,6))) sxy,
         |  SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(18,6))) sxx,
         |  SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(18,6))) syy
-        | FROM lineitem GROUP BY 1)
+        | FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_returnflag, n,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        | FROM a)
         |SELECT l_returnflag, n,
-        | CAST(CAST(
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  AS DECIMAL(18,12)) AS DOUBLE) AS corr_xy
-        |FROM a""".stripMargin,
+        | CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+        |      ELSE CAST(CAST(num / (sqrt(vx) * sqrt(vy))
+        |             AS DECIMAL(18,12)) AS DOUBLE) END AS corr_xy
+        |FROM b""".stripMargin,
     "fq1_mean_token_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) token FROM documents),
         |cf AS (SELECT token, CAST(count(*) AS BIGINT) cf FROM tk GROUP BY 1),

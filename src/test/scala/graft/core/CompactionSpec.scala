@@ -40,6 +40,33 @@ class CompactionSpec extends SparkSpec {
     assert(spark.table(fqn).count() == 100)
   }
 
+  test("a concurrent append trips the abort guard and restores the original") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"race_${System.nanoTime()}"))
+    store.save(spark.range(100).toDF("id").repartition(4), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000,
+        beforeSwap = () => spark.range(100, 110).toDF("id")
+          .write.mode("append").format("parquet").saveAsTable(fqn))
+    }
+    assert(ex.getMessage.contains("quiesce"))
+    // original (with the appended rows) is back under its name; stage gone
+    assert(spark.table(fqn).count() == 110)
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+    assert(!spark.catalog.tableExists(s"${fqn}__old"))
+    // and a quiesced retry succeeds
+    val (_, after) = Compaction.compactTable(spark, fqn, targetRows = 1000)
+    assert(after == 1 && spark.table(fqn).count() == 110)
+  }
+
+  test("identifier parts are validated before SQL interpolation") {
+    intercept[IllegalArgumentException] {
+      Compaction.compactTable(spark, "bad name; drop", targetRows = 10)
+    }
+  }
+
   test("target above row count compacts to a single file") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc",

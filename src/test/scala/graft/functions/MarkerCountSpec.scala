@@ -51,6 +51,18 @@ class MarkerCountSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("Scala Column API fails fast on null or non-lowercase markers") {
+    // same validation as the SQL build path, hoisted into the case class
+    val e1 = intercept[IllegalArgumentException] {
+      MarkerCount.markerCount($"t", Seq("the", null))
+    }
+    assert(e1.getMessage.contains("null"))
+    val e2 = intercept[IllegalArgumentException] {
+      MarkerCount.markerCount($"t", Seq("The"))
+    }
+    assert(e2.getMessage.contains("lowercase"))
+  }
+
   test("null input yields null, and codegen path agrees with eval") {
     val df = Seq(Some("the a"), None).toDF("t")
     val got = df.select(MarkerCount.markerCount($"t", markers)).collect()

@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 class KeywordsStatsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("tf-idf: hand-computed scores and ranks") {
-    // N=2. d1: a×2,b×1; d2: a×1,c×1. df: a=2,b=1,c=1. idf=(N+1)/(df+1).
+  test("tf-idf: hand-computed log-idf scores and ranks") {
+    // N=2. d1: a×2,b×1; d2: a×1,c×1. df: a=2,b=1,c=1.
+    // score = tf·ln((N+1)/(df+1)), rounded to 6 decimals.
+    // a: ln(3/3)=0 → every-doc terms score 0; b,c: ln(1.5)≈0.405465.
+    // NOTE d1's top term is b, not a — the rational-idf variant ranked a
+    // first (2·3/3=2 > 1.5); standard log-idf demotes corpus-wide terms.
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = Keywords.tfIdfTopTerms(df, "doc_id", "text", k = 2)
       .orderBy("doc_id", "rank")
       .as[(Long, String, Int, Double)].collect().toSeq
+    val ln15 = math.rint(math.log(1.5) * 1e6) / 1e6
     assert(got == Seq(
-      (1L, "a", 1, 2.0),   // 2 · 3/3
-      (1L, "b", 2, 1.5),   // 1 · 3/2
-      (2L, "c", 1, 1.5),   // 1 · 3/2
-      (2L, "a", 2, 1.0)))  // 1 · 3/3
+      (1L, "b", 1, ln15),  // 1 · ln(3/2)
+      (1L, "a", 2, 0.0),   // 2 · ln(3/3) = 0
+      (2L, "c", 1, ln15),  // 1 · ln(3/2)
+      (2L, "a", 2, 0.0)))  // 1 · ln(3/3) = 0
   }
 
   test("correlation: ±1 on perfectly linear data (within one sqrt ulp)") {
