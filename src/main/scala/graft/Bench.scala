@@ -36,13 +36,20 @@ object Bench {
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
     * dropping the fastest queries from the map (total always reflects all).
+    *
+    * `extra` carries environment context (system load before/after) —
+    * cross-SESSION bench totals swing ±20% with machine conditions (the
+    * same r3 binary measured 37.3 s in its own round and 43.7-44.9 s in
+    * round 5), so the report records the load so a drifted total can be
+    * attributed to the machine, not misread as a plan regression.
     */
-  def renderLine(results: Seq[(String, Double)], sf: String, maxLen: Int = 1900): String = {
+  def renderLine(results: Seq[(String, Double)], sf: String,
+                 maxLen: Int = 1900, extra: String = ""): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(kept: Seq[(String, Double)], dropped: Int): String = {
       val qs = kept.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$drop,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$drop$extra,"sf":"$sf"}"""
     }
     // Drop fastest-first until the rendered line fits. Failed queries
     // (v<0) sort as if infinitely slow: a failure marker is the one entry
@@ -96,11 +103,17 @@ object Bench {
       System.gc()
     }
 
+    // 1-minute system load average (or -1 where unsupported): recorded at
+    // start and end so a drifted total is attributable to machine state
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     // Optional comma-separated filter for isolating queries when profiling
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val load0 = loadAvg()
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
     val results = names.map { n =>
       val r1 = materialize(n, sfDir); hygiene()
@@ -109,7 +122,8 @@ object Bench {
     }
 
     val sfName = new java.io.File(sfDir).getName
-    val out = renderLine(results, sfName)
+    val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]"""
+    val out = renderLine(results, sfName, extra = extra)
     spark.stop()
     println(out) // LAST line of output — the harness parses exactly this
   }

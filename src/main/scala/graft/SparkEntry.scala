@@ -28,7 +28,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.queries ++ SemanticQueries.queries ++
       DataPipelineQueries.queries ++ StreamMiscQueries.queries ++
-      FlagshipQueries.queries ++ TrainPrepQueries.queries).map { case (name, q) =>
+      FlagshipQueries.queries ++ TrainPrepQueries.queries ++
+      CatalogOpsQueries.queries).map { case (name, q) =>
       name -> { (s: SparkSession, d: String) =>
         QueryUtil.finalizeDecimals(q(s, d))
       }
@@ -38,24 +39,20 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
     * Remaining no-oracle entries, each with its reason:
-    *  - `d3_simhash`: SimHash is its own similarity notion (FNV-1a per-bit
-    *    sign votes). Neither direction is SQL-checkable — empirically, pairs
-    *    at exact Jaccard ≥ 0.97 sit at hamming up to 7 on this corpus
-    *    (sf0.1), so even the recall-direction assertion vs Jaccard is false.
-    *    Semantics are spec-verified (DedupSpec: 4-band pigeonhole exactness
-    *    for hamming ≤ 3, recall of planted dups).
-    *  - `sim2_ivf_topk`: output depends on the trained k-means centroids
-    *    (seeded MLlib Lloyd's iterations), not reproducible relationally.
-    *    Spec-verified: recall vs the oracle-checked brute force, and
-    *    run-to-run determinism of the index.
     *  - `mm2_media_features` / `mm3_frame_sample`: the decode step is an
     *    honest stub (no codec libraries in this environment) — the queries
     *    exist to exercise the real Spark plumbing (binary columns, typed
     *    metadata, batched mapPartitions shape), which MultimodalSpec
     *    verifies; stub feature values are not meaningful to oracle.
+    *
+    * Formerly no-oracle, now checked on their checkable consequence:
+    * `d3_simhash` emits the planted md5-equal-pairs-at-hamming-0 invariant;
+    * `sim2_ivf_topk` emits a per-query recall@5-vs-brute-force boolean
+    * (both engine-internal hash/centroid states stay spec-verified).
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SemanticQueries.oracle ++
       DataPipelineQueries.oracle ++ StreamMiscQueries.oracle ++
-      FlagshipQueries.oracle ++ TrainPrepQueries.oracle
+      FlagshipQueries.oracle ++ TrainPrepQueries.oracle ++
+      CatalogOpsQueries.oracle
 }

@@ -21,7 +21,14 @@ import graft.functions.TextAnalysis
   * rounded value when the true score sits within ulps of a 0.5e-6 boundary,
   * which `ln` outputs (transcendental, except exactly 0.0 at df=N) hit with
   * probability ~1e-10 per row; verified exact on the harness corpus at
-  * sf0.001/0.01/0.1. Equal rounded scores tie-break on the term itself.
+  * sf0.001/0.01/0.1. Equal rounded scores tie-break on the term itself —
+  * in particular every df=N term scores exactly 0.0 and ranks purely by
+  * term, identically on both engines (KeywordsStatsSpec). The cast also
+  * assumes both engines agree at an exact .5e-6 rounding boundary: Spark
+  * rounds HALF_UP (half away from zero), and since scores are nonnegative
+  * (idf argument ≥ 1 → ln ≥ 0) HALF_UP coincides with half-away-from-zero,
+  * which is why the boundary case — were a transcendental ever to land on
+  * one — could not flip between engines that round halves away from zero.
   *
   * Shape at scale: one (doc, term) aggregation, one (term) aggregation,
   * an equi-join back on term, and a rank window partitioned by doc —

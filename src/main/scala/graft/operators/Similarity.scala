@@ -83,9 +83,12 @@ object Similarity {
     * codegen'd native `CosineSimilarity` loop.
     *
     * This is the exact-output variant (every qualifying pair, no
-    * probabilistic recall). At extreme corpus sizes, prefilter the pair
-    * space with `ivfIndex` buckets or SimHash sign-bands and verify with
-    * the same expression — at the cost of exactness for straddling pairs.
+    * probabilistic recall) — the VERIFICATION COMPANION, not the default:
+    * for dedup at scale use [[cosineNearDupPairsBanded]] (sub-quadratic,
+    * total recall in the near-dup regime, cataloged as
+    * `d5b_banded_near_dup`); for low-threshold similarity use [[ivfTopK]].
+    * The quadratic block-pair join here exists to oracle-check those
+    * paths and for small corpora where exactness at any threshold matters.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBlocks: Int = 16): DataFrame = {

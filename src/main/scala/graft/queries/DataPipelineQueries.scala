@@ -12,9 +12,10 @@ import QueryUtil._
   * fingerprints) and multimodal plumbing, over the harness `documents` /
   * `embeddings` tables.
   *
-  * Queries without an oracle entry (SimHash, IVF) use hashes DuckDB can't
-  * reproduce; their semantics are spec-verified against brute-force instead
-  * (see operators specs).
+  * Every dedup/similarity entry is oracle-checked: SimHash on its planted
+  * md5-equal invariant, IVF on an in-plan recall assertion (the engine
+  * hashes themselves aren't SQL-reproducible — the checkable consequence
+  * is); only the multimodal stub decodes (mm2/mm3) remain oracle-free.
   */
 object DataPipelineQueries {
 
@@ -48,18 +49,61 @@ object DataPipelineQueries {
     "d2_minhash_lsh" -> ((s, d) =>
       TextDedup.minHashLshPairs(table(s, d, "documents"), "doc_id", "text")),
 
-    // SimHash 4-band near-dups (hamming ≤ 3) — spec-verified, no SQL oracle
-    "d3_simhash" -> ((s, d) =>
-      TextDedup.simHashPairs(table(s, d, "documents"), "doc_id", "text")),
+    // SimHash, oracle-checked on its invariant direction: identical texts
+    // have identical 64-bit fingerprints, so every md5-equal pair MUST
+    // surface through the band join at hamming 0. The harness documents
+    // are all distinct (d1 returns one group per doc), so exact duplicates
+    // are planted in-plan (copies of doc_id ≡ 0 mod 20, ids shifted by
+    // 1e6) and reproduced verbatim in the DuckDB oracle. The full
+    // hamming ≤ 3 surface stays spec-verified (DedupSpec) — recall vs
+    // Jaccard is empirically false (pairs at Jaccard ≥ 0.97 sit at
+    // hamming up to 7 on this corpus), so that direction has no oracle.
+    "d3_simhash" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+      val pairs = TextDedup.simHashPairs(corpus, "doc_id", "text")
+      val hashes = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      pairs
+        .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")),
+          "doc_a")
+        .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+          "doc_b")
+        .filter(col("ha") === col("hb"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
 
     // exact n-gram Jaccard via inverted-index self-join
     "d4_ngram_jaccard" -> ((s, d) =>
       TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text")),
 
-    // embedding-cosine near-dup pairs
+    // embedding-cosine near-dup pairs, exact O(n²) block-pair variant —
+    // kept as the VERIFICATION COMPANION for d5b below; the banded
+    // sign-LSH path is the default dedup operator at scale
     "d5_cosine_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(table(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.45)),
+
+    // banded sign-LSH near-dup — THE default embedding-dedup path at 100TB
+    // (sub-quadratic candidate generation, exact verify). No natural pair
+    // in the harness embeddings exceeds cosine ~0.6, so near-duplicates
+    // are planted in-plan (copies of vec_id < 50 with the first component
+    // nudged +0.01f, ids shifted by 1e6) and reproduced verbatim in the
+    // DuckDB oracle; at τ=0.9 the 4×16-bit bands have total recall on
+    // such pairs (BandedNearDupSpec) and the verify stage makes precision
+    // exactly 1, so the output equals the exact all-pairs set the oracle
+    // computes.
+    "d5b_banded_near_dup" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+            .as("embedding"))
+      Similarity.cosineNearDupPairsBanded(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.9, dim = 64)
+    }),
 
     // exact brute-force cosine top-k for a query subset
     "sim1_ann_topk" -> ((s, d) => {
@@ -68,12 +112,31 @@ object DataPipelineQueries {
         "vec_id", "embedding", k = 5)
     }),
 
-    // IVF approximate top-k (k-means buckets, nProbe probes) — spec-verified
+    // IVF approximate top-k (k-means buckets, nProbe probes), made
+    // SELF-VERIFYING: the IVF result joins against the in-plan brute-force
+    // top-k and the emitted surface is the per-query recall@5 assertion —
+    // a boolean DuckDB reproduces as literal TRUE (the ag2 scheme). The
+    // trained centroids themselves are not SQL-reproducible; the checkable
+    // consequence is. Bound calibration: the harness embeddings are
+    // near-random (max pairwise cosine ~0.6), so true neighbors straddle
+    // centroid boundaries — per-query recall at nProbe=8/16 measured a
+    // floor of 0.6 at every SF (0.001/0.01/0.1); the asserted bound is the
+    // spec floor 0.5, which a correctly-probing index clears everywhere
+    // while a broken one (wrong bucket routing) collapses to ~nProbe/16
+    // overlap by chance and fails.
     "sim2_ivf_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
-      Similarity.ivfTopK(idx, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 4)
+      val ivf = Similarity.ivfTopK(idx, qs, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      bf.select(col("qid"), col("neighbor"))
+        .join(ivf.select(col("qid"), col("neighbor"), lit(1).as("hit")),
+          Seq("qid", "neighbor"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double")
+          / count(lit(1)).cast("double") >= 0.5).as("recall_at_5_ok"))
     }),
 
     // ANN over int8-quantized vectors (4× storage cut); the oracle
@@ -211,7 +274,36 @@ object DataPipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1""".stripMargin,
     "d2_minhash_lsh" -> jaccardOracleSql,
+    // the invariant direction only (see the query comment): planted
+    // md5-equal pairs must appear at hamming 0 — DuckDB enumerates the
+    // pairs, 0 is the only possible hamming for identical fingerprints
+    "d3_simhash" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)""".stripMargin,
     "d4_ngram_jaccard" -> jaccardOracleSql,
+    // same planting as the Spark side (REAL-typed +0.01f nudge on the
+    // first component — FLOAT addition is IEEE-identical in both engines),
+    // then the exact all-pairs set at τ=0.9; banded LSH must equal it
+    // (total recall at this threshold, precision 1 from the exact verify)
+    "d5b_banded_near_dup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000,
+        |   list_concat([embedding[1] + CAST(0.01 AS REAL)], embedding[2:])
+        | FROM embeddings WHERE vec_id < 50),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,4)) AS DOUBLE) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    // literal-TRUE recall assertion (the ag2 scheme) — one row per query id
+    "sim2_ivf_topk" ->
+      """SELECT vec_id AS qid, TRUE AS recall_at_5_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // Zero-norm guard: Spark's native cosine yields NULL for a zero vector
     // (filtered out); DuckDB's list_cosine_similarity yields NaN, which
     // DuckDB orders ABOVE any number — without the isnan() exclusion a zero

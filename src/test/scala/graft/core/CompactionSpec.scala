@@ -61,6 +61,46 @@ class CompactionSpec extends SparkSpec {
     assert(after == 1 && spark.table(fqn).count() == 110)
   }
 
+  test("self-heal refuses to drop __old when fqn content diverged") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"healrace_${System.nanoTime()}"))
+    // scenario: a crashed run left the authoritative copy under __old and
+    // a racing writer re-created fqn with DIFFERENT (partial) content —
+    // the old code DROPped __old here, silently losing the real table
+    store.save(spark.range(100).toDF("id"), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    spark.range(50).toDF("id").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${fqn}__old")
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000)
+    }
+    assert(ex.getMessage.contains("reconcile manually"))
+    // nothing was dropped: both copies still reachable
+    assert(spark.catalog.tableExists(fqn))
+    assert(spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
+  test("a same-cardinality overwrite during compaction trips the guard") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"mut_${System.nanoTime()}"))
+    store.save(spark.range(100).toDF("id").repartition(4), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    // same row COUNT (100), different content — a count-only guard passes
+    // this and silently publishes the stale staged copy
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000,
+        beforeSwap = () => spark.range(200, 300).toDF("id")
+          .write.mode("overwrite").format("parquet").saveAsTable(fqn))
+    }
+    assert(ex.getMessage.contains("quiesce"))
+    // the overwritten table (the writer's version) is back under its name
+    assert(spark.table(fqn).agg(min(col("id"))).head().getLong(0) == 200L)
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+    assert(!spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
   test("identifier parts are validated before SQL interpolation") {
     intercept[IllegalArgumentException] {
       Compaction.compactTable(spark, "bad name; drop", targetRows = 10)

@@ -24,6 +24,20 @@ class KeywordsStatsSpec extends SparkSpec {
       (2L, "a", 2, 0.0)))  // 1 · ln(3/3) = 0
   }
 
+  test("df=N terms score exactly 0.0 and rank purely on the term tie-break") {
+    // both terms appear in every doc → score = tf·ln(1) = 0.0 EXACTLY for
+    // all of them (the one non-transcendental log-idf output); the rank
+    // must come from the deterministic term tie-break alone, identically
+    // in any engine
+    val df = Seq((1L, "y x"), (2L, "x y y")).toDF("doc_id", "text")
+    val got = Keywords.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "x", 1, 0.0), (1L, "y", 2, 0.0),
+      (2L, "x", 1, 0.0), (2L, "y", 2, 0.0)))
+  }
+
   test("correlation: ±1 on perfectly linear data (within one sqrt ulp)") {
     // the value is DETERMINISTIC (that's the operator's contract — both
     // engines emit identical bits); it is not mathematically exact: the

@@ -23,12 +23,13 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("oracle map matches the query map; no-oracle set is the justified 4") {
+  test("oracle map matches the query map; no-oracle set is the justified 2") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // each of these carries a written justification in SparkEntry's scaladoc
-    assert(q -- o == Set("d3_simhash", "sim2_ivf_topk",
-      "mm2_media_features", "mm3_frame_sample"), s"unjustified: ${q -- o}")
+    // each of these carries a written justification in SparkEntry's
+    // scaladoc (stub decode — no codec libraries in this environment)
+    assert(q -- o == Set("mm2_media_features", "mm3_frame_sample"),
+      s"unjustified: ${q -- o}")
   }
 }
