@@ -74,6 +74,39 @@ class ScaleSpec extends SparkSpec {
     } finally store.dropAll()
   }
 
+  test("AQE splits a planted hot key: skew=true in the final plan, result exact") {
+    // 90% of the big side lands on key 0 — without the skew split that
+    // whole key is one straggler task; with AQE skew-join the sort-merge
+    // join must mark the partition skewed and subdivide it. Thresholds are
+    // lowered so the split triggers at test scale (the same mechanism
+    // fires at 100TB with the defaults); broadcast is disabled because a
+    // broadcast join would dodge the skew path entirely.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "32KB")
+    spark.conf.set(keys(1), "16KB")
+    spark.conf.set(keys(2), "-1")
+    try {
+      val big = spark.range(200000).select(
+        when($"id" % 10 =!= 0, 0L).otherwise($"id" % 1000).as("k"),
+        $"id".as("payload"))
+      val dim = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = big.join(dim, "k")
+      // execute THIS frame (count() would plan a separate query and leave
+      // joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 200000) // split changes partitioning only
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot-key join skewed:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("native cosine expression == declarative HOF math, and codegens") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
