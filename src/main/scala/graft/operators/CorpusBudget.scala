@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection — "fill N tokens per source, best docs
+  * first": the assembly step of a training mix, after scoring and before
+  * packing. Docs are ranked inside each group by the given order and kept
+  * while the RUNNING token total (including the current doc) stays within
+  * the budget; the first doc of a group is always admitted even if it
+  * alone overshoots (a budget that admits nothing is never useful).
+  *
+  * Scale shape: one hash-partitioned window per group (the same shuffle a
+  * groupBy would pay), cumulative sum inside the partition, then a filter
+  * — no second shuffle, no driver state. Ordering must be engine-stable
+  * for reproducibility: pass pre-rounded / integer sort keys (see
+  * `tb1_token_budget`, which orders by the DECIMAL(18,6)-rounded quality
+  * with an id tie-break — the Keywords rank-parity argument).
+  */
+object CorpusBudget {
+
+  def budgetFill(df: DataFrame, groupCol: String, tokensCol: String,
+                 budget: Long, orderBy: Seq[Column]): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget
+        || col("cum_tokens") === col(tokensCol)) // first doc always admitted
+  }
+}

@@ -105,6 +105,16 @@ object DataPipelineQueries {
         "vec_id", "embedding", threshold = 0.9, dim = 64)
     }),
 
+    // near-dup CLUSTER canonicalization: transitive closure over the
+    // exact-Jaccard pair graph (a~b, b~c ⇒ one cluster) via distributed
+    // min-label propagation; output maps every clustered doc to the
+    // cluster's minimum id — the survivor-selection step after pair
+    // generation. Oracle = DuckDB recursive-CTE reachability.
+    "dc1_dup_clusters" -> ((s, d) =>
+      graft.operators.DedupClusters.canonicalize(
+        TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b")),
+
     // exact brute-force cosine top-k for a query subset
     "sim1_ann_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -300,6 +310,21 @@ object DataPipelineQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    // reachability closure over the same pair set the d4 oracle computes;
+    // UNION (not UNION ALL) dedups the frontier so the recursion
+    // terminates; canonical = min reachable id (clusters are tiny, the
+    // closure is cheap)
+    "dc1_dup_clusters" ->
+      (s"""WITH RECURSIVE pairs AS ($jaccardOracleSql),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |  WHERE e2.v != r.u)
+        |SELECT u AS member_id, least(u, min(v)) AS canonical_id
+        |FROM reach GROUP BY u""".stripMargin),
     // literal-TRUE recall assertion (the ag2 scheme) — one row per query id
     "sim2_ivf_topk" ->
       """SELECT vec_id AS qid, TRUE AS recall_at_5_ok

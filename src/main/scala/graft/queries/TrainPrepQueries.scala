@@ -61,6 +61,21 @@ object TrainPrepQueries {
             .as("n_tokens")),
         "source", "doc_id", "n_tokens", capacity = 2048L)),
 
+    // per-source token-budget fill: best docs first (quality desc, id
+    // tie-break — the same engine-stable ordering qk1 proves) until the
+    // running BPE total passes 1000 tokens; the training-mix assembly
+    // step between scoring and packing
+    "tb1_token_budget" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("q"),
+        graft.functions.TextAnalysis.estimatedBpeTokens(col("text"))
+          .as("n_tokens"))
+      graft.operators.CorpusBudget.budgetFill(docs, "source", "n_tokens",
+        budget = 1000L, orderBy = Seq(col("q").desc, col("doc_id")))
+        .select(col("source"), col("doc_id"), col("cum_tokens"))
+    }),
+
     // reproducible 50-per-source eval slice via the portable md5 bucket
     "ss1_stratified_sample" -> ((s, d) =>
       graft.operators.Splits.stratifiedSample(
@@ -287,6 +302,23 @@ object TrainPrepQueries {
         |          ORDER BY score DESC, term) rn FROM sc)
         |SELECT doc_id, term, CAST(rn AS INTEGER) AS rank, score
         |FROM r WHERE rn <= 3""".stripMargin,
+    // cum window over BIGINT must cast back (DuckDB SUM(BIGINT)→HUGEINT);
+    // the admit rule mirrors budgetFill exactly: within budget, or the
+    // group's first doc (cum equals own tokens)
+    "tb1_token_budget" ->
+      """WITH x AS (SELECT doc_id, source, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT doc_id, source,
+        |        least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |          + least((CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.2 AS q,
+        |        CAST(list_sum(list_transform(toks, t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+        |      FROM x),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM y)
+        |SELECT source, doc_id, cum_tokens FROM c
+        |WHERE cum_tokens <= 1000 OR cum_tokens = n_tokens""".stripMargin,
     "qk1_top_quality_docs" ->
       """WITH x AS (SELECT doc_id, source, string_split(lower(text), ' ') toks FROM documents),
         |y AS (SELECT doc_id, source,

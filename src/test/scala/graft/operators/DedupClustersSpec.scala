@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def got(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupClusters.canonicalize(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("transitive chain collapses to one cluster with the min id") {
+    // 1-2, 2-3, 3-4 are one component even though (1,4) is no pair;
+    // {10,11} is a separate cluster
+    assert(got(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("star and reversed/duplicated edges canonicalize the same") {
+    // hub 5 with spokes; edges arrive in both orientations and duplicated
+    val star = Seq((5L, 9L), (9L, 5L), (5L, 7L), (5L, 8L), (5L, 7L))
+    assert(got(star) == Map(5L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
+  }
+
+  test("long chain needs multiple propagation rounds and still converges") {
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val g = got(chain)
+    assert(g.keySet == (1L to 12L).toSet && g.values.forall(_ == 1L))
+  }
+
+  test("maxIters too small for the diameter fails loudly, not wrongly") {
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      DedupClusters.canonicalize(chain.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b", maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
+  test("layout-invariant: repartitioned pair set yields identical clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+    val a = got(pairs)
+    val b = DedupClusters.canonicalize(
+      pairs.toDF("doc_a", "doc_b").repartition(7), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}
+
+class CorpusBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps the best-first prefix within budget; first doc always admitted") {
+    val df = Seq(
+      ("s1", 1L, 0.9, 400L), ("s1", 2L, 0.8, 400L), ("s1", 3L, 0.7, 400L),
+      ("s2", 4L, 0.5, 5000L), ("s2", 5L, 0.4, 10L))
+      .toDF("source", "doc_id", "q", "n_tokens")
+    val kept = CorpusBudget.budgetFill(df, "source", "n_tokens", 1000L,
+      Seq(col("q").desc, col("doc_id")))
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    // s1: 400, 800 fit; 1200 does not. s2: the 5000-token doc overshoots
+    // alone but is admitted (first of its group); the next is not.
+    assert(kept == Set(("s1", 1L, 400L), ("s1", 2L, 800L), ("s2", 4L, 5000L)))
+  }
+
+  test("order ties break deterministically and the fill is layout-invariant") {
+    val rows = (0L until 100L).map(i => ("s", i, 1.0, 10L))
+    val pick = (df: org.apache.spark.sql.DataFrame) =>
+      CorpusBudget.budgetFill(df, "source", "n_tokens", 250L,
+        Seq(col("q").desc, col("doc_id")))
+        .select("doc_id").as[Long].collect().toSet
+    val a = pick(rows.toDF("source", "doc_id", "q", "n_tokens"))
+    val b = pick(rows.toDF("source", "doc_id", "q", "n_tokens").repartition(5))
+    assert(a == (0L until 25L).toSet && a == b) // equal q → id order decides
+  }
+}

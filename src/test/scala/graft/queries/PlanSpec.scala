@@ -120,6 +120,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("banded near-dup (d5b) is equi-joins only: no cartesian, no BNLJ") {
+    val p = plan("d5b_banded_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LSH verify joins hashed shingle sets, not strings") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val df = graft.SparkEntry.queries("d2_minhash_lsh")(spark, sf)
