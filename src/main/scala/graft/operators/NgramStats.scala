@@ -84,4 +84,21 @@ object NgramStats {
       row_number().over(Window.orderBy(col("n_occurrences").desc, col("token")))
         .cast("int"))
   }
+
+  /** BOILERPLATE detector: top-k n-gram shingles by DOCUMENT frequency —
+    * shingles shared across many documents are headers, licenses,
+    * navigation chrome. This is the report that calibrates
+    * [[TextDedup.jaccardPairs]]'s `maxShingleDocFreq` cap (a shingle at
+    * document frequency f costs f² rows in the dedup self-join, so the
+    * head of this table IS the join-cost profile). Shingle text is carried
+    * (a human reads this report), so it shuffles strings — the top-k keeps
+    * it bounded; the dedup operators themselves stay on 8-byte hashes.
+    */
+  def topShingles(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(TextDedup.shingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(k)
 }

@@ -203,12 +203,7 @@ object TextDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
-    val banded = sigs.select(col("doc"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bI => xxhash64(concat_ws(",",
-          slice(col("sig"), bI * r + 1, lit(r)).cast("array<string>")))))
-        .as(Seq("band", "bh")))
+    val banded = bandedKeys(sigs, bands, r)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -235,6 +230,68 @@ object TextDedup {
         / (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
+        col("jaccard").cast("decimal(18,6)").as("jaccard"))
+  }
+
+  /** (doc, band, band-hash) rows for a signature frame — the LSH bucket
+    * keys shared by the self-join ([[minHashLshPairs]]) and cross-corpus
+    * ([[crossMinHashLshPairs]]) variants.
+    */
+  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("doc"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bI => xxhash64(concat_ws(",",
+          slice(col("sig"), bI * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("band", "bh")))
+
+  /** INCREMENTAL near-dup scan: a NEW batch against an EXISTING corpus via
+    * banded MinHash — the ingest-time shape of [[minHashLshPairs]]. Only
+    * (corpus doc, batch doc) bucket collisions become candidates and the
+    * exact-Jaccard verify semi-joins both shingle-set sides down to
+    * candidates, so per-increment cost is proportional to the batch and
+    * its collisions, not the corpus.
+    *
+    * At scale the corpus side's signatures and hashed shingle sets are
+    * computed ONCE and stored (a signatures table keyed by doc — both are
+    * plain DataFrames, `TableStore.save` does it); each increment then
+    * signs only the batch and joins against the stored index. This method
+    * takes the raw corpus and builds both in-plan, which is the same plan
+    * with the storage round-trip elided.
+    */
+  def crossMinHashLshPairs(corpus: DataFrame, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 5, numHashes: Int = 32, bands: Int = 16,
+                           minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val cb = bandedKeys(minHashSignatures(corpus, idCol, textCol, n, numHashes),
+      bands, r)
+    val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
+      bands, r)
+    val candidates = cb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc").as("corpus_id"), col("b.doc").as("batch_id"))
+      .distinct()
+    val cSets = shingleIndex(corpus, idCol, textCol, n)
+      .join(candidates.select(col("corpus_id").as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+      .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
+    val bSets = shingleIndex(batch, idCol, textCol, n)
+      .join(candidates.select(col("batch_id").as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+      .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
+    candidates
+      .join(cSets.select(col("doc").as("corpus_id"), col("sh_set").as("sa")),
+        "corpus_id")
+      .join(bSets.select(col("doc").as("batch_id"), col("sh_set").as("sb")),
+        "batch_id")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("corpus_id"), col("batch_id"),
         col("jaccard").cast("decimal(18,6)").as("jaccard"))
   }
 

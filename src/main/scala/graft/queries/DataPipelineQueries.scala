@@ -233,6 +233,20 @@ object DataPipelineQueries {
         "doc_id", "text")
     }),
 
+    // INCREMENTAL dedup: the ingest-time LSH shape — a new batch (doc_id ≡
+    // 0 mod 10) scanned against the existing corpus via banded MinHash,
+    // exact-verified on candidates only. Same recall argument as d2: every
+    // harness cross pair sits at Jaccard ≥ 0.95 where a 16×2 LSH miss has
+    // probability ~1e-17, so the output equals the exact cross-Jaccard
+    // pair set the oracle computes (ct1's relational form).
+    "il1_incremental_lsh" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextDedup.crossMinHashLshPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
+
     // deterministic engine-portable train/val/test assignment (md5 bucket —
     // reproducible in any engine, unlike xxhash64/murmur)
     "sp1_dataset_split" -> ((s, d) =>
@@ -480,6 +494,20 @@ object DataPipelineQueries {
         |SELECT train_id, bench_id,
         |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
         |FROM p JOIN n na ON p.train_id = na.doc_id JOIN n nb ON p.bench_id = nb.doc_id
+        |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
+    "il1_incremental_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(toks)-4, 0)),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
+        |      FROM t),
+        |n AS (SELECT doc_id, count(*) n_sh FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id corpus_id, b.doc_id batch_id, count(*) c
+        |      FROM s a JOIN s b ON a.sh = b.sh
+        |      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT corpus_id, batch_id,
+        |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON p.corpus_id = na.doc_id JOIN n nb ON p.batch_id = nb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
     "mix1_corpus_mix" ->
       """SELECT doc_id, source

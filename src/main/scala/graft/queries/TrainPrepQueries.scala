@@ -61,6 +61,27 @@ object TrainPrepQueries {
             .as("n_tokens")),
         "source", "doc_id", "n_tokens", capacity = 2048L)),
 
+    // filter-funnel accounting: per-rule in/dropped/out counts for the
+    // ordered curation cascade (length → quality → language) — one
+    // aggregation pass, exploded into the report
+    "ff1_filter_funnel" -> ((s, d) => {
+      import graft.operators.FilterFunnel
+      import graft.functions.TextAnalysis
+      FilterFunnel.funnelReport(table(s, d, "documents"), Seq(
+        FilterFunnel.Rule("min_length", col("n_chars") >= 300),
+        FilterFunnel.Rule("quality_gate",
+          TextAnalysis.qualityScore(col("text")) >= 0.4),
+        FilterFunnel.Rule("english_only",
+          TextAnalysis.languageId(col("text")) === "en")))
+    }),
+
+    // boilerplate detector: top-20 5-gram shingles by document frequency —
+    // the report that calibrates jaccardPairs' maxShingleDocFreq join-cost
+    // cap (df² join rows per hot shingle)
+    "bp1_boilerplate" -> ((s, d) =>
+      graft.operators.NgramStats.topShingles(
+        table(s, d, "documents"), "doc_id", "text", n = 5, k = 20)),
+
     // per-source token-budget fill: best docs first (quality desc, id
     // tie-break — the same engine-stable ordering qk1 proves) until the
     // running BPE total passes 1000 tokens; the training-mix assembly
@@ -302,6 +323,43 @@ object TrainPrepQueries {
         |          ORDER BY score DESC, term) rn FROM sc)
         |SELECT doc_id, term, CAST(rn AS INTEGER) AS rank, score
         |FROM r WHERE rn <= 3""".stripMargin,
+    // the funnel's cumulative conjunctions, recomposed relationally: a doc
+    // reaches rule i iff it passed rules 1..i-1; quality and language
+    // mirror the t2/t3 formulas
+    "ff1_filter_funnel" ->
+      """WITH x AS (SELECT n_chars, string_split(lower(text), ' ') toks FROM documents),
+        |y AS (SELECT n_chars >= 300 AS c1,
+        |        (least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |          + least((CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.2) >= 0.4 AS c2,
+        |        (NOT greatest(len(list_filter(toks, t -> t IN ('the','a','of','and'))),
+        |             len(list_filter(toks, t -> t IN ('der','die','das','und'))),
+        |             len(list_filter(toks, t -> t IN ('le','la','les','et'))),
+        |             len(list_filter(toks, t -> t IN ('el','los','las','y')))) = 0
+        |         AND NOT (len(list_filter(toks, t -> t IN ('le','la','les','et'))) >= len(list_filter(toks, t -> t IN ('the','a','of','and')))
+        |              AND len(list_filter(toks, t -> t IN ('le','la','les','et'))) >= len(list_filter(toks, t -> t IN ('der','die','das','und')))
+        |              AND len(list_filter(toks, t -> t IN ('le','la','les','et'))) >= len(list_filter(toks, t -> t IN ('el','los','las','y'))))
+        |         AND NOT (len(list_filter(toks, t -> t IN ('el','los','las','y'))) >= len(list_filter(toks, t -> t IN ('the','a','of','and')))
+        |              AND len(list_filter(toks, t -> t IN ('el','los','las','y'))) >= len(list_filter(toks, t -> t IN ('der','die','das','und'))))
+        |         AND len(list_filter(toks, t -> t IN ('the','a','of','and'))) >= len(list_filter(toks, t -> t IN ('der','die','das','und')))) AS c3
+        |      FROM x),
+        |a AS (SELECT CAST(count(*) AS BIGINT) s0,
+        |        CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) s1,
+        |        CAST(SUM(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) s2,
+        |        CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) s3
+        |      FROM y)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS INTEGER) AS step, 'min_length' AS rule, s0 AS n_in, s0 - s1 AS n_dropped, s1 AS n_out FROM a
+        | UNION ALL SELECT CAST(2 AS INTEGER), 'quality_gate', s1, s1 - s2, s2 FROM a
+        | UNION ALL SELECT CAST(3 AS INTEGER), 'english_only', s2, s2 - s3, s3 FROM a) t""".stripMargin,
+    "bp1_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(toks)-4, 0)),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
+        |      FROM t)
+        |SELECT sh AS shingle, CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM s GROUP BY 1 ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
     // cum window over BIGINT must cast back (DuckDB SUM(BIGINT)→HUGEINT);
     // the admit rule mirrors budgetFill exactly: within budget, or the
     // group's first doc (cum equals own tokens)

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FilterFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Seq(
+    FilterFunnel.Rule("positive", col("v") > 0),
+    FilterFunnel.Rule("small", col("v") < 10),
+    FilterFunnel.Rule("even", col("v") % 2 === 0))
+
+  test("per-rule accounting matches hand-computed funnel") {
+    // v: -1 drops at positive; 11,13 drop at small; 3,5 drop at even; 2,4 pass
+    val df = Seq(-1L, 11L, 13L, 3L, 5L, 2L, 4L).toDF("v")
+    val got = FilterFunnel.funnelReport(df, rules)
+      .orderBy("step").as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "positive", 7L, 1L, 6L),
+      (2, "small", 6L, 2L, 4L),
+      (3, "even", 4L, 2L, 2L)))
+  }
+
+  test("NULL predicate evaluations count as drops, not silent passes") {
+    val df = Seq(Some(2L), None, Some(4L)).toDF("v")
+    val got = FilterFunnel.funnelReport(df,
+      Seq(FilterFunnel.Rule("positive", col("v") > 0)))
+      .as[(Int, String, Long, Long, Long)].head()
+    assert(got == ((1, "positive", 3L, 1L, 2L)))
+  }
+
+  test("survivors == composed filters, and report n_out agrees") {
+    val df = Seq(-1L, 11L, 13L, 3L, 5L, 2L, 4L).toDF("v")
+    val sur = FilterFunnel.survivors(df, rules).as[Long].collect().toSet
+    assert(sur == Set(2L, 4L))
+    val lastOut = FilterFunnel.funnelReport(df, rules)
+      .orderBy(col("step").desc).select("n_out").as[Long].head()
+    assert(lastOut == sur.size.toLong)
+  }
+}
+
+class IncrementalLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("cross LSH == exact cross-Jaccard on the harness corpus") {
+    // every harness cross pair sits far above the 16x2-band miss regime,
+    // so the LSH + exact-verify output must equal the full inverted-index
+    // cross scan, row for row
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val exact = TextDedup.crossJaccardPairs(corpus, batch, "doc_id", "text")
+      .select($"train_id".as("corpus_id"), $"bench_id".as("batch_id"),
+        $"jaccard")
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.toString)).toSet
+    val lsh = TextDedup.crossMinHashLshPairs(corpus, batch, "doc_id", "text")
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.toString)).toSet
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+    assert(lsh.nonEmpty)
+  }
+
+  test("topShingles ranks by document frequency with shingle tie-break") {
+    val df = Seq(
+      (1L, "a b c d e x"), (2L, "a b c d e y"), (3L, "a b c d e z"),
+      (4L, "p q r s t u")).toDF("doc_id", "text")
+    val got = NgramStats.topShingles(df, "doc_id", "text", n = 5, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "a b c d e" appears in 3 docs; every other shingle in exactly 1 —
+    // rank 2 and 3 go to the lexicographically first singletons
+    assert(got.head == (("a b c d e", 3L)))
+    assert(got.tail.map(_._2).forall(_ == 1L))
+    assert(got.tail.map(_._1) == got.tail.map(_._1).sorted)
+  }
+}
