@@ -45,21 +45,42 @@ object Compaction {
     parts.map(p => s"`$p`").mkString(".")
   }
 
+  /** True if a MapType occurs anywhere in the (possibly nested) type —
+    * Spark's hash expressions reject maps (element order is undefined),
+    * so such tables fall back to the cardinality-only guard.
+    */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
+  }
+
   /** (row count, order-independent content fingerprint) of a table in one
     * scan: the fingerprint sums xxhash64 over all columns per row as
     * DECIMAL(38,0) (overflow-free, reduction-order-independent), so two
     * tables agree iff they hold the same row multiset up to 64-bit hash
-    * collisions.
+    * collisions. Tables with map-typed columns (which Spark's hash
+    * expressions reject) degrade to (count, 0) — the guard then detects
+    * cardinality changes only, as the pre-fingerprint code did for all
+    * tables.
     */
   private def contentSummary(spark: SparkSession,
                              tbl: String): (Long, BigDecimal) = {
     import org.apache.spark.sql.functions._
     val df = spark.table(tbl)
-    val row = df.agg(count(lit(1)),
-      sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-        .cast("decimal(38,0)"))).head()
-    (row.getLong(0),
-      if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+    if (df.schema.fields.exists(f => containsMap(f.dataType))) {
+      (df.count(), BigDecimal(0))
+    } else {
+      val row = df.agg(count(lit(1)),
+        sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+          .cast("decimal(38,0)"))).head()
+      (row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+    }
   }
 
   /** Rewrite `fqn` into ceil(rows/targetRows) files.

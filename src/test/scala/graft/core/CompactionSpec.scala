@@ -101,6 +101,21 @@ class CompactionSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${fqn}__old"))
   }
 
+  test("map-typed columns still compact (fingerprint degrades to count)") {
+    // Spark's hash expressions reject MapType — the guard must fall back
+    // to cardinality-only instead of failing the whole compaction
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc",
+      schema = s"maps_${System.nanoTime()}"))
+    store.save(spark.range(100)
+      .select(col("id"), map(lit("k"), col("id")).as("m"))
+      .repartition(4), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    val (before, after) = Compaction.compactTable(spark, fqn, targetRows = 1000)
+    assert(before == 4 && after == 1)
+    assert(spark.table(fqn).count() == 100)
+  }
+
   test("identifier parts are validated before SQL interpolation") {
     intercept[IllegalArgumentException] {
       Compaction.compactTable(spark, "bad name; drop", targetRows = 10)
