@@ -123,6 +123,87 @@ object CatalogOpsQueries {
           col("dim_rows"))
     }),
 
+    // §2.10 — the workflow DAG executed end to end: four stages shaped
+    // like the reference job (aux dims → games dim → reviews fact →
+    // quality gate), each doing real table writes, run by Pipeline.run in
+    // dependency order; the emitted rows are the execution order plus
+    // each stage's row count — a wrong topological order or a failed
+    // stage cannot produce them
+    "wf1_workflow_dag" -> ((s, d) => {
+      import graft.pipeline.{Pipeline, Stage}
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      val store = new TableStore(s, PipelineConfig(schema = "verifywf"))
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val stages = Seq(
+        Stage("aux_dims")(() => {
+          store.drop("dim", "aux")
+          store.save(table(s, d, "nation"), "dim", "aux")
+          counts("aux_dims") = store.load("dim", "aux").count()
+        }),
+        Stage("games_dim", deps = Seq("aux_dims"))(() => {
+          store.drop("dim", "games_wf")
+          store.save(store.load("dim", "aux")
+            .select(col("n_nationkey").as("id"), col("n_name").as("name")),
+            "dim", "games_wf")
+          counts("games_dim") = store.load("dim", "games_wf").count()
+        }),
+        Stage("reviews_fact", deps = Seq("games_dim"))(() => {
+          store.drop("fact", "orders_wf")
+          store.save(table(s, d, "orders")
+            .filter(col("o_orderstatus") === "P")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+            "fact", "orders_wf")
+          counts("reviews_fact") = store.load("fact", "orders_wf").count()
+        }),
+        Stage("data_quality", deps = Seq("reviews_fact"))(() => {
+          counts("data_quality") = store.load("fact", "orders_wf")
+            .filter(col("o_totalprice") < 0).count() // violations: none
+        }))
+      val order = Pipeline.run(stages)
+      order.zipWithIndex
+        .map { case (n, i) => (i + 1, n, counts(n)) }
+        .toDF("step", "stage", "n_rows")
+    }),
+
+    // §2.8 — the incremental reviews-fact pipeline end to end: land a
+    // reviews.csv derived from `documents` (spam/early-access rows planted
+    // via doc_id arithmetic the oracle reproduces), run the job TWICE at
+    // batchSize=100 — deterministic key-ordered batches, anti-join
+    // increment, rubric scoring — and emit per-run appended counts plus
+    // the fact's row/distinct-key counts (distinct == rows ⇒ no review
+    // was scored twice)
+    "rf1_reviews_pipeline" -> ((s, d) => {
+      val tmp = s"/tmp/graft-reviews-${d.replaceAll("[^a-z0-9.]", "_")}"
+      table(s, d, "documents").select(
+        col("doc_id").as("recommendationid"),
+        (col("doc_id") % 50).as("appid"),
+        lit("english").as("language"),
+        col("text").as("review_text"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp_updated"),
+        (col("doc_id") % 5 === 0).as("received_for_free"),
+        lit(0).as("comment_count"),
+        lit(10.0).as("author_playtime_forever"),
+        when(col("doc_id") % 7 === 0, lit(0.0)).otherwise(lit(5.0))
+          .as("author_playtime_at_review"),
+        (col("doc_id") % 11 === 0).as("written_during_early_access"))
+        .coalesce(1).write.mode("overwrite").options(CsvSource.Options)
+        .csv(s"$tmp/reviews.csv")
+      val config = PipelineConfig(schema = "verifyrf", rawLocation = tmp,
+        batchSize = 100)
+      val store = new TableStore(s, config)
+      store.drop("fact", "reviews")
+      val job = new graft.model.ReviewsFactJob(s, store, config,
+        graft.ai.DeterministicRubricScorer())
+      val n1 = job.run()
+      val n2 = job.run()
+      store.load("fact", "reviews")
+        .agg(count(lit(1)).as("fact_rows"),
+          countDistinct(col("recommendationid")).as("distinct_keys"))
+        .select(lit(n1).as("run1_appended"), lit(n2).as("run2_appended"),
+          col("fact_rows"), col("distinct_keys"))
+    }),
+
     // compaction — fragment a managed table into 16 files, compact to one,
     // emit (files_reduced, files_after, preserved row count); the count is
     // read from the compacted table so the oracle checks data survival
@@ -169,6 +250,27 @@ object CatalogOpsQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM region) AS dim_rows""".stripMargin,
     "cp1_compaction" ->
       """SELECT TRUE AS files_reduced, CAST(1 AS INTEGER) AS files_after,
-        | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows""".stripMargin
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows""".stripMargin,
+    "wf1_workflow_dag" ->
+      """SELECT * FROM (
+        | SELECT CAST(1 AS INTEGER) AS step, 'aux_dims' AS stage,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows
+        | UNION ALL SELECT CAST(2 AS INTEGER), 'games_dim',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM nation)
+        | UNION ALL SELECT CAST(3 AS INTEGER), 'reviews_fact',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'P')
+        | UNION ALL SELECT CAST(4 AS INTEGER), 'data_quality', CAST(0 AS BIGINT)
+        |) t""".stripMargin,
+    // the planted spam/early-access arithmetic, recomposed: eligible docs
+    // are those passing F1; two key-ordered batches of 100 land, so the
+    // run counts and fact totals are pure functions of the eligible count
+    "rf1_reviews_pipeline" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) n FROM documents
+        |           WHERE doc_id % 7 != 0 AND doc_id % 11 != 0)
+        |SELECT CAST(least(n, 100) AS BIGINT) AS run1_appended,
+        |       CAST(least(greatest(n - 100, 0), 100) AS BIGINT) AS run2_appended,
+        |       CAST(least(n, 200) AS BIGINT) AS fact_rows,
+        |       CAST(least(n, 200) AS BIGINT) AS distinct_keys
+        |FROM e""".stripMargin
   )
 }
