@@ -61,6 +61,12 @@ object TrainPrepQueries {
             .as("n_tokens")),
         "source", "doc_id", "n_tokens", capacity = 2048L)),
 
+    // column profiler: per-column row/null/distinct counts in one pass —
+    // the ingest data-quality dashboard (exact distincts here for the
+    // oracle; approx=true is the 100TB switch)
+    "pr1_profile" -> ((s, d) =>
+      graft.operators.Profiler.profile(table(s, d, "documents"))),
+
     // filter-funnel accounting: per-rule in/dropped/out counts for the
     // ordered curation cascade (length → quality → language) — one
     // aggregation pass, exploded into the report
@@ -323,6 +329,24 @@ object TrainPrepQueries {
         |          ORDER BY score DESC, term) rn FROM sc)
         |SELECT doc_id, term, CAST(rn AS INTEGER) AS rank, score
         |FROM r WHERE rn <= 3""".stripMargin,
+    "pr1_profile" ->
+      """SELECT * FROM (
+        | SELECT 'doc_id' AS column, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+        |   (SELECT CAST(count(*) - count(doc_id) AS BIGINT) FROM documents) AS n_nulls,
+        |   (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_distinct
+        | UNION ALL SELECT 'text', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(*) - count(text) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM documents)
+        | UNION ALL SELECT 'lang', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(*) - count(lang) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+        | UNION ALL SELECT 'source', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(*) - count(source) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+        | UNION ALL SELECT 'n_chars', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(*) - count(n_chars) AS BIGINT) FROM documents),
+        |   (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
+        |) t""".stripMargin,
     // the funnel's cumulative conjunctions, recomposed relationally: a doc
     // reaches rule i iff it passed rules 1..i-1; quality and language
     // mirror the t2/t3 formulas
