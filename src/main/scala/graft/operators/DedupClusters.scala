@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * shallow (stars around a popular document, short chains), so 3-5
   * rounds close web-scale corpora. `localCheckpoint` truncates the plan
   * lineage each round (iterative self-reference would otherwise compound
-  * the DAG). For adversarially long chains the same loop accepts a
+  * the DAG); it stores blocks on executors, so on a cluster with
+  * preemptible/decommissioning executors swap in reliable
+  * `checkpoint()` (HDFS-backed) — same semantics, crash-proof lineage
+  * cut. For adversarially long chains the same loop accepts a
   * pointer-jumping variant (label ← label-of-label, O(log d) rounds);
   * plain propagation is what the data needs and keeps every round a
   * single join.

@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("funnel and profiler are single-pass: one aggregate, no joins") {
+    Seq("ff1_filter_funnel", "pr1_profile").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      // partial+final of ONE aggregation — no per-rule/per-column scans
+      assert(p.linesIterator.count(_.contains("Scan ")) == 1,
+        s"$q scans more than once:\n$p")
+    }
+  }
+
   test("banded near-dup (d5b) is equi-joins only: no cartesian, no BNLJ") {
     val p = plan("d5b_banded_near_dup")
     assert(!p.contains("CartesianProduct"), p)
