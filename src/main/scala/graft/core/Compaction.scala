@@ -75,9 +75,12 @@ object Compaction {
     if (df.schema.fields.exists(f => containsMap(f.dataType))) {
       (df.count(), BigDecimal(0))
     } else {
+      // backtick-quote names: a bare col("a.b") would parse as nested-field
+      // access and abort compaction on tables with dotted column names
+      val cols = df.columns.toIndexedSeq
+        .map(n => col(s"`${n.replace("`", "``")}`"))
       val row = df.agg(count(lit(1)),
-        sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-          .cast("decimal(38,0)"))).head()
+        sum(xxhash64(struct(cols: _*)).cast("decimal(38,0)"))).head()
       (row.getLong(0),
         if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
     }

@@ -23,10 +23,14 @@ object CorpusBudget {
   def budgetFill(df: DataFrame, groupCol: String, tokensCol: String,
                  budget: Long, orderBy: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // first-doc admission is by RANK, not by `cum == own tokens` — the
+    // latter also matches any doc whose higher-ranked predecessors sum to
+    // zero tokens (empty documents), silently overshooting the budget
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
-      .filter(col("cum_tokens") <= budget
-        || col("cum_tokens") === col(tokensCol)) // first doc always admitted
+      .withColumn("_bf_rn", row_number().over(ord))
+      .filter(col("cum_tokens") <= budget || col("_bf_rn") === 1)
+      .drop("_bf_rn")
   }
 }

@@ -33,13 +33,23 @@ object DedupClusters {
   /** (member id → canonical id) for every vertex of the pair graph —
     * docs in no pair are their own cluster and are omitted (join the
     * result back left-outer + coalesce to canonicalize a full corpus).
+    *
+    * Ids keep their NATIVE type (canonical = minimum under the type's
+    * ordering — numeric for numeric ids, lexicographic for string ids);
+    * a silent cast would turn e.g. UUID-string ids into NULLs and return
+    * an empty mapping, so mismatched a/b column types fail loudly
+    * instead.
     */
   def canonicalize(pairs: DataFrame, aCol: String, bCol: String,
                    maxIters: Int = 20): DataFrame = {
+    val aType = pairs.schema(aCol).dataType
+    val bType = pairs.schema(bCol).dataType
+    require(aType == bType,
+      s"id columns must share a type: $aCol is ${aType.sql}, " +
+        s"$bCol is ${bType.sql}")
     val edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .localCheckpoint() // edges are reused every round; cut the source plan
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
@@ -47,16 +57,18 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // pull each neighbor's current label, take the minimum with our own
+      // pull each neighbor's current label, take the minimum with our own;
+      // the old label rides along so convergence is a filter on THIS
+      // frame, not another join against the previous labels
       val next = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u")).agg(min(col("nlbl")).as("pulled"))
         .join(labels, "u")
-        .select(col("u"), least(col("lbl"), col("pulled")).as("lbl"))
+        .select(col("u"), least(col("lbl"), col("pulled")).as("lbl"),
+          col("lbl").as("prev"))
         .localCheckpoint() // truncate the iterative lineage
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "u")
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select(col("u"), col("lbl"))
       iter += 1
     }
     require(converged,

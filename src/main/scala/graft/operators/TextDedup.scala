@@ -222,16 +222,26 @@ object TextDedup {
       } else allSets
     val sets = filtered
       .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
+    verifyExactJaccard(candidates, "doc_a", "doc_b", sets, sets, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against hashed
+    * shingle-set frames (`(doc, sh_set: array<long>)`) — the shared final
+    * stage of [[minHashLshPairs]] and [[crossMinHashLshPairs]].
+    */
+  private def verifyExactJaccard(candidates: DataFrame,
+                                 aCol: String, bCol: String,
+                                 aSets: DataFrame, bSets: DataFrame,
+                                 minJaccard: Double): DataFrame =
     candidates
-      .join(sets.select(col("doc").as("doc_a"), col("sh_set").as("sa")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh_set").as("sb")), "doc_b")
+      .join(aSets.select(col("doc").as(aCol), col("sh_set").as("sa")), aCol)
+      .join(bSets.select(col("doc").as(bCol), col("sh_set").as("sb")), bCol)
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("n_common").cast("double")
         / (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col(aCol), col(bCol),
         col("jaccard").cast("decimal(18,6)").as("jaccard"))
-  }
 
   /** (doc, band, band-hash) rows for a signature frame — the LSH bucket
     * keys shared by the self-join ([[minHashLshPairs]]) and cross-corpus
@@ -282,17 +292,8 @@ object TextDedup {
       .join(candidates.select(col("batch_id").as("doc")).distinct(),
         Seq("doc"), "left_semi")
       .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
-    candidates
-      .join(cSets.select(col("doc").as("corpus_id"), col("sh_set").as("sa")),
-        "corpus_id")
-      .join(bSets.select(col("doc").as("batch_id"), col("sh_set").as("sb")),
-        "batch_id")
-      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("n_common").cast("double")
-        / (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("corpus_id"), col("batch_id"),
-        col("jaccard").cast("decimal(18,6)").as("jaccard"))
+    verifyExactJaccard(candidates, "corpus_id", "batch_id", cSets, bSets,
+      minJaccard)
   }
 
   /** FNV-1a 64-bit — a stable, dependency-free token hash for SimHash

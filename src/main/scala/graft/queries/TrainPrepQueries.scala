@@ -386,7 +386,7 @@ object TrainPrepQueries {
         |FROM s GROUP BY 1 ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
     // cum window over BIGINT must cast back (DuckDB SUM(BIGINT)→HUGEINT);
     // the admit rule mirrors budgetFill exactly: within budget, or the
-    // group's first doc (cum equals own tokens)
+    // group's FIRST doc by rank
     "tb1_token_budget" ->
       """WITH x AS (SELECT doc_id, source, string_split(lower(text), ' ') toks FROM documents),
         |y AS (SELECT doc_id, source,
@@ -397,10 +397,11 @@ object TrainPrepQueries {
         |      FROM x),
         |c AS (SELECT doc_id, source, n_tokens,
         |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
         |      FROM y)
         |SELECT source, doc_id, cum_tokens FROM c
-        |WHERE cum_tokens <= 1000 OR cum_tokens = n_tokens""".stripMargin,
+        |WHERE cum_tokens <= 1000 OR rn = 1""".stripMargin,
     "qk1_top_quality_docs" ->
       """WITH x AS (SELECT doc_id, source, string_split(lower(text), ' ') toks FROM documents),
         |y AS (SELECT doc_id, source,

@@ -38,6 +38,23 @@ class DedupClustersSpec extends SparkSpec {
     assert(ex.getMessage.contains("converge"))
   }
 
+  test("string ids keep their type: lexicographic canonical, no silent cast") {
+    val pairs = Seq(("url-b", "url-a"), ("url-b", "url-c"), ("zzz", "yyy"))
+      .toDF("doc_a", "doc_b")
+    val got = DedupClusters.canonicalize(pairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("url-a" -> "url-a", "url-b" -> "url-a",
+      "url-c" -> "url-a", "yyy" -> "yyy", "zzz" -> "yyy"))
+  }
+
+  test("mismatched id column types fail loudly") {
+    val pairs = Seq((1L, "x")).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalArgumentException] {
+      DedupClusters.canonicalize(pairs, "doc_a", "doc_b")
+    }
+    assert(ex.getMessage.contains("share a type"))
+  }
+
   test("layout-invariant: repartitioned pair set yields identical clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
     val a = got(pairs)
@@ -63,6 +80,18 @@ class CorpusBudgetSpec extends SparkSpec {
     // s1: 400, 800 fit; 1200 does not. s2: the 5000-token doc overshoots
     // alone but is admitted (first of its group); the next is not.
     assert(kept == Set(("s1", 1L, 400L), ("s1", 2L, 800L), ("s2", 4L, 5000L)))
+  }
+
+  test("zero-token leaders don't open the budget to an overshooting successor") {
+    // top-ranked doc has 0 tokens; the 5000-token second doc's cum equals
+    // its own tokens but it is NOT the group's first — it must be dropped
+    // (admission is by rank, not by the cum==own coincidence)
+    val df = Seq(("s", 1L, 0.9, 0L), ("s", 2L, 0.8, 5000L))
+      .toDF("source", "doc_id", "q", "n_tokens")
+    val kept = CorpusBudget.budgetFill(df, "source", "n_tokens", 1000L,
+      Seq(col("q").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
   }
 
   test("order ties break deterministically and the fill is layout-invariant") {
