@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, MarkerCount}
+import graft.functions.{CosineSimilarity, MarkerCount, ShingleHashes}
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MarkerCount].getName, "marker_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MarkerCount.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes.build(exprs)))
   }
 }

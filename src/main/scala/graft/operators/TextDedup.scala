@@ -69,16 +69,20 @@ object TextDedup {
 
   /** (id, shingle-hash) exploded pairs — the inverted index.
     *
-    * The index carries `xxhash64(shingle)` instead of the shingle string:
+    * The index carries hashed shingles instead of shingle strings:
     * joins/aggregations then shuffle 8-byte keys, not n-gram text (at 100TB
     * the shuffle volume difference is the whole game). Collision probability
     * across even 10¹⁰ distinct shingles is ~10⁻⁹ (birthday, 64-bit).
+    * Hashing is the native [[graft.functions.ShingleHashes]] expression —
+    * value-identical to `xxhash64(shingle_string)` (spec-asserted) but
+    * zero-allocation: no shingle string is ever materialized and no UDF
+    * boundary is crossed.
     */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("sh_str"))
-      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
+      explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs (ids ordered a &lt; b) with
     * similarity ≥ `minJaccard`.
@@ -111,9 +115,11 @@ object TextDedup {
     // scan of the exploded index); the self-join's two sides shuffle the
     // identical idx subplan on the same key, so Spark's ReuseExchange
     // computes it once — no operator-lifetime persist (which would leak
-    // cached partitions into the caller's session)
+    // cached partitions into the caller's session). Sizes count distinct
+    // HASHES, consistent with the hash-based intersection counts.
     val counts = df.select(col(idCol).as("doc"),
-      size(shingles(col(textCol), n)).as("n_sh"))
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_sh"))
     val inter = idx.as("a")
       .join(idx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -146,9 +152,11 @@ object TextDedup {
     val ti = shingleIndex(train, idCol, textCol, n)
     val bi = shingleIndex(bench, idCol, textCol, n)
     val tCounts = train.select(col(idCol).as("train_id"),
-      size(shingles(col(textCol), n)).as("n_t"))
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_t"))
     val bCounts = bench.select(col(idCol).as("bench_id"),
-      size(shingles(col(textCol), n)).as("n_b"))
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_b"))
     ti.as("t").join(bi.as("b"), col("t.sh") === col("b.sh"))
       .groupBy(col("t.doc").as("train_id"), col("b.doc").as("bench_id"))
       .agg(count(lit(1)).as("n_common"))
