@@ -58,28 +58,25 @@ object ShingleHashes {
 
   private val EMPTY = new GenericArrayData(Array.emptyLongArray)
 
-  /** One pass over the lowercased bytes; called from interpreted eval and
-    * generated code alike.
+  /** Token boundaries of a UTF8String under `split(" ", -1)` semantics:
+    * k spaces → k+1 tokens, empty tokens (adjacent/leading/trailing
+    * spaces) included. Returns parallel (starts, ends) byte offsets.
     */
-  def compute(s: UTF8String, n: Int): ArrayData = {
-    val lower = s.toLowerCase
-    val total = lower.numBytes()
-    // token boundaries under split(" ", -1) semantics: k spaces → k+1
-    // tokens, empty tokens (adjacent/leading/trailing spaces) included
+  private[functions] def tokenBounds(s: UTF8String): (Array[Int], Array[Int]) = {
+    val total = s.numBytes()
     var numToks = 1
     var i = 0
     while (i < total) {
-      if (lower.getByte(i) == 0x20) numToks += 1
+      if (s.getByte(i) == 0x20) numToks += 1
       i += 1
     }
-    if (numToks < n) return EMPTY
     val starts = new Array[Int](numToks)
     val ends = new Array[Int](numToks)
     var tok = 0
     starts(0) = 0
     i = 0
     while (i < total) {
-      if (lower.getByte(i) == 0x20) {
+      if (s.getByte(i) == 0x20) {
         ends(tok) = i
         tok += 1
         starts(tok) = i + 1
@@ -87,6 +84,17 @@ object ShingleHashes {
       i += 1
     }
     ends(tok) = total
+    (starts, ends)
+  }
+
+  /** One pass over the lowercased bytes; called from interpreted eval and
+    * generated code alike.
+    */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val (starts, ends) = tokenBounds(lower)
+    val numToks = starts.length
+    if (numToks < n) return EMPTY
     val base = lower.getBaseObject
     val offset = lower.getBaseOffset
     val nWindows = numToks - n + 1

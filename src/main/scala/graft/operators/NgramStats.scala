@@ -32,21 +32,23 @@ object NgramStats {
     * `dup_frac` = fraction of 2-gram instances beyond first occurrence.
     * Docs with fewer than 2 tokens carry no 2-grams and are excluded
     * (mirrored by the oracle).
+    *
+    * The three counts are DOC-LOCAL, so they come from the native
+    * [[graft.functions.BigramStats]] expression in one pass — the whole
+    * operator is a shuffle-free projection (the old explode + double
+    * groupBy form shuffled (doc, gram) rows corpus-wide for per-row
+    * arithmetic; spec-asserted equal).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.filter(size(TextAnalysis.tokens(col(textCol))) >= 2)
-      .select(col(idCol), explode(bigrams(col(textCol))).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(
-        sum(col("c")).as("n_grams"),
-        max(col("c")).as("max_c"),
-        count(lit(1)).as("n_distinct"))
       .select(col(idCol),
-        col("n_grams").cast("bigint").as("n_grams"),
-        (col("max_c").cast("double") / col("n_grams").cast("double"))
+        graft.functions.BigramStats.bigramStats(col(textCol)).as("bs"))
+      .select(col(idCol),
+        col("bs.n_grams").cast("bigint").as("n_grams"),
+        (col("bs.max_c").cast("double") / col("bs.n_grams").cast("double"))
           .as("top_frac"),
-        ((col("n_grams") - col("n_distinct")).cast("double")
-          / col("n_grams").cast("double")).as("dup_frac"))
+        ((col("bs.n_grams") - col("bs.n_distinct")).cast("double")
+          / col("bs.n_grams").cast("double")).as("dup_frac"))
 
   /** Mean corpus frequency of a document's tokens — the integer-exact
     * "fluency proxy" quality signal (a cheap stand-in for LM perplexity:
