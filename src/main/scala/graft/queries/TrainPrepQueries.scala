@@ -81,6 +81,29 @@ object TrainPrepQueries {
           TextAnalysis.languageId(col("text")) === "en")))
     }),
 
+    // SpaceSaving heavy-hitters sketch (typed Aggregator) vs the exact
+    // top-5: the one-pass mergeable answer to "top tokens at 100TB"
+    // without shuffling the key space. At capacity 512 over this corpus's
+    // 31 distinct tokens the sketch is provably exact and merge-order
+    // independent, so the emitted agreement booleans are deterministic
+    // TRUE (the ag2 scheme); eviction behavior is spec-verified
+    // separately on skewed synthetic streams.
+    "hh1_heavy_hitters" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      val sk = graft.operators.HeavyHitters.sketch(toks, col("token"),
+        capacity = 512)
+      val exact5 = graft.operators.NgramStats.topTokens(
+        table(s, d, "documents"), "text", k = 5)
+      exact5.crossJoin(broadcast(sk))
+        .withColumn("sk_entry", element_at(
+          filter(col("sketch"), e => e("item") === col("token")), 1))
+        .select(col("token"), col("n_occurrences"), col("rank"),
+          (array_contains(slice(col("sketch.item"), 1, 5), col("token"))
+            && col("sk_entry.count") === col("n_occurrences"))
+            .as("sketch_agrees"))
+    }),
+
     // boilerplate detector: top-20 5-gram shingles by document frequency —
     // the report that calibrates jaccardPairs' maxShingleDocFreq join-cost
     // cap (df² join rows per hot shingle)
@@ -250,6 +273,15 @@ object TrainPrepQueries {
         |        row_number() OVER (ORDER BY n_occurrences DESC, token) rn FROM n)
         |SELECT token, n_occurrences, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 20""".stripMargin,
+    // exact top-5 (fr1's form) + the literal-TRUE sketch-agreement column
+    "hh1_heavy_hitters" ->
+      """WITH x AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |n AS (SELECT token, CAST(count(*) AS BIGINT) n_occurrences FROM x GROUP BY 1),
+        |r AS (SELECT token, n_occurrences,
+        |        row_number() OVER (ORDER BY n_occurrences DESC, token) rn FROM n)
+        |SELECT token, n_occurrences, CAST(rn AS INTEGER) AS rank,
+        |  TRUE AS sketch_agrees
+        |FROM r WHERE rn <= 5""".stripMargin,
     // integer division (`//`) on the BIGINT cumsum ≡ Spark's `div` — exact
     "pk1_sequence_packing" ->
       """WITH t AS (SELECT doc_id, source,
