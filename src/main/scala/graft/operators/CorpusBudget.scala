@@ -23,6 +23,8 @@ object CorpusBudget {
   def budgetFill(df: DataFrame, groupCol: String, tokensCol: String,
                  budget: Long, orderBy: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(!df.columns.contains("_bf_rn"),
+      "budgetFill: input already has a column named _bf_rn (reserved)")
     val ord = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
     val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // first-doc admission is by RANK, not by `cum == own tokens` — the

@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   *
   * The aggregator is partial-aggregation friendly by construction:
   * per-partition sketches reduce locally and `merge` combines two
-  * sketches (counts add, errors add, then re-truncate to capacity) — the
+  * sketches (absent items substitute the absent side's minimum counter —
+  * the mergeable-SpaceSaving rule — then re-truncate to capacity), the
   * same map-side-combine shape as a built-in agg, shuffling one
   * m-entry sketch per partition instead of the key space.
+  *
+  * State is an encoder-friendly immutable Map, so the eviction-regime
+  * hot path pays a persistent-map copy per element plus an O(m) minimum
+  * scan per eviction; the Metwally stream-summary structure does both in
+  * O(1) with mutable linked buckets, the right trade if this aggregator
+  * ever becomes the bottleneck rather than the scan feeding it.
   */
 object HeavyHitters {
 
@@ -58,9 +65,20 @@ object HeavyHitters {
     }
 
     override def merge(a: Sketch, b: Sketch): Sketch = {
+      // Mergeable-SpaceSaving rule: an item ABSENT from a FULL sketch may
+      // still have occurred up to that sketch's minimum counter times
+      // (that is what eviction erased), so the absent side contributes
+      // its minimum count — as both count and error — not zero.
+      // Substituting 0 would understate counts and void the
+      // "count ≤ true + err" bound exactly in the multi-partition regime.
+      def minCount(s: Sketch): Long =
+        if (s.entries.size < capacity) 0L
+        else s.entries.valuesIterator.map(_._1).min
+      val minA = minCount(a)
+      val minB = minCount(b)
       val combined = (a.entries.keySet ++ b.entries.keySet).map { k =>
-        val (ac, ae) = a.entries.getOrElse(k, (0L, 0L))
-        val (bc, be) = b.entries.getOrElse(k, (0L, 0L))
+        val (ac, ae) = a.entries.getOrElse(k, (minA, minA))
+        val (bc, be) = b.entries.getOrElse(k, (minB, minB))
         k -> (ac + bc, ae + be)
       }.toMap
       val kept =

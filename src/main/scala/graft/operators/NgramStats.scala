@@ -40,9 +40,12 @@ object NgramStats {
     * arithmetic; spec-asserted equal).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.filter(size(TextAnalysis.tokens(col(textCol))) >= 2)
-      .select(col(idCol),
+    df.select(col(idCol),
         graft.functions.BigramStats.bigramStats(col(textCol)).as("bs"))
+      // <2 tokens → n_grams 0; null text → null struct: both drop here,
+      // matching the old size(tokens)>=2 pre-filter WITHOUT re-splitting
+      // the text into a token array per row just to count it
+      .filter(col("bs.n_grams") >= 1)
       .select(col(idCol),
         col("bs.n_grams").cast("bigint").as("n_grams"),
         (col("bs.max_c").cast("double") / col("bs.n_grams").cast("double"))

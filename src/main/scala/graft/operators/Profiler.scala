@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * plan: one shuffle carrying rows × profiled-columns — fine for a
   * profile run, and the numbers are oracle-checkable. At 100TB pass
   * `approx = true`: HLL++ sketches replace the Expand (single pass, no
-  * row multiplication) at ~2% relative error, the standard profiler
-  * trade.
+  * row multiplication) at 2% relative standard deviation (passed
+  * explicitly below), the standard profiler trade.
   */
 object Profiler {
+
+  // backtick-quote so a column literally named "a.b" profiles as itself
+  // instead of parsing as nested-field access (and the derived agg names
+  // round-trip safely)
+  private def q(n: String): String = s"`${n.replace("`", "``")}`"
 
   def profile(df: DataFrame, cols: Seq[String] = Nil,
               approx: Boolean = false): DataFrame = {
@@ -23,15 +28,17 @@ object Profiler {
     names.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     val aggs = count(lit(1)).cast("bigint").as("_rows") +: names.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("bigint")
+        sum(when(col(q(c)).isNull, 1L).otherwise(0L)).cast("bigint")
           .as(s"_nulls_$c"),
-        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+        (if (approx) approx_count_distinct(col(q(c)), rsd = 0.02)
+         else countDistinct(col(q(c))))
           .cast("bigint").as(s"_dist_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val reportRows = names.map { c =>
       struct(lit(c).as("column"), col("_rows").as("n_rows"),
-        col(s"_nulls_$c").as("n_nulls"), col(s"_dist_$c").as("n_distinct"))
+        col(q(s"_nulls_$c")).as("n_nulls"),
+        col(q(s"_dist_$c")).as("n_distinct"))
     }
     one.select(explode(array(reportRows: _*)).as("r")).select("r.*")
   }

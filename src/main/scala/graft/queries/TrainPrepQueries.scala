@@ -90,7 +90,8 @@ object TrainPrepQueries {
     // separately on skewed synthetic streams.
     "hh1_heavy_hitters" -> ((s, d) => {
       val toks = table(s, d, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+          .as("token"))
       val sk = graft.operators.HeavyHitters.sketch(toks, col("token"),
         capacity = 512)
       val exact5 = graft.operators.NgramStats.topTokens(
@@ -98,10 +99,13 @@ object TrainPrepQueries {
       exact5.crossJoin(broadcast(sk))
         .withColumn("sk_entry", element_at(
           filter(col("sketch"), e => e("item") === col("token")), 1))
+        // coalesce: a token MISSING from the sketch must read FALSE, not
+        // NULL — NULL would slip through boolean filters as "unknown"
         .select(col("token"), col("n_occurrences"), col("rank"),
-          (array_contains(slice(col("sketch.item"), 1, 5), col("token"))
-            && col("sk_entry.count") === col("n_occurrences"))
-            .as("sketch_agrees"))
+          coalesce(
+            array_contains(slice(col("sketch.item"), 1, 5), col("token"))
+              && col("sk_entry.count") === col("n_occurrences"),
+            lit(false)).as("sketch_agrees"))
     }),
 
     // boilerplate detector: top-20 5-gram shingles by document frequency —

@@ -41,6 +41,24 @@ class HeavyHittersSpec extends SparkSpec {
     assert(c >= 3000L && c - e <= 3000L, s"count $c err $e")
   }
 
+  test("merge substitutes the absent side's minimum counter (mergeable bounds)") {
+    val agg = new HeavyHitters.SpaceSavingAgg(2)
+    // both sketches FULL at capacity 2 — absence may mean "evicted", so
+    // the absent side contributes its min counter as count AND error
+    val a = HeavyHitters.Sketch(20, Map("p" -> ((10L, 0L)), "q" -> ((5L, 1L))))
+    val b = HeavyHitters.Sketch(8, Map("x" -> ((6L, 0L)), "q" -> ((2L, 0L))))
+    val m = agg.merge(a, b)
+    // x: (6+minA=5, 0+5) = (11,5); p: (10+minB=2, 0+2) = (12,2); q: (7,1)
+    // truncated to capacity 2 by count: p, x
+    assert(m.n == 28L)
+    assert(m.entries == Map("p" -> ((12L, 2L)), "x" -> ((11L, 5L))))
+    // a NON-full sketch's absences genuinely mean zero — no substitution
+    val small = HeavyHitters.Sketch(3, Map("y" -> ((3L, 0L))))
+    val m2 = agg.merge(small, b)
+    assert(m2.entries("y") == ((3L + 2L, 0L + 2L))) // b full → min 2 added
+    assert(m2.entries("x") == ((6L, 0L)))           // small not full → +0
+  }
+
   test("null items are ignored, not counted or crashed on") {
     val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("x")
     val got = entries(HeavyHitters.sketch(df, col("x"), capacity = 8))
