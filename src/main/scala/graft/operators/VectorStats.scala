@@ -39,4 +39,42 @@ object VectorStats {
       .select(col(labelCol), col("dim").cast("int").as("dim"),
         (col("s").cast("double") / col("n_vecs").cast("double")).as("centroid"),
         col("n_vecs").cast("bigint").as("n_vecs"))
+
+  /** Per-DIMENSION standardization (z-scoring) of an embedding column —
+    * the feature-prep step before distance-based ops (k-means, ANN) when
+    * dimensions carry different scales. Returns (id, dim, z) rows.
+    *
+    * Shape at scale: one posexplode + one (dim)-keyed aggregation whose
+    * output is D rows — broadcast back onto the exploded rows, so the
+    * corpus shuffles once regardless of N.
+    *
+    * Parity recipe (every step IEEE/decimal-mirrorable, labelCentroids'
+    * argument extended to second moments): components round once to
+    * DECIMAL(18,6); Σx is summed at (38,12), Σx² uses the EXACT decimal
+    * square (scale 12) — reduction order can't matter; mean and E[x²]
+    * are single double divisions, var = E[x²] − mean² clamped at 0 (the
+    * exact-arithmetic value can land a few ulps negative in doubles),
+    * std = IEEE sqrt, z = (x − mean)/std, constant dims (std = 0) → 0.
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim").cast("int").as("dim"),
+        col("x").cast("double").cast(DecimalType(18, 6)).as("xr"))
+    val stats = exploded.groupBy(col("dim"))
+      .agg(sum(col("xr").cast(DecimalType(38, 12))).as("s1"),
+        sum(col("xr") * col("xr")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        (col("s2").cast("double") / col("n").cast("double")).as("ex2"))
+      .select(col("dim"), col("mean"),
+        sqrt(greatest(col("ex2") - col("mean") * col("mean"), lit(0.0)))
+          .as("std"))
+    exploded.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        when(col("std") > 0.0,
+          (col("xr").cast("double") - col("mean")) / col("std"))
+          .otherwise(0.0).as("z"))
+  }
 }

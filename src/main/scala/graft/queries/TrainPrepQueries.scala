@@ -141,6 +141,16 @@ object TrainPrepQueries {
       graft.operators.VectorStats.labelCentroids(
         table(s, d, "embeddings"), "label", "embedding")),
 
+    // per-dimension z-scoring of embeddings (feature prep before
+    // distance-based ops); first 4 dims emitted, exact decimal-moment
+    // arithmetic both engines reproduce bit-for-bit
+    "std1_standardize" -> ((s, d) =>
+      graft.operators.VectorStats.standardize(
+        table(s, d, "embeddings"), "vec_id", "embedding")
+        .filter(col("dim") < 4)
+        .select(col("vec_id"), col("dim"),
+          col("z").cast("decimal(18,6)").as("z"))),
+
     // z-order (Morton) key for 2-D data layout: the write-clustering key,
     // shown on (l_partkey, l_suppkey); top-100 by z proves the interleave
     "zo1_zorder_key" -> ((s, d) =>
@@ -365,6 +375,23 @@ object TrainPrepQueries {
         |          ORDER BY score DESC, term) rn FROM sc)
         |SELECT doc_id, term, CAST(rn AS INTEGER) AS rank, score
         |FROM r WHERE rn <= 3""".stripMargin,
+    "std1_standardize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, u.dim AS dim, CAST(CAST(u.x AS DOUBLE) AS DECIMAL(18,6)) AS xr
+        |  FROM (SELECT vec_id,
+        |          unnest(list_transform(generate_series(1, len(embedding)),
+        |            i -> {'dim': i - 1, 'x': embedding[i]})) AS u
+        |        FROM embeddings)),
+        |st AS (
+        |  SELECT dim,
+        |    CAST(SUM(CAST(xr AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+        |    CAST(SUM(xr * xr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ex2
+        |  FROM ex GROUP BY 1),
+        |sd AS (SELECT dim, mean, sqrt(greatest(ex2 - mean*mean, 0.0)) AS std FROM st)
+        |SELECT ex.vec_id, CAST(ex.dim AS INTEGER) AS dim,
+        |  CAST(CAST(CASE WHEN std > 0 THEN (CAST(xr AS DOUBLE) - mean)/std ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS z
+        |FROM ex JOIN sd ON ex.dim = sd.dim
+        |WHERE ex.dim < 4""".stripMargin,
     "pr1_profile" ->
       """SELECT * FROM (
         | SELECT 'doc_id' AS column, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
