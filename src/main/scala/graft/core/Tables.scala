@@ -157,6 +157,37 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Keyed UPSERT (MERGE emulation on a plain-parquet managed table):
+    * incoming rows REPLACE existing rows sharing their key, everything
+    * else appends — `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT` with
+    * whole-row updates. A transaction-log format does this with file
+    * rewrites; the portable form computes
+    * `existing ANTI-JOIN incoming.keys UNION incoming`, stages it, and
+    * swaps via the same rename-rename-drop used by
+    * [[graft.core.Compaction]] (a direct overwrite of a table being read
+    * is both forbidden by Spark and non-crash-safe). At scale the
+    * anti-join is a compact-key shuffle and AQE broadcasts small incoming
+    * batches; writers must quiesce for the swap, as with compaction.
+    */
+  def upsert(df: DataFrame, layer: String, table: String,
+             keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val name = fqn(layer, table)
+    if (!spark.catalog.tableExists(name)) { save(df, layer, table); return }
+    val existing = load(layer, table)
+    import org.apache.spark.sql.functions.col
+    val merged = existing
+      .join(df.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
+    val tmp = s"${name}__upsert"
+    val old = s"${name}__old"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    merged.write.format("parquet").saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE $name RENAME TO $old")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    spark.sql(s"DROP TABLE $old")
+  }
+
   /** ≙ `utilities.py:27-30`. */
   def load(layer: String, table: String): DataFrame =
     spark.read.table(fqn(layer, table))

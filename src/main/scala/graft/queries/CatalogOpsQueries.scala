@@ -204,6 +204,65 @@ object CatalogOpsQueries {
           col("fact_rows"), col("distinct_keys"))
     }),
 
+    // keyed upsert (MERGE emulation): seed a dim from `nation`, then
+    // upsert a batch that UPDATES keys < 10 (uppercased names) and
+    // INSERTS three new keys derived from `region`; the emitted table is
+    // the full post-merge content, which the oracle recomposes
+    "up1_upsert" -> ((s, d) => {
+      val store = new TableStore(s, PipelineConfig(schema = "verifyup"))
+      store.drop("dim", "nation_up")
+      val nation = table(s, d, "nation")
+      store.save(nation, "dim", "nation_up")
+      val batch = nation.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+          col("n_regionkey"))
+        .unionByName(table(s, d, "region")
+          .select((col("r_regionkey") + 100).as("n_nationkey"),
+            col("r_name").as("n_name"), col("r_regionkey").as("n_regionkey")))
+      store.upsert(batch, "dim", "nation_up", Seq("n_nationkey"))
+      store.load("dim", "nation_up")
+    }),
+
+    // schema evolution — two parquet generations with different columns
+    // (gen2 adds `o_totalprice`) read as ONE dataset via mergeSchema; the
+    // old generation's missing column reads as NULL. Emitted: per-
+    // generation row and null counts proving the union'd schema read
+    "se1_schema_evolution" -> ((s, d) => {
+      val tmp = s"/tmp/graft-schemaevo-${d.replaceAll("[^a-z0-9.]", "_")}"
+      val orders = table(s, d, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_null_price"))
+        .select(col("gen").cast("int").as("gen"), col("n_rows"),
+          col("n_null_price"))
+    }),
+
+    // export sharding — the training-shard writer: one writer task with
+    // maxRecordsPerFile=N deterministically produces ceil(rows/N) files;
+    // emitted booleans prove the shard count and row preservation
+    "ex1_shard_export" -> ((s, d) => {
+      val tmp = s"/tmp/graft-shards-${d.replaceAll("[^a-z0-9.]", "_")}"
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .parquet(tmp)
+      val back = s.read.parquet(tmp)
+      val nFiles = back.inputFiles.length
+      back.agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"),
+          (lit(nFiles) === ceil(col("n_rows").cast("double") / 100.0)
+            .cast("int")).as("shards_ok"))
+    }),
+
     // compaction — fragment a managed table into 16 files, compact to one,
     // emit (files_reduced, files_after, preserved row count); the count is
     // read from the compacted table so the oracle checks data survival
@@ -251,6 +310,25 @@ object CatalogOpsQueries {
     "cp1_compaction" ->
       """SELECT TRUE AS files_reduced, CAST(1 AS INTEGER) AS files_after,
         | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows""".stripMargin,
+    "up1_upsert" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_nationkey < 10 THEN upper(n_name) ELSE n_name END AS n_name,
+        | n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT r_regionkey + 100, r_name, r_regionkey FROM region""".stripMargin,
+    "se1_schema_evolution" ->
+      """SELECT * FROM (
+        | SELECT CAST(1 AS INTEGER) AS gen,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0) AS n_null_price
+        | UNION ALL SELECT CAST(2 AS INTEGER),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 != 0),
+        |   CAST(0 AS BIGINT)
+        |) t""".stripMargin,
+    "ex1_shard_export" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+        | TRUE AS shards_ok""".stripMargin,
     "wf1_workflow_dag" ->
       """SELECT * FROM (
         | SELECT CAST(1 AS INTEGER) AS step, 'aux_dims' AS stage,
