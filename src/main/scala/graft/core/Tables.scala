@@ -173,14 +173,37 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
              keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val name = fqn(layer, table)
+    val tmp = s"${name}__upsert"
+    val old = s"${name}__old"
+    // Self-heal a prior crash BEFORE the exists-check below — otherwise a
+    // crash between the two renames (name gone, full table under __old)
+    // would route the next call through the create path and silently
+    // publish ONLY the incoming batch. Writers are quiesced by contract
+    // (as with Compaction), so: only __old → crash between renames,
+    // restore it; both → only the final DROP was missed (the published
+    // table IS the merged copy), clear the leftover.
+    if (spark.catalog.tableExists(old)) {
+      if (!spark.catalog.tableExists(name)) {
+        spark.sql(s"ALTER TABLE $old RENAME TO $name")
+      } else {
+        spark.sql(s"DROP TABLE $old")
+      }
+    }
     if (!spark.catalog.tableExists(name)) { save(df, layer, table); return }
+    // The staged rewrite is plain parquet: refuse partitioned/bucketed
+    // targets loudly rather than silently republishing them WITHOUT
+    // their layout (losing pruning / shuffle-free joins).
+    val layout = spark.catalog.listColumns(name)
+      .filter(c => c.isPartition || c.isBucket)
+    require(layout.isEmpty,
+      s"upsert supports plain tables; '$name' is partitioned/bucketed on " +
+        s"${layout.collect().map(_.name).mkString(", ")} — use a " +
+        "layout-preserving rewrite (savePartitioned/saveBucketed the merge)")
     val existing = load(layer, table)
     import org.apache.spark.sql.functions.col
     val merged = existing
       .join(df.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
-    val tmp = s"${name}__upsert"
-    val old = s"${name}__old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     merged.write.format("parquet").saveAsTable(tmp)
     spark.sql(s"ALTER TABLE $name RENAME TO $old")

@@ -206,8 +206,8 @@ object CatalogOpsQueries {
 
     // keyed upsert (MERGE emulation): seed a dim from `nation`, then
     // upsert a batch that UPDATES keys < 10 (uppercased names) and
-    // INSERTS three new keys derived from `region`; the emitted table is
-    // the full post-merge content, which the oracle recomposes
+    // INSERTS one new key per `region` row (keys 100+); the emitted
+    // table is the full post-merge content, which the oracle recomposes
     "up1_upsert" -> ((s, d) => {
       val store = new TableStore(s, PipelineConfig(schema = "verifyup"))
       store.drop("dim", "nation_up")
