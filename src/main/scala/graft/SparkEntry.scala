@@ -36,19 +36,16 @@ object SparkEntry {
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables.
     *
-    * Remaining no-oracle entries, each with its reason:
-    *  - `mm2_media_features` / `mm3_frame_sample`: the decode step is an
-    *    honest stub (no codec libraries in this environment) — the queries
-    *    exist to exercise the real Spark plumbing (binary columns, typed
-    *    metadata, batched mapPartitions shape), which MultimodalSpec
-    *    verifies; stub feature values are not meaningful to oracle.
-    *
-    * Formerly no-oracle, now checked on their checkable consequence:
+    * Every catalog entry has an oracle. The ones that weren't directly
+    * SQL-expressible are checked on a checkable consequence instead:
     * `d3_simhash` emits the planted md5-equal-pairs-at-hamming-0 invariant;
     * `sim2_ivf_topk` emits a per-query recall@5-vs-brute-force boolean
-    * (both engine-internal hash/centroid states stay spec-verified).
+    * (both engine-internal hash/centroid states stay spec-verified); the
+    * multimodal stub decodes (`mm2`/`mm3` — no codec libraries in this
+    * environment) emit md5/length-derived values DuckDB recomputes exactly,
+    * so the full mapPartitions plumbing is hash-compared end to end.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SemanticQueries.oracle ++

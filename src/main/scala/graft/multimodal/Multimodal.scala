@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * iteration shape, deterministic outputs — is real and tested. The codec
   * step itself is a clearly marked STUB (this container has no image/audio
   * libraries): `StubCodec` derives deterministic fake dimensions/features
-  * from the bytes, so every pipeline stage downstream of decode exercises
-  * the true data flow. Swapping in a real codec changes only `StubCodec`.
+  * from the MD5 digest of the content bytes, so every pipeline stage
+  * downstream of decode exercises the true data flow AND every emitted
+  * value is relationally recomputable (an external SQL engine can rebuild
+  * width/height/features/frame digests from `md5(content)` + byte
+  * arithmetic — this is what makes mm2/mm3 oracle-checkable). Swapping in
+  * a real codec changes only `StubCodec`.
   */
 object Multimodal {
 
@@ -23,6 +27,7 @@ object Multimodal {
                             content: Array[Byte])
 
   final case class DecodedFrame(media_id: Long, frame_idx: Int,
+                                frame_start: Long, frame_len: Long,
                                 frame_digest: String)
 
   final case class MediaFeatures(media_id: Long, width: Int, height: Int,
@@ -45,24 +50,37 @@ object Multimodal {
 
   /** STUB decode: a real implementation would hand `content` to an image
     * codec (javax.imageio / ffmpeg bindings); none exist in this container,
-    * so dimensions are derived deterministically from the first bytes. The
-    * call signature, batching and schema are the real ones.
+    * so dimensions/features are derived deterministically from the MD5 hex
+    * digest of the content. The call signature, batching and schema are the
+    * real ones, and the derivation is chosen so a SQL oracle recomputes it:
+    * `width = 64 + hex(md5[0:2]) % 192`, `height = 64 + hex(md5[2:4]) % 192`,
+    * `feature[i] = hex16(md5[4i:4i+4]) / 65536` — each feature is k/2^16
+    * with k < 2^16, exactly representable in FLOAT (and in the DOUBLE both
+    * engines hash), so float-vs-double promotion cannot diverge.
     */
   object StubCodec {
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+
     def decodeDims(content: Array[Byte]): (Int, Int) = {
-      val b0 = if (content.nonEmpty) content(0) & 0xff else 0
-      val b1 = if (content.length > 1) content(1) & 0xff else 0
+      val h = md5Hex(content)
+      val b0 = Integer.parseInt(h.substring(0, 2), 16)
+      val b1 = Integer.parseInt(h.substring(2, 4), 16)
       (64 + (b0 % 192), 64 + (b1 % 192)) // fake width/height
     }
 
-    /** Fake feature vector: 8 bucketed byte-histogram floats (deterministic,
-      * content-sensitive — downstream similarity math is exercised for real).
+    /** Fake feature vector: `dims` floats in [0, 1), each the next 16 bits
+      * of the content digest (wrapping past 32 hex chars) — deterministic,
+      * content-sensitive via MD5 avalanche, so downstream similarity math
+      * is exercised for real.
       */
     def features(content: Array[Byte], dims: Int = 8): Array[Float] = {
-      val hist = new Array[Float](dims)
-      content.foreach(b => hist((b & 0xff) % dims) += 1f)
-      val n = math.max(content.length, 1).toFloat
-      hist.map(_ / n)
+      val h = md5Hex(content)
+      Array.tabulate(dims) { i =>
+        val off = (4 * i) % 29 // 29 keeps a full 4-char window in [0, 32)
+        Integer.parseInt(h.substring(off, off + 4), 16) / 65536.0f
+      }
     }
   }
 
@@ -86,20 +104,26 @@ object Multimodal {
   }
 
   /** Frame sampling for video-like blobs: split content into `nFrames`
-    * even chunks and digest each — the real operator's shape (explode to
-    * frame grain) with the stub codec.
+    * even chunks — the real operator's shape (explode to frame grain) with
+    * the stub codec. `frame_start`/`frame_len` are the true byte-offset
+    * arithmetic a real demuxer would seek with; the per-frame digest stands
+    * in for decoded-frame pixels and is derived from (content md5, frame
+    * index) so an external SQL engine recomputes it exactly:
+    * `md5(md5(content) || ':' || frame_idx)`.
     */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int)
                   (implicit spark: SparkSession): Dataset[DecodedFrame] = {
     import spark.implicits._
     media.flatMap { r =>
-      val step = math.max(r.content.length / nFrames, 1)
-      (0 until nFrames).iterator.takeWhile(i => i * step < r.content.length)
+      val len = r.content.length
+      val step = math.max(len / nFrames, 1)
+      val h = StubCodec.md5Hex(r.content)
+      (0 until nFrames).iterator.takeWhile(i => i * step < len)
         .map { i =>
-          val chunk = r.content.slice(i * step, math.min((i + 1) * step, r.content.length))
-          DecodedFrame(r.media_id, i,
-            java.security.MessageDigest.getInstance("MD5").digest(chunk)
-              .map("%02x".format(_)).mkString)
+          val start = i.toLong * step
+          val end = math.min((i + 1).toLong * step, len.toLong)
+          DecodedFrame(r.media_id, i, start, end - start,
+            StubCodec.md5Hex(s"$h:$i".getBytes("UTF-8")))
         }
     }
   }

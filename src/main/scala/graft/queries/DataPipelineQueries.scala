@@ -12,10 +12,11 @@ import QueryUtil._
   * fingerprints) and multimodal plumbing, over the harness `documents` /
   * `embeddings` tables.
   *
-  * Every dedup/similarity entry is oracle-checked: SimHash on its planted
-  * md5-equal invariant, IVF on an in-plan recall assertion (the engine
-  * hashes themselves aren't SQL-reproducible — the checkable consequence
-  * is); only the multimodal stub decodes (mm2/mm3) remain oracle-free.
+  * Every entry is oracle-checked: SimHash on its planted md5-equal
+  * invariant, IVF on an in-plan recall assertion (the engine hashes
+  * themselves aren't SQL-reproducible — the checkable consequence is),
+  * and the multimodal stub decodes (mm2/mm3) via md5/length-derived
+  * values DuckDB recomputes exactly.
   */
 object DataPipelineQueries {
 
@@ -270,7 +271,11 @@ object DataPipelineQueries {
           col("meta.nBytes").as("n_bytes"),
           md5(col("content")).as("content_md5"))),
 
-    // stub decode + batched mapPartitions feature extraction — spec-verified
+    // stub decode + batched mapPartitions feature extraction. Oracle-green:
+    // the stub codec derives width/height/features from md5(content) hex +
+    // integer arithmetic, which DuckDB recomputes verbatim (the content IS
+    // the UTF-8 encoding of `text`, proven byte-identical by mm1). f0 is
+    // k/2^16 with k<2^16 — exact in FLOAT and DOUBLE, so no rounding gap.
     "mm2_media_features" -> ((s, d) => {
       implicit val sp = s
       import s.implicits._
@@ -279,10 +284,12 @@ object DataPipelineQueries {
         .select("media_id", "media_type", "content").as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("width"), col("height"),
-          element_at(col("features"), 1).cast("decimal(18,6)").as("f0"))
+          element_at(col("features"), 1).cast("double").as("f0"))
     }),
 
-    // frame sampling at video grain — spec-verified
+    // frame sampling at video grain. Oracle-green: frame offsets/lengths
+    // are pure byte arithmetic over octet_length, and the stub frame
+    // digest is md5(md5(content) || ':' || idx) — both recomputable in SQL
     "mm3_frame_sample" -> ((s, d) => {
       implicit val sp = s
       import s.implicits._
@@ -529,6 +536,29 @@ object DataPipelineQueries {
       """SELECT doc_id AS media_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS content_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // mirrors StubCodec exactly: dims from the first two md5 hex bytes,
+    // f0 = first 16 digest bits / 2^16 (exact in both engines' arithmetic)
+    "mm2_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(64 + (CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 192) AS INTEGER) AS width,
+        | CAST(64 + (CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 192) AS INTEGER) AS height,
+        | CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) / 65536.0 AS f0
+        |FROM documents""".stripMargin,
+    // mirrors sampleFrames: step = max(len/4, 1), frames while i*step < len,
+    // digest = md5(md5(content) || ':' || idx)
+    "mm3_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |             octet_length(encode(text)) AS len,
+        |             md5(text) AS h
+        |           FROM documents),
+        |f AS (SELECT media_id, len, h, greatest(len // 4, 1) AS step FROM m),
+        |i AS (SELECT media_id, len, h, step,
+        |        unnest(generate_series(0, 3)) AS frame_idx FROM f)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        | CAST(frame_idx * step AS BIGINT) AS frame_start,
+        | CAST(least((frame_idx + 1) * step, len) - frame_idx * step AS BIGINT) AS frame_len,
+        | md5(concat(h, ':', CAST(frame_idx AS VARCHAR))) AS frame_digest
+        |FROM i WHERE frame_idx * step < len""".stripMargin
   )
 }

@@ -26,7 +26,7 @@ class MultimodalSpec extends SparkSpec {
     meta.foreach { case (n, l) => assert(n == l) }
   }
 
-  test("feature extraction is deterministic, partition-preserving, normalized") {
+  test("feature extraction is deterministic, partition-preserving, in-range") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media, batchSize = 7).collect()
       .sortBy(_.media_id)
@@ -34,18 +34,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
     f1.foreach { f =>
       assert(f.features.length == 8)
-      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // histogram normalized
+      // each feature is hex16/2^16 ∈ [0, 1), exactly representable in FLOAT
+      f.features.foreach { v =>
+        assert(v >= 0f && v < 1f)
+        assert(v * 65536.0f == math.rint(v * 65536.0).toFloat) // k/2^16 exact
+      }
       assert(f.width >= 64 && f.width < 256 && f.height >= 64 && f.height < 256)
     }
     assert(f1.length == docs.count())
   }
 
-  test("frame sampling emits ≤ n deterministic frames per media row") {
+  test("stub codec values are md5-derived exactly as the mm2 oracle recomputes") {
+    val bytes = "hello multimodal".getBytes("UTF-8")
+    val h = Multimodal.StubCodec.md5Hex(bytes)
+    val (w, ht) = Multimodal.StubCodec.decodeDims(bytes)
+    assert(w == 64 + Integer.parseInt(h.substring(0, 2), 16) % 192)
+    assert(ht == 64 + Integer.parseInt(h.substring(2, 4), 16) % 192)
+    val fs = Multimodal.StubCodec.features(bytes)
+    assert(fs(0) == Integer.parseInt(h.substring(0, 4), 16) / 65536.0f)
+    assert(fs(7) == Integer.parseInt(h.substring(28, 32), 16) / 65536.0f)
+  }
+
+  test("frame sampling emits ≤ n deterministic frames with exact byte offsets") {
     val frames = Multimodal.sampleFrames(media, nFrames = 4).collect()
+    val lens = media.collect().map(r => r.media_id -> r.content.length.toLong).toMap
     val byId = frames.groupBy(_.media_id)
-    byId.values.foreach { fs =>
+    byId.foreach { case (id, fs) =>
       assert(fs.length <= 4 && fs.map(_.frame_idx).distinct.length == fs.length)
-      fs.foreach(f => assert(f.frame_digest.length == 32))
+      val step = math.max(lens(id) / 4, 1L)
+      fs.foreach { f =>
+        assert(f.frame_digest.length == 32)
+        assert(f.frame_start == f.frame_idx * step)
+        assert(f.frame_len == math.min((f.frame_idx + 1) * step, lens(id)) - f.frame_start)
+        assert(f.frame_start < lens(id))
+      }
     }
     // deterministic across runs
     val again = Multimodal.sampleFrames(media, nFrames = 4).collect()

@@ -23,13 +23,10 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("oracle map matches the query map; no-oracle set is the justified 2") {
+  test("oracle map matches the query map exactly — every query has an oracle") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // each of these carries a written justification in SparkEntry's
-    // scaladoc (stub decode — no codec libraries in this environment)
-    assert(q -- o == Set("mm2_media_features", "mm3_frame_sample"),
-      s"unjustified: ${q -- o}")
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
   }
 }
