@@ -32,7 +32,9 @@ import org.apache.spark.sql.SparkSession
   * lock: a write that lands between the verification scan and the final
   * DROP is still lost — quiescing writers is the contract.
   *
-  * At cluster scale the same pattern runs per partition.
+  * At cluster scale the same pattern runs per partition —
+  * [[compactPartitions]] compacts only selected partitions and leaves
+  * every other partition's files byte-untouched.
   */
 object Compaction {
 
@@ -68,10 +70,13 @@ object Compaction {
     * cardinality changes only, as the pre-fingerprint code did for all
     * tables.
     */
-  private def contentSummary(spark: SparkSession,
-                             tbl: String): (Long, BigDecimal) = {
+  private[core] def contentSummary(spark: SparkSession,
+                                   tbl: String): (Long, BigDecimal) =
+    contentSummaryOf(spark.table(tbl))
+
+  private[core] def contentSummaryOf(
+      df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
     import org.apache.spark.sql.functions._
-    val df = spark.table(tbl)
     if (df.schema.fields.exists(f => containsMap(f.dataType))) {
       (df.count(), BigDecimal(0))
     } else {
@@ -148,5 +153,108 @@ object Compaction {
     spark.sql(s"ALTER TABLE $qTmp RENAME TO $qFqn")
     spark.sql(s"DROP TABLE $qOld")
     (before, spark.table(fqn).inputFiles.length)
+  }
+
+  /** Dynamic-partition-overwrite insert (partitions present in `df` are
+    * replaced, all others untouched), with the session conf set for the
+    * write and restored after — same mechanics as TableStore.insertDynamic.
+    */
+  private def overwriteDynamic(spark: SparkSession,
+                               df: org.apache.spark.sql.DataFrame,
+                               fqn: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.select(spark.table(fqn).columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").insertInto(fqn)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Per-partition compaction — the 100 TB form promised by the object
+    * scaladoc: only the partitions selected by `partitionPredicate` (a SQL
+    * expression over partition columns, e.g. `"od_year = 1997"`) are
+    * rewritten; every other partition's files are byte-untouched. Returns
+    * (filesBefore, filesAfter) WITHIN the selected slice.
+    *
+    * Mechanics: the slice is partition-pruned at the scan (predicate over
+    * partition columns only), grouped back onto its partition keys
+    * (`repartition(partCols)`) and staged with `maxRecordsPerFile =
+    * targetRows` into a `__compact` sibling — each selected partition
+    * lands as ceil(partRows/targetRows) files. The staged copy (immutable)
+    * is fingerprint-compared against the live slice; on mismatch (a writer
+    * raced the staging) the stage is dropped and the call aborts with the
+    * original fully intact. Publish is a dynamic-partition overwrite FROM
+    * the staged copy, so a crash mid-publish always leaves the complete
+    * verified slice under `__compact`: the next call self-heals by
+    * re-publishing it (idempotent — overwriting a partition with its own
+    * verified content) before doing new work. As with compactTable, the
+    * guard is detection, not a lock — a write landing between the
+    * verification scan and the publish is lost; quiescing writers over the
+    * selected partitions is the contract. A transaction-log format makes
+    * the publish atomic; this is the portable form.
+    */
+  def compactPartitions(spark: SparkSession, fqn: String,
+                        partitionPredicate: String, targetRows: Long,
+                        afterStage: () => Unit = () => ()): (Int, Int) = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val tmp = s"${fqn}__compact"
+    val (qFqn, qTmp) = (quoted(fqn), quoted(tmp))
+    import org.apache.spark.sql.functions.col
+    val partCols = spark.catalog.listColumns(fqn)
+      .filter(_.isPartition).collect().map(_.name).toIndexedSeq
+    require(partCols.nonEmpty,
+      s"'$fqn' has no partition columns — use compactTable")
+    // Self-heal a crash mid-publish: __compact holds a complete verified
+    // slice (staging commits atomically via saveAsTable; the stage is only
+    // dropped after a successful publish), so re-publishing it is always
+    // safe and converges the interrupted run.
+    if (spark.catalog.tableExists(tmp)) {
+      overwriteDynamic(spark, spark.table(tmp), fqn)
+      spark.sql(s"DROP TABLE $qTmp")
+    }
+    def slice = spark.table(fqn).where(partitionPredicate)
+    // Dataset.inputFiles reports the UNPRUNED relation's files, so the
+    // slice's file count is resolved via its partition directory names
+    // (Hive-style `col=value` path segments; values here come from the
+    // partition columns themselves, so the mapping is exact).
+    val selParts = slice.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.zipWithIndex
+        .map { case (c, i) => s"/$c=${String.valueOf(r.get(i))}" })
+    def sliceFiles(): Int = spark.table(fqn).inputFiles
+      .count(f => selParts.exists(_.forall(f.contains(_))))
+    val before = sliceFiles()
+    // Stage: group rows back onto their partition keys so each selected
+    // partition is written by one task, split into targetRows-sized files
+    // by the writer (parallelism-agnostic — no single-task bottleneck for
+    // multi-partition slices).
+    spark.sql(s"DROP TABLE IF EXISTS $qTmp")
+    slice.repartition(partCols.map(col): _*)
+      .write.format("parquet")
+      .option("maxRecordsPerFile", targetRows)
+      .partitionBy(partCols: _*)
+      .saveAsTable(tmp)
+    afterStage() // test seam: the window the verification scan must catch
+    // Verify the immutable staged copy against the live slice BEFORE any
+    // destructive step — a mismatch means a writer raced the staging read;
+    // drop the stage and abort with the original untouched.
+    val staged = contentSummaryOf(spark.table(tmp))
+    val current = contentSummaryOf(slice)
+    if (staged != current) {
+      spark.sql(s"DROP TABLE $qTmp")
+      throw new IllegalStateException(
+        s"compactPartitions aborted: '$fqn' ($partitionPredicate) changed " +
+          s"during staging (staged ${staged._1} rows, slice now has " +
+          s"${current._1}, fingerprints " +
+          s"${if (staged._2 == current._2) "match" else "differ"}); " +
+          "nothing was modified — quiesce writers and retry")
+    }
+    overwriteDynamic(spark, spark.table(tmp), fqn)
+    spark.sql(s"DROP TABLE $qTmp")
+    spark.catalog.refreshTable(fqn)
+    (before, sliceFiles())
   }
 }

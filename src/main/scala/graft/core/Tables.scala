@@ -157,20 +157,47 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
-  /** Keyed UPSERT (MERGE emulation on a plain-parquet managed table):
-    * incoming rows REPLACE existing rows sharing their key, everything
-    * else appends — `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT` with
-    * whole-row updates. A transaction-log format does this with file
-    * rewrites; the portable form computes
-    * `existing ANTI-JOIN incoming.keys UNION incoming`, stages it, and
-    * swaps via the same rename-rename-drop used by
-    * [[graft.core.Compaction]] (a direct overwrite of a table being read
-    * is both forbidden by Spark and non-crash-safe). At scale the
-    * anti-join is a compact-key shuffle and AQE broadcasts small incoming
-    * batches; writers must quiesce for the swap, as with compaction.
+  /** Keyed UPSERT (MERGE emulation on a parquet managed table): incoming
+    * rows REPLACE existing rows sharing their key, everything else appends
+    * — `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT` with whole-row
+    * updates. A transaction-log format does this with file rewrites; the
+    * portable form computes `existing ANTI-JOIN incoming.keys UNION
+    * incoming` and publishes it.
+    *
+    * PLAIN tables stage the merge and swap via the same rename-rename-drop
+    * used by [[graft.core.Compaction]] (a direct overwrite of a table
+    * being read is both forbidden by Spark and non-crash-safe), with
+    * Compaction's writer-race guard: the pre-staging content summary of
+    * the target must match the renamed original at swap time, else the
+    * original is restored and the call fails loudly.
+    *
+    * PARTITIONED tables take the production path ([[upsertPartitioned]]):
+    * only the partitions containing incoming rows or matched keys are
+    * rewritten (dynamic-partition overwrite); untouched partitions' files
+    * are never touched. This is the 100 TB form — a date-partitioned fact
+    * upserts a daily batch by rewriting a handful of partitions, not the
+    * table. Atomicity is per partition (no multi-partition transaction on
+    * plain parquet); the operation is idempotent, so the crash-recovery
+    * story is replay-the-batch, matching the landing contract of
+    * [[saveBatchPartition]].
+    *
+    * BUCKETED tables are refused loudly (a staged plain rewrite would
+    * silently lose the bucketing layout and its shuffle-free joins).
+    *
+    * Incoming key columns must be non-null (checked, loud): a NULL key
+    * never matches the anti-join, so replaying a batch with null keys
+    * would accumulate duplicates instead of being idempotent.
+    *
+    * At scale the anti-join is a compact-key shuffle and AQE broadcasts
+    * small incoming batches; writers must quiesce for the publish, as with
+    * compaction. The incoming plan is evaluated more than once (merge +
+    * guards) — it must be deterministic, which the replay contract already
+    * requires.
     */
   def upsert(df: DataFrame, layer: String, table: String,
-             keyCols: Seq[String]): Unit = {
+             keyCols: Seq[String],
+             beforeSwap: () => Unit = () => ()): Unit = {
+    import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val name = fqn(layer, table)
     val tmp = s"${name}__upsert"
@@ -180,35 +207,110 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     // would route the next call through the create path and silently
     // publish ONLY the incoming batch. Writers are quiesced by contract
     // (as with Compaction), so: only __old → crash between renames,
-    // restore it; both → only the final DROP was missed (the published
-    // table IS the merged copy), clear the leftover.
+    // restore it; both → normally only the final DROP was missed (the
+    // published table IS the merged copy) — but a quiesce-violating writer
+    // may have RE-CREATED the target (append-mode saveAsTable creates
+    // missing tables) after a crash between the renames, making __old the
+    // only complete copy. The merge keeps every pre-merge KEY (matched
+    // keys are replaced, not removed), so __old is dropped only when its
+    // key set is covered by the published table; otherwise fail loudly
+    // for manual reconciliation, as Compaction does.
     if (spark.catalog.tableExists(old)) {
       if (!spark.catalog.tableExists(name)) {
         spark.sql(s"ALTER TABLE $old RENAME TO $name")
       } else {
-        spark.sql(s"DROP TABLE $old")
+        val covered =
+          try spark.table(old).select(keyCols.map(col): _*)
+            .join(spark.table(name).select(keyCols.map(col): _*),
+              keyCols, "left_anti")
+            .isEmpty
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (covered) spark.sql(s"DROP TABLE $old")
+        else throw new IllegalStateException(
+          s"upsert self-heal refused: '$old' holds keys absent from " +
+            s"'$name' — a writer raced a previous crashed run; reconcile " +
+            s"manually (keep one of '$name' / '$old', drop the other) " +
+            "and retry")
       }
     }
     if (!spark.catalog.tableExists(name)) { save(df, layer, table); return }
-    // The staged rewrite is plain parquet: refuse partitioned/bucketed
-    // targets loudly rather than silently republishing them WITHOUT
-    // their layout (losing pruning / shuffle-free joins).
-    val layout = spark.catalog.listColumns(name)
-      .filter(c => c.isPartition || c.isBucket)
-    require(layout.isEmpty,
-      s"upsert supports plain tables; '$name' is partitioned/bucketed on " +
-        s"${layout.collect().map(_.name).mkString(", ")} — use a " +
-        "layout-preserving rewrite (savePartitioned/saveBucketed the merge)")
+    val nullKeyed = keyCols.map(c => col(c).isNull).reduce(_ || _)
+    require(df.filter(nullKeyed).isEmpty,
+      s"upsert into '$name' requires non-null values in key columns " +
+        s"(${keyCols.mkString(", ")}): a NULL key never matches the " +
+        "anti-join, so replays would accumulate duplicate rows")
+    val layoutCols = spark.catalog.listColumns(name).collect()
+    require(!layoutCols.exists(_.isBucket),
+      s"upsert supports plain and partitioned tables; '$name' is bucketed " +
+        s"on ${layoutCols.filter(_.isBucket).map(_.name).mkString(", ")} — " +
+        "use a layout-preserving rewrite (saveBucketed the merge)")
+    val partCols = layoutCols.filter(_.isPartition).map(_.name).toSeq
+    if (partCols.nonEmpty) { upsertPartitioned(df, name, keyCols, partCols); return }
+    // Writer-race guard (detection, not a lock — see Compaction): summarize
+    // the target before the merge reads it; a write landing any time up to
+    // the swap flips the summary of the renamed original and aborts.
+    val preSummary = Compaction.contentSummary(spark, name)
     val existing = load(layer, table)
-    import org.apache.spark.sql.functions.col
     val merged = existing
       .join(df.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     merged.write.format("parquet").saveAsTable(tmp)
+    beforeSwap() // test seam: the window a concurrent write must trip
     spark.sql(s"ALTER TABLE $name RENAME TO $old")
+    if (Compaction.contentSummary(spark, old) != preSummary) {
+      spark.sql(s"ALTER TABLE $old RENAME TO $name")
+      spark.sql(s"DROP TABLE $tmp")
+      throw new IllegalStateException(
+        s"upsert aborted: '$name' changed between the staging read and the " +
+          "swap; original restored — quiesce writers and retry")
+    }
     spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
     spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Partition-scoped upsert (see [[upsert]]). Touched partitions =
+    * partitions receiving incoming rows ∪ partitions holding matched keys;
+    * the merge (`existing-in-touched ANTI keys UNION incoming`) is written
+    * with dynamic-partition overwrite, so every other partition's files
+    * are byte-untouched. The matched-key probe is one column-pruned scan
+    * of (key, partition) columns only.
+    *
+    * A key may MOVE partitions (incoming places it elsewhere): its old
+    * partition is in the touched set, so the stale row is rewritten away.
+    * A touched partition whose rows ALL move away ends with zero rows —
+    * dynamic overwrite never rewrites a partition it has no rows for, so
+    * those are dropped explicitly (the drop list is bounded by the touched
+    * partition count — driver-safe).
+    */
+  private def upsertPartitioned(df: DataFrame, name: String,
+                                keyCols: Seq[String],
+                                partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val targetCols = spark.table(name).columns.toIndexedSeq
+    val incoming = df.select(targetCols.map(col): _*)
+    val keys = incoming.select(keyCols.map(col): _*).distinct()
+    val existing = spark.table(name)
+    val touched = incoming.select(partCols.map(col): _*)
+      .union(existing.join(keys, keyCols, "left_semi")
+        .select(partCols.map(col): _*))
+      .distinct()
+    val merged = existing.join(touched, partCols, "left_semi")
+      .join(keys, keyCols, "left_anti")
+      .unionByName(incoming)
+    // must be computed BEFORE the overwrite mutates `existing`
+    val emptied = touched
+      .except(merged.select(partCols.map(col): _*).distinct()).collect()
+    insertDynamic(merged, name)
+    emptied.foreach { row =>
+      val spec = partCols.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i)
+        require(v != null,
+          s"upsert into '$name': NULL value in partition column '$c'")
+        s"${ident(c)}='${v.toString.replace("'", "''")}'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+    }
   }
 
   /** ≙ `utilities.py:27-30`. */

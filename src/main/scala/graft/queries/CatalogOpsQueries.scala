@@ -245,22 +245,79 @@ object CatalogOpsQueries {
           col("n_null_price"))
     }),
 
-    // export sharding — the training-shard writer: one writer task with
-    // maxRecordsPerFile=N deterministically produces ceil(rows/N) files;
-    // emitted booleans prove the shard count and row preservation
+    // export sharding — the training-shard writer in its SCALE shape:
+    // k parallel writer tasks, each split into ≤N-row files by
+    // maxRecordsPerFile (the option is parallelism-agnostic). Emitted
+    // booleans prove every file honors the row bound and the total file
+    // count sits in [ceil(rows/N), floor(rows/N)+k] (each task adds at
+    // most one partial file); row preservation is the oracle's count
     "ex1_shard_export" -> ((s, d) => {
       val tmp = s"/tmp/graft-shards-${d.replaceAll("[^a-z0-9.]", "_")}"
-      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-      docs.repartition(1)
+      val k = 4
+      val n = 100
+      table(s, d, "documents").select(col("doc_id"), col("text"))
+        .repartition(k)
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", 100)
+        .option("maxRecordsPerFile", n)
         .parquet(tmp)
       val back = s.read.parquet(tmp)
       val nFiles = back.inputFiles.length
-      back.agg(count(lit(1)).as("n_rows"))
+      back.groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("bigint").as("n_rows"),
+          max(col("c")).as("max_per_file"))
         .select(col("n_rows"),
-          (lit(nFiles) === ceil(col("n_rows").cast("double") / 100.0)
-            .cast("int")).as("shards_ok"))
+          (col("max_per_file") <= n).as("files_within_bound"),
+          (lit(nFiles) >= ceil(col("n_rows").cast("double") / n) &&
+            lit(nFiles) <= floor(col("n_rows").cast("double") / n) + k)
+            .as("shard_count_ok"))
+    }),
+
+    // partition-scoped upsert — the 100 TB MERGE shape: a date-partitioned
+    // fact takes a batch that UPDATES scattered keys (o_orderkey ≡ 0 mod
+    // 1000 get o_custkey = -1) and INSERTS new keys into a brand-new
+    // partition (od_year 2099); only touched partitions are rewritten
+    // (byte-identity of the rest is asserted in TableUpsertSpec). The
+    // emitted table is the full post-merge content the oracle recomposes
+    "up2_upsert_partitioned" -> ((s, d) => {
+      val store = new TableStore(s, PipelineConfig(schema = "verifyup2"))
+      store.drop("fact", "orders_up")
+      val seed = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).as("od_year"))
+      store.savePartitioned(seed, "fact", "orders_up", Seq("od_year"))
+      val batch = seed.filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"), lit(-1L).as("o_custkey"), col("od_year"))
+        .unionByName(table(s, d, "region").select(
+          (col("r_regionkey") + 10000000L).cast("bigint").as("o_orderkey"),
+          col("r_regionkey").cast("bigint").as("o_custkey"),
+          lit(2099).as("od_year")))
+      store.upsert(batch, "fact", "orders_up", Seq("o_orderkey"))
+      store.load("fact", "orders_up")
+    }),
+
+    // per-partition compaction — fragment a date-partitioned fact (4 files
+    // per year), compact ONLY od_year=1995, emit (files_reduced,
+    // files_after, untouched_files_same, preserved row count); byte
+    // identity of untouched partitions is asserted in CompactionSpec
+    "cp2_compact_partitions" -> ((s, d) => {
+      val store = new TableStore(s, PipelineConfig(schema = "verifycp2"))
+      store.drop("fact", "fragp")
+      store.savePartitioned(table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("od_year"))
+        .repartition(4), "fact", "fragp", Seq("od_year"))
+      val fqn = store.fqn("fact", "fragp")
+      def untouched() = s.table(fqn).inputFiles
+        .filterNot(_.contains("od_year=1995")).sorted.toSeq
+      val before = untouched()
+      val (filesBefore, filesAfter) = Compaction.compactPartitions(
+        s, fqn, "od_year = 1995", targetRows = 100000000L)
+      store.load("fact", "fragp")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(filesBefore > filesAfter).as("files_reduced"),
+          lit(filesAfter).as("files_after"),
+          lit(untouched() == before).as("untouched_same"),
+          col("n_rows"))
     }),
 
     // compaction — fragment a managed table into 16 files, compact to one,
@@ -328,7 +385,21 @@ object CatalogOpsQueries {
         |) t""".stripMargin,
     "ex1_shard_export" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
-        | TRUE AS shards_ok""".stripMargin,
+        | TRUE AS files_within_bound, TRUE AS shard_count_ok""".stripMargin,
+    "up2_upsert_partitioned" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 1000 = 0 THEN CAST(-1 AS BIGINT)
+        |   ELSE o_custkey END AS o_custkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS od_year
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(r_regionkey + 10000000 AS BIGINT),
+        | CAST(r_regionkey AS BIGINT), CAST(2099 AS INTEGER)
+        |FROM region""".stripMargin,
+    "cp2_compact_partitions" ->
+      """SELECT TRUE AS files_reduced, CAST(1 AS INTEGER) AS files_after,
+        | TRUE AS untouched_same,
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows""".stripMargin,
     "wf1_workflow_dag" ->
       """SELECT * FROM (
         | SELECT CAST(1 AS INTEGER) AS step, 'aux_dims' AS stage,

@@ -122,6 +122,93 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  private def fileDigests(fqn: String, part: String): Map[String, Seq[Byte]] =
+    spark.table(fqn).inputFiles.filter(_.contains(part)).map { u =>
+      val p = java.nio.file.Paths.get(new java.net.URI(u).getPath)
+      u -> java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(p)).toSeq
+    }.toMap
+
+  private def fragmentedStore(tag: String): (TableStore, String) = {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"${tag}_${System.nanoTime()}"))
+    // repartition(4) before partitionBy → 4 files in each of 3 partitions
+    store.savePartitioned(spark.range(300)
+      .select(col("id"), (col("id") % 3).as("p")).repartition(4),
+      "tmp", "t", Seq("p"))
+    (store, store.fqn("tmp", "t"))
+  }
+
+  test("per-partition compaction rewrites only the selected partitions") {
+    val (_, fqn) = fragmentedStore("partc")
+    val before1 = fileDigests(fqn, "p=1")
+    val before2 = fileDigests(fqn, "p=2")
+    assert(fileDigests(fqn, "p=0").size == 4)
+    val (before, after) =
+      Compaction.compactPartitions(spark, fqn, "p = 0", targetRows = 1000)
+    assert(before == 4 && after == 1, s"files $before -> $after")
+    // untouched partitions: identical file paths AND bytes
+    assert(fileDigests(fqn, "p=1") == before1)
+    assert(fileDigests(fqn, "p=2") == before2)
+    // content fully preserved
+    val got = spark.table(fqn).as[(Long, Long)].collect().toSet
+    assert(got == (0L until 300L).map(i => (i, i % 3)).toSet)
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+  }
+
+  test("a write racing partition compaction aborts with nothing modified") {
+    val (_, fqn) = fragmentedStore("partrace")
+    val allBefore = fileDigests(fqn, "/p=")
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactPartitions(spark, fqn, "p = 0", targetRows = 1000,
+        afterStage = () => spark.range(1000, 1001)
+          .select(col("id"), lit(0L).as("p"))
+          .write.mode("append").format("parquet").insertInto(fqn))
+    }
+    assert(ex.getMessage.contains("quiesce"))
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+    // the racing append survives; nothing else changed
+    assert(spark.table(fqn).count() == 301)
+    // a quiesced retry then succeeds
+    val (_, after) =
+      Compaction.compactPartitions(spark, fqn, "p = 0", targetRows = 1000)
+    assert(after == 1 && spark.table(fqn).count() == 301)
+    // untouched partitions stayed byte-identical through abort AND retry
+    assert(fileDigests(fqn, "p=1") == allBefore.filter(_._1.contains("p=1")))
+  }
+
+  test("a leftover __compact from a crashed publish self-heals by re-publishing") {
+    val (_, fqn) = fragmentedStore("partheal")
+    // simulate: a prior compactPartitions of p=0 staged + verified, then
+    // crashed mid-publish leaving p=0 short and the full slice in __compact
+    spark.table(fqn).where("p = 0").write.format("parquet")
+      .partitionBy("p").saveAsTable(s"${fqn}__compact")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try spark.table(fqn).where("p = 0 AND id < 10")
+      .write.mode("overwrite").insertInto(fqn)
+    finally spark.conf.unset(key)
+    assert(spark.table(fqn).count() < 300) // p=0 is short: crash simulated
+    // compacting a DIFFERENT slice first restores p=0 from the stage
+    val (_, after) =
+      Compaction.compactPartitions(spark, fqn, "p = 1", targetRows = 1000)
+    assert(after == 1)
+    val got = spark.table(fqn).as[(Long, Long)].collect().toSet
+    assert(got == (0L until 300L).map(i => (i, i % 3)).toSet)
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+  }
+
+  test("compactPartitions refuses unpartitioned tables") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"partflat_${System.nanoTime()}"))
+    store.save(spark.range(10).toDF("id"), "tmp", "t")
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compactPartitions(spark, store.fqn("tmp", "t"),
+        "1 = 1", targetRows = 10)
+    }
+    assert(ex.getMessage.contains("compactTable"))
+  }
+
   test("target above row count compacts to a single file") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc",

@@ -48,29 +48,134 @@ class TableUpsertSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${fqn}__old"))
   }
 
-  test("leftover __old from a missed final DROP is cleared, not fatal") {
+  test("leftover __old from a missed final DROP is cleared when superseded") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc", schema = s"updrop_${System.nanoTime()}"))
     store.save(spark.range(5).select($"id", $"id".as("v")), "dim", "t")
     val fqn = store.fqn("dim", "t")
-    spark.range(99).toDF("id").write.format("parquet")
-      .saveAsTable(s"${fqn}__old") // stale pre-merge copy
+    // plausible pre-merge copy: its keys are a subset of the published
+    // table's (the merge keeps every pre-merge key) — safe to clear
+    spark.range(3).select($"id", lit(0L).as("v")).write.format("parquet")
+      .saveAsTable(s"${fqn}__old")
     store.upsert(spark.range(3).select($"id", lit(7L).as("v")),
       "dim", "t", Seq("id"))
     assert(store.load("dim", "t").count() == 5)
     assert(!spark.catalog.tableExists(s"${fqn}__old"))
   }
 
-  test("partitioned targets are refused, not silently flattened") {
+  test("self-heal refuses to drop an __old the published table does not cover") {
     val store = new TableStore(spark, PipelineConfig(
-      catalog = "graftc", schema = s"uppart_${System.nanoTime()}"))
-    store.savePartitioned(spark.range(10)
-      .select($"id", ($"id" % 3).as("p")), "fact", "t", Seq("p"))
+      catalog = "graftc", schema = s"upbad_${System.nanoTime()}"))
+    store.save(spark.range(5).select($"id", $"id".as("v")), "dim", "t")
+    val fqn = store.fqn("dim", "t")
+    // a quiesce-violating writer re-created the target after a crash: __old
+    // holds keys 0..9, the published table only 0..4 — __old is the only
+    // complete copy and must NOT be silently dropped
+    spark.range(10).select($"id", lit(0L).as("v")).write.format("parquet")
+      .saveAsTable(s"${fqn}__old")
+    val ex = intercept[IllegalStateException] {
+      store.upsert(spark.range(2).select($"id", lit(7L).as("v")),
+        "dim", "t", Seq("id"))
+    }
+    assert(ex.getMessage.contains("reconcile"))
+    assert(spark.catalog.tableExists(fqn) &&
+      spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
+  test("null incoming keys are refused loudly (replay would duplicate)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upnull_${System.nanoTime()}"))
+    store.save(Seq((1L, "a")).toDF("id", "v"), "dim", "t")
+    val batch = Seq((Option(2L), "b"), (Option.empty[Long], "c"))
+      .toDF("id", "v")
     val ex = intercept[IllegalArgumentException] {
-      store.upsert(spark.range(2).select($"id", lit(0L).as("p")),
+      store.upsert(batch, "dim", "t", Seq("id"))
+    }
+    assert(ex.getMessage.contains("non-null"))
+  }
+
+  test("a write racing the plain-table swap aborts and restores the original") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"uprace_${System.nanoTime()}"))
+    store.save(spark.range(10).select($"id", $"id".as("v")), "dim", "t")
+    val fqn = store.fqn("dim", "t")
+    val ex = intercept[IllegalStateException] {
+      store.upsert(spark.range(10, 12).select($"id", lit(-1L).as("v")),
+        "dim", "t", Seq("id"),
+        beforeSwap = () => spark.range(100, 101)
+          .select($"id", lit(0L).as("v"))
+          .write.format("parquet").mode("append").saveAsTable(fqn))
+    }
+    assert(ex.getMessage.contains("quiesce"))
+    // original (including the racing row) is still published; no leftovers
+    assert(store.load("dim", "t").count() == 11)
+    assert(!spark.catalog.tableExists(s"${fqn}__upsert"))
+    assert(!spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
+  test("bucketed targets are refused, not silently flattened") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upbkt_${System.nanoTime()}"))
+    store.saveBucketed(spark.range(10)
+      .select($"id", ($"id" % 3).as("b")), "fact", "t", 4, Seq("id"))
+    val ex = intercept[IllegalArgumentException] {
+      store.upsert(spark.range(2).select($"id", lit(0L).as("b")),
         "fact", "t", Seq("id"))
     }
     assert(ex.getMessage.contains("layout-preserving"))
+  }
+
+  private def fileDigests(fqn: String, part: String): Map[String, Seq[Byte]] =
+    spark.table(fqn).inputFiles.filter(_.contains(part)).map { u =>
+      val p = java.nio.file.Paths.get(new java.net.URI(u).getPath)
+      u -> java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(p)).toSeq
+    }.toMap
+
+  test("partitioned upsert rewrites ONLY touched partitions — others byte-identical") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"uppart_${System.nanoTime()}"))
+    store.savePartitioned(spark.range(30)
+      .select($"id", ($"id" * 10).as("v"), ($"id" % 3).as("p")),
+      "fact", "t", Seq("p"))
+    val fqn = store.fqn("fact", "t")
+    val before1 = fileDigests(fqn, "p=1")
+    val before2 = fileDigests(fqn, "p=2")
+    assert(before1.nonEmpty && before2.nonEmpty)
+    // update two keys in p=0, insert one key into a brand-new partition
+    val batch = Seq((0L, -1L, 0L), (3L, -1L, 0L), (100L, -1L, 9L))
+      .toDF("id", "v", "p")
+    store.upsert(batch, "fact", "t", Seq("id"))
+    val got = store.load("fact", "t").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = (0L until 30L)
+      .map(i => i -> ((i * 10, i % 3))).toMap ++
+      Map(0L -> ((-1L, 0L)), 3L -> ((-1L, 0L)), 100L -> ((-1L, 9L)))
+    assert(got == expected)
+    // untouched partitions: same files, byte-identical content
+    assert(fileDigests(fqn, "p=1") == before1)
+    assert(fileDigests(fqn, "p=2") == before2)
+    // replay is idempotent
+    store.upsert(batch, "fact", "t", Seq("id"))
+    assert(store.load("fact", "t").count() == 31)
+    assert(fileDigests(fqn, "p=1") == before1)
+  }
+
+  test("a key moving partitions leaves no stale row; emptied partitions drop") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upmove_${System.nanoTime()}"))
+    store.savePartitioned(
+      Seq((1L, "x", 0L), (2L, "y", 1L)).toDF("id", "v", "p"),
+      "fact", "t", Seq("p"))
+    val fqn = store.fqn("fact", "t")
+    // key 2 moves p=1 → p=0; p=1 ends empty and must not keep a stale row
+    store.upsert(Seq((2L, "z", 0L)).toDF("id", "v", "p"),
+      "fact", "t", Seq("id"))
+    val got = store.load("fact", "t").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "x", 0L), (2L, "z", 0L)))
+    assert(!spark.table(fqn).inputFiles.exists(_.contains("p=1")))
+    assert(spark.sql(s"SHOW PARTITIONS $fqn").collect()
+      .map(_.getString(0)).forall(!_.contains("p=1")))
   }
 
   test("duplicate keys WITHIN the batch replace existing rows, all kept") {
