@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusBudget {
 
+  /** Output carries the input columns plus `cum_tokens` (the running
+    * within-group total that admitted each row) — both `cum_tokens` and
+    * the internal `_bf_rn` are reserved names, rejected loudly on input
+    * rather than silently overwritten.
+    */
   def budgetFill(df: DataFrame, groupCol: String, tokensCol: String,
                  budget: Long, orderBy: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    require(!df.columns.contains("_bf_rn"),
-      "budgetFill: input already has a column named _bf_rn (reserved)")
+    Seq("_bf_rn", "cum_tokens").foreach(r =>
+      require(!df.columns.contains(r),
+        s"budgetFill: input already has a column named $r (reserved)"))
     val ord = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
     val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // first-doc admission is by RANK, not by `cum == own tokens` — the

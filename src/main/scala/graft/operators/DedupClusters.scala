@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   * nothing on the driver but a converged? boolean per round. Round count
   * is the component DIAMETER, not corpus size: near-dup clusters are
   * shallow (stars around a popular document, short chains), so 3-5
-  * rounds close web-scale corpora. `localCheckpoint` truncates the plan
+  * rounds close web-scale corpora. A checkpoint truncates the plan
   * lineage each round (iterative self-reference would otherwise compound
-  * the DAG); it stores blocks on executors, so on a cluster with
-  * preemptible/decommissioning executors swap in reliable
-  * `checkpoint()` (HDFS-backed) — same semantics, crash-proof lineage
-  * cut. For adversarially long chains the same loop accepts a
-  * pointer-jumping variant (label ← label-of-label, O(log d) rounds);
-  * plain propagation is what the data needs and keeps every round a
-  * single join.
+  * the DAG): `localCheckpoint` by default (executor-block storage), or
+  * reliable `checkpoint()` (HDFS-backed, crash-proof lineage cut) with
+  * `useReliableCheckpoint = true` — the right setting on a cluster with
+  * preemptible/decommissioning executors (requires
+  * `sparkContext.setCheckpointDir`, checked loudly).
+  *
+  * For adversarially long chains, `pointerJumping = true` adds label
+  * shortcutting to each round (label ← min(own, neighbors', label's
+  * label)): labels reach the component minimum in O(log diameter) rounds
+  * instead of O(diameter), at the price of one extra self-join per round.
+  * Plain propagation stays the default — near-dup graphs are shallow and
+  * each round stays a single join.
   */
 object DedupClusters {
 
@@ -41,17 +46,24 @@ object DedupClusters {
     * instead.
     */
   def canonicalize(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIters: Int = 20): DataFrame = {
+                   maxIters: Int = 20,
+                   pointerJumping: Boolean = false,
+                   useReliableCheckpoint: Boolean = false): DataFrame = {
     val aType = pairs.schema(aCol).dataType
     val bType = pairs.schema(bCol).dataType
     require(aType == bType,
       s"id columns must share a type: $aCol is ${aType.sql}, " +
         s"$bCol is ${bType.sql}")
-    val edges = pairs
+    if (useReliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "useReliableCheckpoint = true needs " +
+          "sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    def cut(df: DataFrame): DataFrame =
+      if (useReliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .localCheckpoint() // edges are reused every round; cut the source plan
+      .distinct()) // edges are reused every round; cut the source plan
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("lbl"))
     var converged = false
@@ -60,21 +72,34 @@ object DedupClusters {
       // pull each neighbor's current label, take the minimum with our own;
       // the old label rides along so convergence is a filter on THIS
       // frame, not another join against the previous labels
-      val next = edges
+      val pulled = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u")).agg(min(col("nlbl")).as("pulled"))
         .join(labels, "u")
-        .select(col("u"), least(col("lbl"), col("pulled")).as("lbl"),
-          col("lbl").as("prev"))
-        .localCheckpoint() // truncate the iterative lineage
+      // shortcutting: also adopt the label OF our label (labels only ever
+      // shrink and stay within the component, so the min over
+      // {own, neighbors', label's label} keeps the invariant while
+      // halving chain depth per round)
+      val stepped =
+        if (!pointerJumping)
+          pulled.select(col("u"), least(col("lbl"), col("pulled")).as("lbl"),
+            col("lbl").as("prev"))
+        else
+          pulled
+            .join(labels.select(col("u").as("lbl"), col("lbl").as("jlbl")),
+              "lbl")
+            .select(col("u"),
+              least(col("lbl"), col("pulled"), col("jlbl")).as("lbl"),
+              col("lbl").as("prev"))
+      val next = cut(stepped) // truncate the iterative lineage
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
       labels = next.select(col("u"), col("lbl"))
       iter += 1
     }
     require(converged,
       s"label propagation did not converge in $maxIters rounds — " +
-        "component diameter exceeds the bound; raise maxIters or switch " +
-        "to the pointer-jumping variant")
+        "component diameter exceeds the bound; raise maxIters or pass " +
+        "pointerJumping = true (O(log diameter) rounds)")
     labels.select(col("u").as("member_id"), col("lbl").as("canonical_id"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ai.{AiFunctions, DeterministicRubricScorer, DictionaryTranslator}
 import graft.quality._
-import graft.semantic.{Dimension, Measure, MetricJoin, MetricView}
+import graft.semantic.{Dimension, Measure, MetricJoin, MetricView, MetricViewYaml}
 import QueryUtil._
 
 /** Oracle-checked queries for the reference's non-relational surface:
@@ -63,6 +63,55 @@ object SemanticQueries {
       Measure("median_quantity",
         "CAST(CAST(percentile(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)",
         sqlExpr = Some("CAST(CAST(quantile_cont(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)"))))
+
+  /** The SAME view authored as DATA — the reference's analyst surface
+    * (`semantic_layer.sql:7-94` is a YAML document, not code). Parsed by
+    * [[MetricViewYaml]]; `MetricViewYamlSpec` asserts it parses to exactly
+    * [[lineitemView]], and `m7` proves the compiled plans hash-match.
+    */
+  val lineitemViewYaml: String =
+    """version: 1.1
+      |comment: "KPIs for harness lineitems"
+      |source: lineitem
+      |filter: l_quantity IS NOT NULL
+      |joins:
+      |  - name: ord
+      |    source: orders
+      |    on: source.l_orderkey = ord.o_orderkey
+      |  - name: prt
+      |    source: part
+      |    on: source.l_partkey = prt.p_partkey
+      |  - name: sup
+      |    source: supplier
+      |    on: source.l_suppkey = sup.s_suppkey
+      |dimensions:
+      |  - name: return_flag
+      |    expr: source.l_returnflag
+      |    display_name: 'Return Flag'
+      |    comment: 'Lineitem return flag'
+      |  - name: ship_year
+      |    expr: CAST(year(source.l_shipdate) AS INTEGER)
+      |  - name: brand
+      |    expr: prt.p_brand
+      |    display_name: 'Part Brand'
+      |  - name: order_status
+      |    expr: ord.o_orderstatus
+      |  - name: supplier_name
+      |    expr: sup.s_name
+      |measures:
+      |  - name: line_count
+      |    expr: CAST(COUNT(*) AS BIGINT)
+      |  - name: avg_quantity
+      |    expr: AVG(source.l_quantity)
+      |    display_name: 'Average Quantity'
+      |  - name: sum_revenue
+      |    expr: CAST(CAST(SUM(CAST(source.l_extendedprice * (1 - source.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+      |  - name: discounted_pct
+      |    expr: CAST(CAST(CAST(SUM(CASE WHEN source.l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+      |  - name: median_quantity
+      |    expr: CAST(CAST(percentile(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)
+      |    sql_expr: CAST(CAST(quantile_cont(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)
+      |""".stripMargin
 
   /** Fan-out view: orders source × 1:many lineitem join — reproduces the
     * reference's intentional fact-fan-out grain (SURVEY.md §7.4.3,
@@ -154,6 +203,16 @@ object SemanticQueries {
         Seq("line_status"))
     }),
 
+    // declarative authoring: the view built FROM THE YAML DOCUMENT (the
+    // reference's analyst surface) must compile to the same plan as the
+    // code-authored view — same request as m1, same oracle text
+    "m7_metric_yaml" -> ((s, d) => {
+      registerStar(s, d)
+      MetricViewYaml.parse(lineitemViewYaml)
+        .query(s, Seq("line_count", "sum_revenue", "avg_quantity"),
+          Seq("brand"))
+    }),
+
     // HAVING on aggregated measures (post-agg filter in the metric layer)
     "m6_metric_having" -> ((s, d) => {
       registerStar(s, d)
@@ -233,6 +292,12 @@ object SemanticQueries {
     "m1_metric_by_brand" ->
       lineitemView.toSql(Seq("line_count", "sum_revenue", "avg_quantity"),
         Seq("brand")),
+    // the PARSED view generates the oracle SQL too — both surfaces of the
+    // document round-trip through MetricViewYaml
+    "m7_metric_yaml" ->
+      MetricViewYaml.parse(lineitemViewYaml)
+        .toSql(Seq("line_count", "sum_revenue", "avg_quantity"),
+          Seq("brand")),
     "m2_metric_no_join" ->
       lineitemView.toSql(Seq("line_count", "discounted_pct"),
         Seq("return_flag")),

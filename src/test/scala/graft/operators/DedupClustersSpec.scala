@@ -63,6 +63,53 @@ class DedupClustersSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("pointer jumping closes a 1000-link chain in O(log d) rounds") {
+    // plain propagation needs ~1000 rounds here and must fail loudly at
+    // maxIters = 20; the shortcutting variant converges well inside it
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      DedupClusters.canonicalize(chain, "doc_a", "doc_b").collect()
+    }
+    val g = DedupClusters.canonicalize(chain, "doc_a", "doc_b",
+      pointerJumping = true)
+      .as[(Long, Long)].collect().toMap
+    assert(g.keySet == (1L to 1000L).toSet && g.values.forall(_ == 1L))
+  }
+
+  test("pointer jumping matches plain propagation on mixed graphs") {
+    // local-min vertices (2 in 2-9-1) stall pure label-of-label chasing;
+    // the hybrid round must still reach the component min
+    val pairs = Seq((2L, 9L), (9L, 1L), (5L, 7L), (30L, 31L), (31L, 32L))
+    val plain = got(pairs)
+    val jumped = DedupClusters.canonicalize(
+      pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b", pointerJumping = true)
+      .as[(Long, Long)].collect().toMap
+    assert(jumped == plain)
+    assert(jumped(2L) == 1L)
+  }
+
+  test("reliable checkpoint: flag requires a checkpoint dir, then matches") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      DedupClusters.canonicalize(pairs, "doc_a", "doc_b",
+        useReliableCheckpoint = true)
+    }
+    assert(ex.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val g = DedupClusters.canonicalize(pairs, "doc_a", "doc_b",
+        useReliableCheckpoint = true)
+        .as[(Long, Long)].collect().toMap
+      assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      // the shared session outlives this suite: clear the dir setting
+      sc.setCheckpointDir(null)
+    }
+  }
 }
 
 class CorpusBudgetSpec extends SparkSpec {
@@ -103,5 +150,16 @@ class CorpusBudgetSpec extends SparkSpec {
     val a = pick(rows.toDF("source", "doc_id", "q", "n_tokens"))
     val b = pick(rows.toDF("source", "doc_id", "q", "n_tokens").repartition(5))
     assert(a == (0L until 25L).toSet && a == b) // equal q → id order decides
+  }
+
+  test("reserved output names on the input are rejected, not overwritten") {
+    val base = Seq(("s", 1L, 10L)).toDF("source", "doc_id", "n_tokens")
+    Seq("_bf_rn", "cum_tokens").foreach { r =>
+      val ex = intercept[IllegalArgumentException] {
+        CorpusBudget.budgetFill(base.withColumn(r, lit(0L)),
+          "source", "n_tokens", 100L, Seq(col("doc_id")))
+      }
+      assert(ex.getMessage.contains(r))
+    }
   }
 }
