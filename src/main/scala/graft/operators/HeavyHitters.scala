@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   * same map-side-combine shape as a built-in agg, shuffling one
   * m-entry sketch per partition instead of the key space.
   *
-  * State is an encoder-friendly immutable Map, so the eviction-regime
-  * hot path pays a persistent-map copy per element plus an O(m) minimum
-  * scan per eviction; the Metwally stream-summary structure does both in
-  * O(1) with mutable linked buckets, the right trade if this aggregator
-  * ever becomes the bottleneck rather than the scan feeding it.
+  * Two result-identical implementations: [[SpaceSavingAgg]] keeps an
+  * encoder-friendly immutable Map (O(m) minimum scan per eviction — the
+  * readable reference the oracle entry pins), and [[StreamSummaryAgg]]
+  * keeps a mutable map + (count, item)-sorted index (O(log m) offer,
+  * the stream-summary structure for eviction-heavy censuses).
+  * HeavyHittersSpec property-tests them equal on shared streams and
+  * merges; SCALE.md records the eviction-regime timing gap.
   */
 object HeavyHitters {
 
@@ -98,13 +100,122 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
 
+  /** Mutable stream-summary state for [[StreamSummaryAgg]]: item map plus
+    * a (count, item)-ordered index whose head IS the deterministic
+    * eviction victim (min count, then lexicographic — the exact rule
+    * [[SpaceSavingAgg]] applies with its O(capacity) `minBy` scan). Both
+    * offer paths are O(log capacity): one hash update + one/two balanced-
+    * tree moves, no persistent-map copy — the Metwally stream-summary
+    * trade with the classic linked buckets replaced by a sorted index
+    * (same asymptotics up to the log factor, and the log is what buys the
+    * deterministic tie-break the property tests pin against the
+    * reference implementation).
+    */
+  final class Summary(val capacity: Int) extends Serializable {
+    var n: Long = 0L
+    val items = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val byCount = scala.collection.mutable.TreeSet.empty[(Long, String)]
+
+    def offer(item: String): Unit = {
+      n += 1
+      items.get(item) match {
+        case Some((c, e)) =>
+          byCount.remove((c, item))
+          items.update(item, (c + 1, e))
+          byCount.add((c + 1, item))
+        case None if items.size < capacity =>
+          items.update(item, (1L, 0L))
+          byCount.add((1L, item))
+        case None =>
+          val (vc, vict) = byCount.head
+          byCount.remove((vc, vict))
+          items.remove(vict)
+          items.update(item, (vc + 1, vc))
+          byCount.add((vc + 1, item))
+      }
+    }
+
+    /** Min counter for the mergeable-SpaceSaving absent-side rule: 0 while
+      * under capacity (nothing was ever evicted), else the smallest count.
+      */
+    def minCount: Long =
+      if (items.size < capacity) 0L else byCount.head._1
+
+    def toSketch: Sketch = Sketch(n, items.toMap)
+  }
+
+  /** Stream-summary SpaceSaving: result-identical to [[SpaceSavingAgg]]
+    * (same deterministic eviction victim, same mergeable-SpaceSaving
+    * merge rule — property-tested equal in HeavyHittersSpec) with the
+    * immutable-Map buffer replaced by [[Summary]]'s mutable map + sorted
+    * index. This is the eviction-regime fix the reference impl's scaladoc
+    * promises: offer() drops from O(capacity) scan + persistent-map copy
+    * to O(log capacity), which is what matters when a skewed 100 TB
+    * census runs with capacity in the thousands. Buffer crosses partial/
+    * final boundaries via Java serialization — an m-entry cost paid per
+    * PARTITION, not per row.
+    */
+  final class StreamSummaryAgg(capacity: Int)
+      extends Aggregator[String, Summary, Seq[Entry]] {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+
+    override def zero: Summary = new Summary(capacity)
+
+    override def reduce(b: Summary, item: String): Summary = {
+      if (item != null) b.offer(item)
+      b
+    }
+
+    override def merge(a: Summary, b: Summary): Summary = {
+      // same rule as SpaceSavingAgg.merge: absent side contributes its
+      // minimum counter as both count and error, then keep the top
+      // `capacity` by (count desc, item asc)
+      val minA = a.minCount
+      val minB = b.minCount
+      val combined = (a.items.keySet ++ b.items.keySet).iterator.map { k =>
+        val (ac, ae) = a.items.getOrElse(k, (minA, minA))
+        val (bc, be) = b.items.getOrElse(k, (minB, minB))
+        k -> (ac + bc, ae + be)
+      }.toSeq
+      val kept =
+        if (combined.size <= capacity) combined
+        else combined.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+      val out = new Summary(capacity)
+      out.n = a.n + b.n
+      kept.foreach { case (k, (c, e)) =>
+        out.items.update(k, (c, e))
+        out.byCount.add((c, k))
+      }
+      out
+    }
+
+    override def finish(r: Summary): Seq[Entry] =
+      r.items.toSeq
+        .map { case (k, (c, e)) => Entry(k, c, e) }
+        .sortBy(en => (-en.count, en.item))
+
+    override def bufferEncoder: Encoder[Summary] =
+      Encoders.javaSerialization[Summary]
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+
   /** One-row DataFrame holding the sketch of `itemCol` as
     * `array<struct<item,count,err>>` sorted by count desc, item asc.
     * The Aggregator crosses into the untyped DataFrame world via
     * `functions.udaf`, so the same sketch also composes with groupBy.
+    *
+    * The default routes through [[StreamSummaryAgg]] — identical results
+    * (property-tested), O(log m) eviction path (measured 10-266× faster
+    * than the reference scan at m = 256…4096, SCALE.md); `fast = false`
+    * selects the [[SpaceSavingAgg]] reference implementation the
+    * property tests pin against.
     */
-  def sketch(df: DataFrame, itemCol: Column, capacity: Int): DataFrame = {
-    val fn = udaf(new SpaceSavingAgg(capacity), Encoders.STRING)
+  def sketch(df: DataFrame, itemCol: Column, capacity: Int,
+             fast: Boolean = true): DataFrame = {
+    val fn =
+      if (fast) udaf(new StreamSummaryAgg(capacity), Encoders.STRING)
+      else udaf(new SpaceSavingAgg(capacity), Encoders.STRING)
     df.select(itemCol.cast("string").as("item"))
       .agg(fn(col("item")).as("sketch"))
   }

@@ -90,6 +90,52 @@ object NgramStats {
         .cast("int"))
   }
 
+  /** Corpus COLLOCATIONS: bigrams that co-occur more often than their
+    * parts predict — `lift = p(ab) / (p(a)·p(b))` with `p(ab) = c_ab/T`
+    * (T = total bigram instances) and `p(w) = u_w/U` (U = total tokens).
+    * The head of this table (high lift, high count) is the
+    * multi-word-expression / template-phrase report a curation pipeline
+    * uses for tokenizer merges and boilerplate phrase mining. Lift is the
+    * exponential of PMI and ranks identically — deliberately no `ln`,
+    * whose libm builds differ across engines (the [[meanTokenFrequency]]
+    * portability argument).
+    *
+    * Determinism: all counts are integers; lift is computed as
+    * `((c_ab/T) · (U/u_a)) · (U/u_b)` — the staged form keeps magnitudes
+    * ~1 so every intermediate is far from the double-rounding cliff, and
+    * the fixed association order is mirrored verbatim in the oracle SQL.
+    *
+    * Shape at scale: one explode+agg per grain (bigram, unigram) with
+    * map-side combine, a 3-row… 1-row totals broadcast, and two
+    * token-keyed equi-joins of the (already `minCount`-pruned) bigram
+    * table against the unigram counts. Nothing driver-side.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val totals = df
+      .select(size(toks).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("u_total"),
+        sum(greatest(col("nt") - 1L, lit(0L))).as("t_total"))
+    val uni = df.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("uc"))
+    val bi = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("_w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("_w2", split(col("bigram"), " ").getItem(1))
+    bi
+      .join(uni.select(col("token").as("_w1"), col("uc").as("n_first")), "_w1")
+      .join(uni.select(col("token").as("_w2"), col("uc").as("n_second")), "_w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_pair"),
+        col("n_first"), col("n_second"),
+        ((col("n_pair").cast("double") / col("t_total").cast("double"))
+          * (col("u_total").cast("double") / col("n_first").cast("double"))
+          * (col("u_total").cast("double") / col("n_second").cast("double")))
+          .cast("decimal(18,6)").as("lift"))
+  }
+
   /** BOILERPLATE detector: top-k n-gram shingles by DOCUMENT frequency —
     * shingles shared across many documents are headers, licenses,
     * navigation chrome. This is the report that calibrates

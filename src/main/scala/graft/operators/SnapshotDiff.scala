@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed diff of two table generations — the change-data-capture /
+  * snapshot-reconciliation report: which keys were `added`, `removed`,
+  * or `changed` between an old and a new snapshot of the same schema.
+  * The audit face of [[graft.core.Tables.upsert]]: upsert applies a
+  * delta, diff recovers one.
+  *
+  * Values are compared with NULL-SAFE equality per column (`<=>`), never
+  * via string casts — numeric render formats differ across engines and a
+  * row fingerprint built from them would drift; column-wise `<=>` compares
+  * the values themselves and treats NULL = NULL as unchanged.
+  *
+  * Shape at scale: one full-outer equi-join on the key columns — the
+  * minimal shuffle any exact diff pays, partitioned by key on both sides
+  * (co-partitioned/bucketed generations join without an exchange, the
+  * bk1 posture). Unchanged keys are dropped in the same stage, so the
+  * output is delta-sized, not table-sized.
+  */
+object SnapshotDiff {
+
+  /** Diff `newDf` against `oldDf` on `keyCols`, comparing `valueCols`
+    * (default: every non-key column of `oldDf`). Output: the key columns
+    * plus `change` ∈ {'added','removed','changed'}; unchanged keys are
+    * omitted. Both inputs must carry all key and value columns.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+           valueCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val vals =
+      if (valueCols.nonEmpty) valueCols
+      else oldDf.columns.toSeq.filterNot(keyCols.contains)
+    (keyCols ++ vals).foreach { c =>
+      require(oldDf.columns.contains(c) && newDf.columns.contains(c),
+        s"diff: column '$c' must exist in both snapshots")
+    }
+    val o = oldDf.select((keyCols ++ vals).map(col): _*).as("o")
+    val n = newDf.select((keyCols ++ vals).map(col): _*).as("n")
+    val keyEq = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val valsEq =
+      if (vals.isEmpty) lit(true)
+      else vals.map(v => col(s"o.$v") <=> col(s"n.$v")).reduce(_ && _)
+    // key presence: any key column non-null on that side (keys are
+    // non-null by contract; the first key column stands in for presence)
+    val inOld = col(s"o.${keyCols.head}").isNotNull
+    val inNew = col(s"n.${keyCols.head}").isNotNull
+    o.join(n, keyEq, "full_outer")
+      .withColumn("change",
+        when(!inOld, lit("added"))
+          .when(!inNew, lit("removed"))
+          .when(!valsEq, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(k =>
+        coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+ col("change"): _*)
+  }
+}

@@ -223,6 +223,24 @@ object CatalogOpsQueries {
       store.load("dim", "nation_up")
     }),
 
+    // snapshot DIFF — the audit inverse of upsert: recover the delta
+    // between two generations as (key, added|removed|changed). Planted
+    // in-plan over orders: keys ≡ 0 mod 97 removed, ≡ 0 mod 89 repriced
+    // (+1.0 — exact double add, engine-identical), copies of ≡ 0 mod 101
+    // added under shifted keys. Null-safe column compare, no string casts.
+    "diff1_snapshot_diff" -> ((s, d) => {
+      val orders = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newGen = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      graft.operators.SnapshotDiff.diff(orders, newGen, Seq("o_orderkey"))
+    }),
+
     // schema evolution — two parquet generations with different columns
     // (gen2 adds `o_totalprice`) read as ONE dataset via mergeSchema; the
     // old generation's missing column reads as NULL. Emitted: per-
@@ -374,6 +392,24 @@ object CatalogOpsQueries {
         |FROM nation
         |UNION ALL
         |SELECT r_regionkey + 100, r_name, r_regionkey FROM region""".stripMargin,
+    // same planting; IS NOT DISTINCT FROM = Spark's <=>
+    "diff1_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |new AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |               ELSE o_totalprice END AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 97 != 0
+        |        UNION ALL
+        |        SELECT o_orderkey + 10000000, o_totalprice
+        |        FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (SELECT o.o_orderkey ok, n.o_orderkey nk,
+        |        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |             WHEN n.o_orderkey IS NULL THEN 'removed'
+        |             WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |               THEN 'changed' END AS change
+        |      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT COALESCE(ok, nk) AS o_orderkey, change
+        |FROM j WHERE change IS NOT NULL""".stripMargin,
     "se1_schema_evolution" ->
       """SELECT * FROM (
         | SELECT CAST(1 AS INTEGER) AS gen,

@@ -248,6 +248,34 @@ object DataPipelineQueries {
         "doc_id", "text")
     }),
 
+    // EXACT incremental dedup via Bloom prefilter: batch = genuinely-new
+    // docs (doc_id ≡ 0 mod 10) ∪ planted replays of corpus docs (doc_id ≡
+    // 0 mod 7, ids shifted by 1e6); output = the genuinely-new ids. The
+    // sketch never costs exactness (no false negatives; the exact verify
+    // removes false positives), so the oracle is the plain NOT EXISTS
+    // anti-join.
+    "il2_bloom_prefilter" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val replays = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0).unionByName(replays)
+      TextDedup.bloomNewDocs(corpus, batch, "doc_id", "text")
+    }),
+
+    // overlapping token-window chunking (doc → training example / RAG
+    // passage): pure per-row projection, no shuffle (PlanSpec)
+    "ch1_doc_chunking" -> ((s, d) =>
+      graft.operators.Chunking.chunk(
+        table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 64, overlap = 16)),
+
+    // corpus collocations: bigram lift (exp-PMI) over integer counts —
+    // the multi-word-expression / template-phrase report
+    "pmi1_collocations" -> ((s, d) =>
+      graft.operators.NgramStats.collocations(
+        table(s, d, "documents"), "text", minCount = 2)),
+
     // deterministic engine-portable train/val/test assignment (md5 bucket —
     // reproducible in any engine, unlike xxhash64/murmur)
     "sp1_dataset_split" -> ((s, d) =>
@@ -516,6 +544,48 @@ object DataPipelineQueries {
         |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
         |FROM p JOIN n na ON p.corpus_id = na.doc_id JOIN n nb ON p.batch_id = nb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
+    // exact set the bloom path must equal: batch docs whose text digest
+    // exists in the corpus are dups; output the rest (planting mirrored)
+    "il2_bloom_prefilter" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, text FROM documents
+        |          WHERE doc_id % 10 != 0 AND doc_id % 7 = 0)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))""".stripMargin,
+    // mirrors Chunking exactly: stride 48, nChunks = 1 + ceil(max(n-64,0)/48),
+    // window i = toks[i*48+1 .. i*48+64] (1-based inclusive slice)
+    "ch1_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) n,
+        |        1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) nc
+        |      FROM t),
+        |i AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, nc - 1)) ci FROM c)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        | array_to_string(toks[ci*48+1 : least(ci*48+64, n)], ' ') AS chunk_text,
+        | CAST(least(ci*48+64, n) - ci*48 AS INTEGER) AS n_tokens
+        |FROM i""".stripMargin,
+    // identical association order as the Spark side: ((c_ab/T)·(U/u_a))·(U/u_b)
+    "pmi1_collocations" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') toks FROM documents),
+        |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) u_total,
+        |               CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) t_total FROM t),
+        |u AS (SELECT unnest(toks) token FROM t),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) uc FROM u GROUP BY 1),
+        |b AS (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+        |        i -> toks[i] || ' ' || toks[i+1])) bigram FROM t),
+        |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) n_pair FROM b
+        |       GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT bigram, n_pair, ua.uc AS n_first, ub.uc AS n_second,
+        | CAST(CAST(((CAST(n_pair AS DOUBLE) / CAST(t_total AS DOUBLE))
+        |   * (CAST(u_total AS DOUBLE) / CAST(ua.uc AS DOUBLE)))
+        |   * (CAST(u_total AS DOUBLE) / CAST(ub.uc AS DOUBLE))
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS lift
+        |FROM bi
+        | JOIN uni ua ON string_split(bigram, ' ')[1] = ua.token
+        | JOIN uni ub ON string_split(bigram, ' ')[2] = ub.token, tot""".stripMargin,
     "mix1_corpus_mix" ->
       """SELECT doc_id, source
         |FROM (SELECT doc_id, source,

@@ -64,4 +64,59 @@ class HeavyHittersSpec extends SparkSpec {
     val got = entries(HeavyHitters.sketch(df, col("x"), capacity = 8))
     assert(got.map(e => e._1 -> e._2).toMap == Map("a" -> 2L, "b" -> 1L))
   }
+
+  // --- StreamSummaryAgg: result-identical fast path -----------------------
+
+  private def foldRef(items: Seq[String], m: Int): Seq[HeavyHitters.Entry] = {
+    val agg = new HeavyHitters.SpaceSavingAgg(m)
+    agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+  }
+
+  private def foldFast(items: Seq[String], m: Int): Seq[HeavyHitters.Entry] = {
+    val agg = new HeavyHitters.StreamSummaryAgg(m)
+    agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+  }
+
+  test("property: stream-summary == reference on random streams, both regimes") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val universe = 1 + rnd.nextInt(60)
+      val len = 1 + rnd.nextInt(400)
+      val m = 1 + rnd.nextInt(20) // often < universe → eviction regime
+      // Zipf-ish skew: low ids much more frequent
+      val stream = Seq.fill(len)(
+        s"w${math.min(rnd.nextInt(universe), rnd.nextInt(universe))}")
+      assert(foldFast(stream, m) == foldRef(stream, m),
+        s"trial $trial (universe=$universe len=$len m=$m)")
+    }
+  }
+
+  test("property: merge parity with the reference rule on split streams") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 30) {
+      val m = 1 + rnd.nextInt(12)
+      val mk = () => Seq.fill(1 + rnd.nextInt(200))(s"k${rnd.nextInt(40)}")
+      val (s1, s2) = (mk(), mk())
+      val ref = new HeavyHitters.SpaceSavingAgg(m)
+      val fast = new HeavyHitters.StreamSummaryAgg(m)
+      val refOut = ref.finish(ref.merge(
+        s1.foldLeft(ref.zero)(ref.reduce), s2.foldLeft(ref.zero)(ref.reduce)))
+      val fastOut = fast.finish(fast.merge(
+        s1.foldLeft(fast.zero)(fast.reduce),
+        s2.foldLeft(fast.zero)(fast.reduce)))
+      assert(fastOut == refOut, s"trial $trial (m=$m)")
+    }
+  }
+
+  test("fast path buffer survives its encoder round-trip inside Spark") {
+    val hot = Seq.fill(500)("HOT")
+    val tail = (1 to 2000).map(i => s"t$i")
+    val df = scala.util.Random.shuffle(hot ++ tail).toDF("x").repartition(4)
+    val fastRows = entries(
+      HeavyHitters.sketch(df, col("x"), capacity = 32, fast = true))
+    assert(fastRows.size <= 32)
+    val hotE = fastRows.find(_._1 == "HOT")
+    assert(hotE.nonEmpty, s"hot item evicted: $fastRows")
+    assert(hotE.get._2 >= 500L && hotE.get._2 - hotE.get._3 <= 500L)
+  }
 }
