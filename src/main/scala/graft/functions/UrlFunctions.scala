@@ -26,4 +26,54 @@ object UrlFunctions {
   val DomainRe = "^https?://(?:[^/@?#]*@)?([^/:?#]+)"
 
   def extractDomain(url: Column): Column = regexp_extract(url, DomainRe, 1)
+
+  /** URL canonicalization — the normalize-before-dedup step of a crawl
+    * pipeline: the same logical page arrives as `https://WWW.Example.com/a`,
+    * `https://example.com:443/a?utm_source=x` and `https://example.com/a#top`,
+    * and URL-level dedup must collapse them BEFORE any content fetch.
+    *
+    * Steps, in order (each a codegen'd builtin; regexes in the Java∩RE2
+    * subset — no lookaround — so the oracle replays them verbatim):
+    *   1. drop the fragment (`#…`),
+    *   2. drop tracking params (`utm_*`, `gclid`, `fbclid`) and tidy the
+    *      separators they leave behind,
+    *   3. drop userinfo (`user@`) and the scheme-default port
+    *      (`:80` for http, `:443` for https),
+    *   4. lowercase scheme + host (paths stay case-sensitive) and strip a
+    *      leading `www.`,
+    *   5. drop a bare root-path trailing slash (`https://x.com/` ≡
+    *      `https://x.com`, deeper paths untouched).
+    *
+    * Non-URL-shaped values pass through steps that don't match — garbage
+    * in, same garbage out, never null.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // tracking params must START at a ?/& boundary (a param named
+    // `xutm_source` is not a tracking param); removal leaves dangling
+    // separators ("?&a", "a&&b", trailing ?/&) which the next two
+    // replacements tidy
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag,
+          "([?&])(?:utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "$1"),
+        "([?&])&+", "$1"),
+      "[?&]$", "")
+    val noUser = regexp_replace(noTrack, "^(https?://)[^/@?#]*@", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noUser, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    // lowercase only scheme://host: split at the end of the authority
+    val schemeHost = regexp_extract(noPort, "^(https?://[^/?#]+)", 1)
+    val rest = expr_substr(noPort, length(schemeHost) + 1)
+    val lowered = concat(
+      regexp_replace(lower(schemeHost), "^(https?://)www\\.", "$1"), rest)
+    when(schemeHost === "", noPort) // not URL-shaped: leave as-is
+      .otherwise(regexp_replace(lowered, "^(https?://[^/?#]+)/$", "$1"))
+  }
+
+  // substring from a dynamic 1-based position to the end (the 3-arg
+  // `substring` builtin needs a literal; `substr(col, col)` does not)
+  private def expr_substr(c: Column, pos: Column): Column =
+    c.substr(pos, length(c))
 }

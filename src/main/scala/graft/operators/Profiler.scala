@@ -42,4 +42,41 @@ object Profiler {
     }
     one.select(explode(array(reportRows: _*)).as("r")).select("r.*")
   }
+
+  /** Fixed-width histogram of a numeric column — the distribution half of
+    * the profile (the counts above say how many; this says where).
+    * `nBins` equal-width bins over the observed [min, max]; the top edge
+    * is inclusive (the max lands in the last bin, the standard
+    * right-closed-last-bin convention). NULLs are excluded (they're
+    * already counted by [[profile]]). Bins with no rows emit no row.
+    *
+    * Two aggregations: one for (min, max) — broadcast as a single row —
+    * and the binned groupBy (a ≤nBins-key shuffle with map-side combine).
+    * Bounds and bin edges are plain double arithmetic in a fixed
+    * evaluation order, so any engine reproduces the same bin for every
+    * value (`bin = min(floor((x − lo) · nBins / (hi − lo)), nBins−1)`;
+    * a constant column degenerates to the single bin 0).
+    */
+  def histogram(df: DataFrame, column: String, nBins: Int = 20): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    require(df.columns.contains(column), s"no such column: $column")
+    val x = col(q(column)).cast("double")
+    val bounds = df.filter(x.isNotNull)
+      .agg(min(x).as("_h_lo"), max(x).as("_h_hi"))
+    val spanned = df.filter(x.isNotNull).crossJoin(broadcast(bounds))
+    val bin = when(col("_h_hi") === col("_h_lo"), lit(0))
+      .otherwise(least(
+        floor((x - col("_h_lo")) * nBins / (col("_h_hi") - col("_h_lo"))),
+        lit(nBins - 1L)))
+      .cast("int")
+    spanned
+      .groupBy(bin.as("bin"), col("_h_lo"), col("_h_hi"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .select(col("bin"),
+        (col("_h_lo") + col("bin") * (col("_h_hi") - col("_h_lo")) / nBins)
+          .cast("decimal(18,6)").as("bin_lo"),
+        (col("_h_lo") + (col("bin") + 1) * (col("_h_hi") - col("_h_lo")) / nBins)
+          .cast("decimal(18,6)").as("bin_hi"),
+        col("n"))
+  }
 }

@@ -67,6 +67,15 @@ object TrainPrepQueries {
     "pr1_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(table(s, d, "documents"))),
 
+    // distribution half of the profile: fixed-width 20-bin histogram of
+    // line-item prices (min/max from one agg broadcast into the binning
+    // pass; bin arithmetic in a fixed double evaluation order both
+    // engines reproduce bit-for-bit)
+    "hist1_price_histogram" -> ((s, d) =>
+      graft.operators.Profiler.histogram(
+        table(s, d, "lineitem").select(col("l_extendedprice")),
+        "l_extendedprice", nBins = 20)),
+
     // filter-funnel accounting: per-rule in/dropped/out counts for the
     // ordered curation cascade (length → quality → language) — one
     // aggregation pass, exploded into the report
@@ -183,6 +192,32 @@ object TrainPrepQueries {
             org.apache.spark.sql.types.StringType))))
       docs.join(broadcast(block),
         docs("domain") === block("blocked_domain"), "left_anti")
+    }),
+
+    // URL canonicalization + dedup: the normalize-before-fetch step of a
+    // crawl pipeline. Six deterministic variants of each logical URL are
+    // planted in-plan (case, www, tracking params, default port,
+    // fragment, userinfo — plus one with a REAL query param that must
+    // stay distinct); canonicalization collapses the five spurious ones
+    "url2_canonical_dedup" -> ((s, d) => {
+      import graft.functions.UrlFunctions
+      val k = expr("doc_id div 6").cast("string")
+      val m = col("doc_id") % 6
+      val url =
+        when(m === 0, concat(lit("https://EXAMPLE.com/a/"), k))
+          .when(m === 1, concat(lit("https://www.example.com/a/"), k,
+            lit("?utm_source=x&utm_medium=y")))
+          .when(m === 2, concat(lit("https://example.com:443/a/"), k))
+          .when(m === 3, concat(lit("https://example.com/a/"), k,
+            lit("#sec-2")))
+          .when(m === 4, concat(lit("https://example.com/a/"), k,
+            lit("?id=7")))
+          .otherwise(concat(lit("https://u@example.com/a/"), k))
+      table(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
     }),
 
     // batch first-occurrence dedup per (user, event_type) — the batch twin
@@ -410,6 +445,53 @@ object TrainPrepQueries {
         |   (SELECT CAST(count(*) - count(n_chars) AS BIGINT) FROM documents),
         |   (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
         |) t""".stripMargin,
+    // identical double evaluation order: bin = least(floor((x-lo)*20/(hi-lo)), 19)
+    "hist1_price_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) lo, max(l_extendedprice) hi
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |x AS (SELECT l_extendedprice x, lo, hi FROM lineitem, b
+        |      WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(least(floor((x - lo) * 20 / (hi - lo)), 19) AS INTEGER)
+        |        END AS bin, lo, hi, count(*) n
+        |      FROM x GROUP BY 1, 2, 3)
+        |SELECT bin,
+        | CAST(CAST(lo + bin * (hi - lo) / 20 AS DECIMAL(18,6)) AS DOUBLE) AS bin_lo,
+        | CAST(CAST(lo + (bin + 1) * (hi - lo) / 20 AS DECIMAL(18,6)) AS DOUBLE) AS bin_hi,
+        | CAST(n AS BIGINT) AS n
+        |FROM g""".stripMargin,
+    // same planted variants, same canonicalization regex chain (DuckDB
+    // backreference syntax \1; 'g' where Spark replaces globally)
+    "url2_canonical_dedup" ->
+      """WITH v AS (SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) k, doc_id % 6 m FROM documents),
+        |u AS (SELECT doc_id, CASE m
+        |        WHEN 0 THEN 'https://EXAMPLE.com/a/' || k
+        |        WHEN 1 THEN 'https://www.example.com/a/' || k || '?utm_source=x&utm_medium=y'
+        |        WHEN 2 THEN 'https://example.com:443/a/' || k
+        |        WHEN 3 THEN 'https://example.com/a/' || k || '#sec-2'
+        |        WHEN 4 THEN 'https://example.com/a/' || k || '?id=7'
+        |        ELSE 'https://u@example.com/a/' || k END AS url
+        |      FROM v),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') u FROM u),
+        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |         '([?&])(?:utm_[A-Za-z]+|gclid|fbclid)=[^&]*', '\1', 'g'),
+        |         '([?&])&+', '\1', 'g'), '[?&]$', '') u FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(u, '^(https?://)[^/@?#]*@', '\1') u FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |         '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+        |         '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') u FROM s3),
+        |s5 AS (SELECT doc_id, u, regexp_extract(u, '^(https?://[^/?#]+)', 1) sh FROM s4),
+        |s6 AS (SELECT doc_id,
+        |         CASE WHEN sh = '' THEN u
+        |           ELSE regexp_replace(
+        |             regexp_replace(lower(sh), '^(https?://)www\.', '\1')
+        |               || substr(u, length(sh) + 1),
+        |             '^(https?://[^/?#]+)/$', '\1')
+        |         END AS canonical_url
+        |       FROM s5)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+        | min(doc_id) AS first_doc
+        |FROM s6 GROUP BY 1""".stripMargin,
     // the funnel's cumulative conjunctions, recomposed relationally: a doc
     // reaches rule i iff it passed rules 1..i-1; quality and language
     // mirror the t2/t3 formulas

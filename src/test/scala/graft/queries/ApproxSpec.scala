@@ -30,6 +30,18 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(both._2 - both._1).toDouble / both._1 < 0.05, both)
   }
 
+  test("hll1 within-5pct booleans hold at every harness scale factor") {
+    // the catalog entry's oracle is literal TRUE per scope — pin the claim
+    // on all three SFs, not just the driver's sf0.01 (the HLL estimate is
+    // deterministic for a dataset, so this is a fixed fact, not a flake)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val rows = graft.SparkEntry.queries("hll1_sketch_reuse")(spark, dir)
+        .as[(String, Boolean)].collect()
+      assert(rows.length >= 2 && rows.forall(_._2), s"$dir: ${rows.toSeq}")
+    }
+  }
+
   test("inferSchema compat mode agrees with the explicit reviews schema") {
     val path = getClass.getResource("/landing_zone/reviews.csv").getPath
     val inferred = graft.ingest.CsvSource.readInferred(spark, path)
