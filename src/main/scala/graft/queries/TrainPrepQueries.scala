@@ -194,6 +194,22 @@ object TrainPrepQueries {
         docs("domain") === block("blocked_domain"), "left_anti")
     }),
 
+    // per-user time-ordered event-type sequences — the behavior-sequence
+    // assembly step of a sequence-model pipeline (events → one training
+    // example per user). One groupBy shuffle; ordering is engine-stable
+    // ((ts, event_id) — ids are unique) via sort_array over structs, the
+    // la1 pattern at event grain
+    "seq1_user_event_sequence" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")), ",").as("event_seq"),
+          count(lit(1)).cast("bigint").as("n_events"))),
+
     // URL canonicalization + dedup: the normalize-before-fetch step of a
     // crawl pipeline. Six deterministic variants of each logical URL are
     // planted in-plan (case, www, tracking params, default port,
@@ -445,6 +461,13 @@ object TrainPrepQueries {
         |   (SELECT CAST(count(*) - count(n_chars) AS BIGINT) FROM documents),
         |   (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
         |) t""".stripMargin,
+    // string_agg with ORDER BY (ts, event_id) == sort_array over (ts,
+    // event_id, type) structs: event_id is unique, so both orders are total
+    "seq1_user_event_sequence" ->
+      """SELECT user_id,
+        | string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     // identical double evaluation order: bin = least(floor((x-lo)*20/(hi-lo)), 19)
     "hist1_price_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) lo, max(l_extendedprice) hi
