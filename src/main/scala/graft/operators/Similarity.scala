@@ -309,6 +309,52 @@ object Similarity {
       .select(col("qid"), col("vid").as("neighbor"), col("rank"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
+
+  /** CONTRASTIVE training-pair assembly — the pair-mining step of an
+    * embedding-model pipeline, composed from the two similarity families:
+    * POSITIVES are the exact near-duplicate pairs touching an anchor
+    * (banded sign-LSH + exact verify — [[cosineNearDupPairsBanded]]
+    * semantics at `threshold`), HARD NEGATIVES are each anchor's top-k
+    * most-similar vectors that are NOT near-dups (cosine < `threshold`) —
+    * similar enough to be hard, dissimilar enough to be true negatives.
+    *
+    * Output: (anchor, other, pair_type ∈ 'positive'|'negative').
+    *
+    * Shape at scale: positives ride the banded path (sub-quadratic,
+    * band-key shuffles); negatives broadcast the anchor slice and stream
+    * the corpus once (the [[bruteForceTopK]] posture) — at large anchor
+    * counts swap in [[ivfTopK]] for the negative side, identical output
+    * columns. Ranking determinism: raw-double cosine order with the id
+    * tie-break, the sim1 rank-parity argument.
+    */
+  def contrastivePairs(df: DataFrame, idCol: String, vecCol: String,
+                       anchors: DataFrame, k: Int, threshold: Double,
+                       dim: Int): DataFrame = {
+    val pairs = cosineNearDupPairsBanded(df, idCol, vecCol, threshold, dim)
+    val aIds = broadcast(anchors.select(col(idCol).cast("long").as("_cp_aid")))
+    val posA = pairs.join(aIds, col("id_a") === col("_cp_aid"))
+      .select(col("id_a").as("anchor"), col("id_b").as("other"))
+    val posB = pairs.join(aIds, col("id_b") === col("_cp_aid"))
+      .select(col("id_b").as("anchor"), col("id_a").as("other"))
+    val pos = posA.unionByName(posB)
+      .select(col("anchor"), col("other"), lit("positive").as("pair_type"))
+    val c = df.select(col(idCol).cast("long").as("vid"),
+      toDouble(col(vecCol)).as("v"))
+    val q = anchors.select(col(idCol).cast("long").as("anchor"),
+      toDouble(col(vecCol)).as("qv"))
+    val neg = c.join(broadcast(q), col("vid") =!= col("anchor"))
+      .withColumn("_cp_cos", cosine(col("v"), col("qv")))
+      // null cosine = zero-norm vector (see d5 note): excluded, as is
+      // everything at/above the near-dup threshold
+      .filter(col("_cp_cos").isNotNull && col("_cp_cos") < threshold)
+      .withColumn("_cp_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("anchor"))
+          .orderBy(col("_cp_cos").desc, col("vid"))))
+      .filter(col("_cp_rn") <= k)
+      .select(col("anchor"), col("vid").as("other"),
+        lit("negative").as("pair_type"))
+    pos.unionByName(neg)
+  }
 }
 
 /** Vectors tagged with their centroid partition + the centroid matrix. */

@@ -116,6 +116,22 @@ object DataPipelineQueries {
         TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text"),
         "doc_a", "doc_b")),
 
+    // contrastive pair mining over the d5b universe (planted near-dups):
+    // positives = exact near-dup pairs touching an anchor (vec_id < 10),
+    // hard negatives = each anchor's top-5 below-threshold neighbors.
+    // Oracle recomposes both sides relationally (the d5b + sim1 schemes)
+    "ctr1_contrastive_pairs" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+            .as("embedding"))
+      val uni = emb.unionByName(planted)
+      Similarity.contrastivePairs(uni, "vec_id", "embedding",
+        uni.filter(col("vec_id") < 10), k = 5, threshold = 0.9, dim = 64)
+    }),
+
     // exact brute-force cosine top-k for a query subset
     "sim1_ann_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -374,6 +390,33 @@ object DataPipelineQueries {
         |  WHERE e2.v != r.u)
         |SELECT u AS member_id, least(u, min(v)) AS canonical_id
         |FROM reach GROUP BY u""".stripMargin),
+    // positives: exact ≥0.9 pairs (either side an anchor, emitted
+    // anchor→other); negatives: per-anchor top-5 among <0.9 neighbors —
+    // both over the d5b planted universe, same zero-norm NaN guard
+    "ctr1_contrastive_pairs" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000,
+        |   list_concat([embedding[1] + CAST(0.01 AS REAL)], embedding[2:])
+        | FROM embeddings WHERE vec_id < 50),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+        |p AS (SELECT a.vec_id id_a, b.vec_id id_b
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |        AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |pos AS (SELECT id_a AS anchor, id_b AS other FROM p WHERE id_a < 10
+        |        UNION ALL
+        |        SELECT id_b, id_a FROM p WHERE id_b < 10),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id anchor, e.vec_id other,
+        |        row_number() OVER (PARTITION BY q.vec_id
+        |          ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) rn
+        |      FROM q JOIN e ON q.vec_id != e.vec_id
+        |      WHERE NOT isnan(list_cosine_similarity(q.v, e.v))
+        |        AND list_cosine_similarity(q.v, e.v) < 0.9)
+        |SELECT anchor, other, 'positive' AS pair_type FROM pos
+        |UNION ALL
+        |SELECT anchor, other, 'negative' FROM s WHERE rn <= 5""".stripMargin,
     // literal-TRUE recall assertion (the ag2 scheme) — one row per query id
     "sim2_ivf_topk" ->
       """SELECT vec_id AS qid, TRUE AS recall_at_5_ok
