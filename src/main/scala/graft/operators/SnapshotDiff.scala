@@ -56,4 +56,42 @@ object SnapshotDiff {
       .select(keyCols.map(k =>
         coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+ col("change"): _*)
   }
+
+  /** Value-carrying diff: [[diff]]'s classification plus the NEW-side
+    * value columns on `added`/`changed` rows (NULL on `removed`) — the
+    * delta format [[applyDelta]] consumes. Same single full-outer join.
+    */
+  def diffWithValues(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                     valueCols: Seq[String] = Nil): DataFrame = {
+    val vals =
+      if (valueCols.nonEmpty) valueCols
+      else oldDf.columns.toSeq.filterNot(keyCols.contains)
+    val d = diff(oldDf, newDf, keyCols, vals)
+    d.join(newDf.select((keyCols ++ vals).map(col): _*), keyCols, "left")
+      .select(keyCols.map(col) ++ (col("change") +: vals.map(col)): _*)
+  }
+
+  /** Apply a [[diffWithValues]] delta to the OLD snapshot, reproducing
+    * the NEW one — the CDC-consumer half: a downstream replica holding
+    * `oldDf` catches up from the delta alone, never re-reading the
+    * source table. `removed`/`changed` keys leave the old image
+    * (one anti-join), `added`/`changed` rows enter with their delta
+    * values (a union) — delta-sized work against the old snapshot's one
+    * key-shuffle, the same posture as [[graft.core.Tables.upsert]]'s
+    * merge (and at scale the anti-join broadcasts the delta keys).
+    */
+  def applyDelta(oldDf: DataFrame, delta: DataFrame,
+                 keyCols: Seq[String]): DataFrame = {
+    val vals = oldDf.columns.toSeq.filterNot(keyCols.contains)
+    (keyCols :+ "change").foreach { c =>
+      require(delta.columns.contains(c), s"applyDelta: delta missing '$c'")
+    }
+    val gone = delta.filter(col("change").isin("removed", "changed"))
+      .select(keyCols.map(col): _*)
+    val incoming = delta.filter(col("change").isin("added", "changed"))
+      .select((keyCols ++ vals).map(col): _*)
+    oldDf.select((keyCols ++ vals).map(col): _*)
+      .join(gone, keyCols, "left_anti")
+      .unionByName(incoming)
+  }
 }

@@ -241,6 +241,25 @@ object CatalogOpsQueries {
       graft.operators.SnapshotDiff.diff(orders, newGen, Seq("o_orderkey"))
     }),
 
+    // CDC loop closed: diff the two generations WITH values, apply the
+    // delta to the old snapshot, emit the result — the oracle is simply
+    // the new generation, so the hash check proves old + delta == new
+    // exactly (the downstream-replica catch-up path)
+    "diff2_apply_delta" -> ((s, d) => {
+      val orders = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newGen = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      val delta = graft.operators.SnapshotDiff.diffWithValues(
+        orders, newGen, Seq("o_orderkey"))
+      graft.operators.SnapshotDiff.applyDelta(orders, delta, Seq("o_orderkey"))
+    }),
+
     // schema evolution — two parquet generations with different columns
     // (gen2 adds `o_totalprice`) read as ONE dataset via mergeSchema; the
     // old generation's missing column reads as NULL. Emitted: per-
@@ -410,6 +429,15 @@ object CatalogOpsQueries {
         |      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
         |SELECT COALESCE(ok, nk) AS o_orderkey, change
         |FROM j WHERE change IS NOT NULL""".stripMargin,
+    // the NEW generation verbatim: applying the delta must reproduce it
+    "diff2_apply_delta" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 97 != 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_totalprice
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
     "se1_schema_evolution" ->
       """SELECT * FROM (
         | SELECT CAST(1 AS INTEGER) AS gen,

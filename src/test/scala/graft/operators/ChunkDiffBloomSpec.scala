@@ -199,4 +199,35 @@ class SnapshotDiffSpec extends SparkSpec {
       SnapshotDiff.diff(old, neu, Seq("k"))
     }
   }
+
+  test("diffWithValues carries new-side values; applyDelta closes the loop") {
+    val old = Seq(
+      (1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+      (5L, None: Option[Double])).toDF("k", "v")
+    val neu = Seq(
+      (1L, Some(10.0)), (2L, Some(21.0)), (4L, Some(40.0)),
+      (5L, Some(5.0))).toDF("k", "v")
+    val delta = SnapshotDiff.diffWithValues(old, neu, Seq("k"))
+    val byKey = delta.as[(Long, String, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byKey == Map(
+      2L -> (("changed", Some(21.0))),
+      3L -> (("removed", None)),
+      4L -> (("added", Some(40.0))),
+      5L -> (("changed", Some(5.0)))))
+    // old + delta == new, exactly, including the null-to-value transition
+    val applied = SnapshotDiff.applyDelta(old, delta, Seq("k"))
+      .as[(Long, Option[Double])].collect().toSet
+    val want = neu.as[(Long, Option[Double])].collect().toSet
+    assert(applied == want)
+  }
+
+  test("applyDelta on an empty delta is the identity") {
+    val old = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val delta = SnapshotDiff.diffWithValues(old, old, Seq("k"))
+    assert(delta.isEmpty)
+    val applied = SnapshotDiff.applyDelta(old, delta, Seq("k"))
+      .as[(Long, Double)].collect().toSet
+    assert(applied == Set((1L, 1.0), (2L, 2.0)))
+  }
 }

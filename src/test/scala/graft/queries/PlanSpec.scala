@@ -136,6 +136,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("histogram bounds broadcast into the binning pass (no cartesian)") {
+    val p = plan("hist1_price_histogram")
+    // the single-row (min, max) side arrives via a broadcast exchange and
+    // the binned aggregation itself runs partial+final
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("event-sequence assembly pays exactly one shuffle") {
+    val p = plan("seq1_user_event_sequence")
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected a single hash exchange:\n$p")
+  }
+
+  test("snapshot diff and apply-delta are equi-joins only") {
+    Seq("diff1_snapshot_diff", "diff2_apply_delta").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("collocation unigram/bigram joins are hash joins, totals broadcast") {
+    val p = plan("pmi1_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    // the single-row totals frame may ride a broadcast nested loop — that
+    // is the intended 1-row cross join — but the token-keyed joins must
+    // be hash equi-joins
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("LSH verify joins hashed shingle sets, not strings") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val df = graft.SparkEntry.queries("d2_minhash_lsh")(spark, sf)
