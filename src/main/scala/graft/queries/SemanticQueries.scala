@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ai.{AiFunctions, DeterministicRubricScorer, DictionaryTranslator}
+import graft.core.{PipelineConfig, TableStore}
 import graft.quality._
-import graft.semantic.{Dimension, Measure, MetricJoin, MetricView, MetricViewYaml}
+import graft.semantic.{Dimension, Measure, MetricJoin, MetricView,
+  MetricViewYaml, ReviewMetrics}
 import QueryUtil._
 
 /** Oracle-checked queries for the reference's non-relational surface:
@@ -41,16 +43,20 @@ object SemanticQueries {
       MetricJoin("prt", "part", "source.l_partkey = prt.p_partkey"),
       MetricJoin("sup", "supplier", "source.l_suppkey = sup.s_suppkey")),
     dimensions = Seq(
-      Dimension("return_flag", "source.l_returnflag"),
+      Dimension("return_flag", "source.l_returnflag",
+        displayName = Some("Return Flag"),
+        comment = Some("Lineitem return flag")),
       Dimension("ship_year", "CAST(year(source.l_shipdate) AS INTEGER)"),
-      Dimension("brand", "prt.p_brand", join = Some("prt")),
+      Dimension("brand", "prt.p_brand", join = Some("prt"),
+        displayName = Some("Part Brand")),
       Dimension("order_status", "ord.o_orderstatus", join = Some("ord")),
       Dimension("supplier_name", "sup.s_name", join = Some("sup"))),
     measures = Seq(
       // A1 review_count archetype
       Measure("line_count", "CAST(COUNT(*) AS BIGINT)"),
       // A2 avg archetype (quantities are integer-valued: exact in double)
-      Measure("avg_quantity", "AVG(source.l_quantity)"),
+      Measure("avg_quantity", "AVG(source.l_quantity)",
+        displayName = Some("Average Quantity")),
       // decimal arithmetic internal, DOUBLE at the boundary (hash parity —
       // see QueryUtil.finalizeDecimals)
       Measure("sum_revenue",
@@ -62,7 +68,9 @@ object SemanticQueries {
       // quantile_cont)
       Measure("median_quantity",
         "CAST(CAST(percentile(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)",
-        sqlExpr = Some("CAST(CAST(quantile_cont(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)"))))
+        sqlExpr = Some("CAST(CAST(quantile_cont(source.l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE)"))),
+    version = Some("1.1"),
+    comment = Some("KPIs for harness lineitems"))
 
   /** The SAME view authored as DATA — the reference's analyst surface
     * (`semantic_layer.sql:7-94` is a YAML document, not code). Parsed by
@@ -134,6 +142,74 @@ object SemanticQueries {
   private def registerStar(s: SparkSession, d: String): Unit =
     Seq("lineitem", "orders", "part", "supplier").foreach(n =>
       table(s, d, n).createOrReplaceTempView(n))
+
+  /** Template variables for [[ReviewMetrics.yamlDocument]]: the document's
+    * `${catalog}.${environment}.` prefixes resolve to
+    * `spark_catalog.m8_star.` — the managed database the fixture below
+    * publishes into (Databricks resolves the same placeholders from
+    * notebook widgets).
+    */
+  private val m8Vars =
+    Map("catalog" -> "spark_catalog", "environment" -> "m8_star")
+  private val m8Measures = Seq("review_count", "avg_weighted_score",
+    "positive_review_pct", "negative_review_pct", "median_review_length")
+  private val m8Dims = Seq("name", "genre", "runs_on_windows")
+
+  /** Deterministic reviews/games star for the verbatim-document query
+    * (m8): `documents` become `fact_reviews` scored by the deterministic
+    * rubric client (the u1 CASE chain); weighted_score is NULL for
+    * doc_id ≡ 0 mod 13 (exercising the view filter), halved for sponsored
+    * doc_id ≡ 0 mod 5, and stays a half-integer DOUBLE so cross-engine
+    * sums are exact in any reduction order. Harness tables supply the
+    * five appid-grain dims; genres fan out (25 nations over 10 appids) —
+    * the reference's intentional 1:many grain (SURVEY.md §7.4.3).
+    */
+  private def buildReviewStar(s: SparkSession, d: String): Unit = {
+    val store = new TableStore(s, PipelineConfig(catalog = "m8", schema = "star"))
+    registerAi(s)
+    val fact = table(s, d, "documents")
+      .withColumn("_sent",
+        when(col("text").isNull || col("text") === "", lit(0))
+          .otherwise(expr("sentiment_score(text)")))
+      .select(
+        col("doc_id").as("recommendationid"),
+        (col("doc_id") % 50 + 1).as("appid"),
+        col("text").as("review_text"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("updated_at"),
+        (col("doc_id") % 5 === 0).as("sponsored_review"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("_sent").cast("double") *
+            when(col("doc_id") % 5 === 0, lit(0.5)).otherwise(lit(1.0)))
+          .as("weighted_score"))
+    store.drop("fact", "reviews")
+    store.save(fact, "fact", "reviews")
+    store.drop("dim", "games")
+    store.save(table(s, d, "part").filter(col("p_partkey") <= 50).select(
+      col("p_partkey").as("appid"),
+      col("p_name").as("name"),
+      date_add(lit("1994-01-01").cast("date"), col("p_size").cast("int"))
+        .as("release_date"),
+      (col("p_size") % 2 === 0).as("supports_windows"),
+      (col("p_size") % 3 === 0).as("supports_mac"),
+      (col("p_size") % 5 === 0).as("supports_linux"),
+      col("p_size").cast("int").as("metacritic_score")), "dim", "games")
+    store.drop("dim", "genres")
+    store.save(table(s, d, "nation").select(
+      (col("n_nationkey") % 10 + 1).as("appid"), col("n_name").as("name")),
+      "dim", "genres")
+    store.drop("dim", "categories")
+    store.save(table(s, d, "region").select(
+      (col("r_regionkey") + 1).as("appid"), col("r_name").as("name")),
+      "dim", "categories")
+    store.drop("dim", "publishers")
+    store.save(table(s, d, "customer").filter(col("c_custkey") <= 100).select(
+      (col("c_custkey") % 50 + 1).as("appid"), col("c_name").as("name")),
+      "dim", "publishers")
+    store.drop("dim", "developers")
+    store.save(table(s, d, "supplier").select(
+      (col("s_suppkey") % 50 + 1).as("appid"), col("s_name").as("name")),
+      "dim", "developers")
+  }
 
   val queries: Map[String, Q] = Map(
     // U1 — sentiment scoring UDF under the F4 null-guard, with the C3/C4
@@ -211,6 +287,18 @@ object SemanticQueries {
       MetricViewYaml.parse(lineitemViewYaml)
         .query(s, Seq("line_count", "sum_revenue", "avg_quantity"),
           Seq("brand"))
+    }),
+
+    // the reference's ACTUAL document (semantic_layer.sql:11-94, verbatim
+    // — 11 dims, 5 measures, 5 joins, template placeholders) parsed,
+    // compiled and executed over the deterministic reviews star: all five
+    // measures (incl. the bare `/` pct measures and the PERCENTILE
+    // median) by game name × fanned-out genre × platform flag; join
+    // pruning keeps categories/publishers/developers out of the plan
+    "m8_review_metrics_yaml" -> ((s, d) => {
+      buildReviewStar(s, d)
+      MetricViewYaml.parse(ReviewMetrics.yamlDocument, m8Vars)
+        .query(s, m8Measures, m8Dims)
     }),
 
     // HAVING on aggregated measures (post-agg filter in the metric layer)
@@ -298,6 +386,41 @@ object SemanticQueries {
       MetricViewYaml.parse(lineitemViewYaml)
         .toSql(Seq("line_count", "sum_revenue", "avg_quantity"),
           Seq("brand")),
+    // the verbatim document generates the oracle text too: the SAME parsed
+    // view emits the SQL, with the managed-table prefix mapped onto the
+    // fixture CTEs and the one dialect split (Spark PERCENTILE ↔ DuckDB
+    // quantile_cont) applied textually — the document has no sql_expr
+    // keys to declare it (it is the reference's artifact, untouched)
+    "m8_review_metrics_yaml" -> {
+      val metricSql = MetricViewYaml
+        .parse(ReviewMetrics.yamlDocument, m8Vars)
+        .toSql(m8Measures, m8Dims)
+        .replace("spark_catalog.m8_star.", "")
+        .replace("PERCENTILE(", "quantile_cont(")
+      """WITH fact_reviews AS (
+        | SELECT doc_id AS recommendationid,
+        |  doc_id % 50 + 1 AS appid,
+        |  text AS review_text,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |   ELSE CAST((CASE
+        |    WHEN text IS NULL OR text = '' THEN 0
+        |    WHEN length(trim(text)) < 3 THEN 0
+        |    WHEN contains(lower(trim(text)), 'fast') THEN 5
+        |    WHEN contains(lower(trim(text)), 'slow') THEN -5
+        |    WHEN contains(lower(trim(text)), 'merge') THEN 2
+        |    WHEN contains(lower(trim(text)), 'batch') THEN -2
+        |    ELSE 1 END)
+        |    * (CASE WHEN doc_id % 5 = 0 THEN 0.5 ELSE 1.0 END) AS DOUBLE)
+        |  END AS weighted_score
+        | FROM documents),
+        |dim_games AS (
+        | SELECT p_partkey AS appid, p_name AS name,
+        |  p_size % 2 = 0 AS supports_windows
+        | FROM part WHERE p_partkey <= 50),
+        |dim_genres AS (
+        | SELECT n_nationkey % 10 + 1 AS appid, n_name AS name FROM nation)
+        |""".stripMargin + metricSql
+    },
     "m2_metric_no_join" ->
       lineitemView.toSql(Seq("line_count", "discounted_pct"),
         Seq("return_flag")),

@@ -32,20 +32,32 @@ final case class MetricJoin(
 
 /** `join = None` → expression over the source; `sqlExpr` overrides the
   * expression used in generated SQL when the oracle dialect differs
-  * (e.g. Spark `percentile` vs DuckDB `quantile_cont`).
+  * (e.g. Spark `percentile` vs DuckDB `quantile_cont`). `displayName` /
+  * `comment` are the document's catalog-facing metadata
+  * (`semantic_layer.sql:34-35` et al.) — carried for catalog surfaces,
+  * never touched by compilation.
   */
 final case class Dimension(name: String, expression: String,
-                           join: Option[String] = None)
+                           join: Option[String] = None,
+                           displayName: Option[String] = None,
+                           comment: Option[String] = None)
 
 final case class Measure(name: String, expression: String,
-                         sqlExpr: Option[String] = None)
+                         sqlExpr: Option[String] = None,
+                         displayName: Option[String] = None,
+                         comment: Option[String] = None)
 
+/** `version` / `comment` mirror the document header
+  * (`semantic_layer.sql:11-12`) — view-level metadata, not semantics.
+  */
 final case class MetricView(
     source: String,
     filter: Option[String],
     joins: Seq[MetricJoin],
     dimensions: Seq[Dimension],
-    measures: Seq[Measure]
+    measures: Seq[Measure],
+    version: Option[String] = None,
+    comment: Option[String] = None
 ) {
 
   private def dim(n: String): Dimension =

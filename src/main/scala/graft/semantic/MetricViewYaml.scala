@@ -27,6 +27,28 @@ import scala.collection.mutable
   */
 object MetricViewYaml {
 
+  /** Databricks-widget-style template substitution: every `${name}` in the
+    * document is replaced from `vars` BEFORE parsing — the reference's
+    * documents carry `${catalog}.${environment}.` table prefixes
+    * (`semantic_layer.sql:7,13,15-30`) resolved by the notebook runtime.
+    * An unresolved placeholder fails loudly: executing a view against a
+    * literal `${catalog}` table name would fail later and worse.
+    */
+  def substitute(doc: String, vars: Map[String, String]): String = {
+    val out = vars.foldLeft(doc) { case (acc, (k, v)) =>
+      acc.replace("$" + "{" + k + "}", v)
+    }
+    val leftover = "\\$\\{[^}]*\\}".r.findFirstIn(out)
+    require(leftover.isEmpty,
+      s"metric-view document: unresolved template variable ${leftover.get} " +
+        s"(provided: ${vars.keys.toSeq.sorted.mkString(", ")})")
+    out
+  }
+
+  /** Parse after substituting `${var}` placeholders from `vars`. */
+  def parse(doc: String, vars: Map[String, String]): MetricView =
+    parse(substitute(doc, vars))
+
   private def unquote(v: String): String = {
     val t = v.trim
     if (t.length >= 2 &&
@@ -118,12 +140,14 @@ object MetricViewYaml {
       .map { d =>
         val name = need(d, "dimensions", "name")
         val expr = need(d, "dimensions", "expr")
-        Dimension(name, expr, join = inferJoin(name, expr))
+        Dimension(name, expr, join = inferJoin(name, expr),
+          displayName = d.get("display_name"), comment = d.get("comment"))
       }
     val meas = sections.getOrElse("measures", mutable.Buffer.empty).toSeq
       .map { m =>
         Measure(need(m, "measures", "name"), need(m, "measures", "expr"),
-          sqlExpr = m.get("sql_expr"))
+          sqlExpr = m.get("sql_expr"),
+          displayName = m.get("display_name"), comment = m.get("comment"))
       }
 
     MetricView(
@@ -132,6 +156,8 @@ object MetricViewYaml {
       filter = scalars.get("filter"),
       joins = joins,
       dimensions = dims,
-      measures = meas)
+      measures = meas,
+      version = scalars.get("version"),
+      comment = scalars.get("comment"))
   }
 }

@@ -73,7 +73,42 @@ class MetricViewYamlSpec extends AnyFunSuite {
     val v = MetricViewYaml.parse(doc)
     assert(v.filter.contains("x IS NOT NULL"))
     assert(v.joins == Seq(MetricJoin("d", "dimt", "source.k = d.k", "inner")))
-    assert(v.dimensions == Seq(Dimension("dn", "d.name", join = Some("d"))))
+    assert(v.dimensions == Seq(Dimension("dn", "d.name", join = Some("d"),
+      displayName = Some("Display"))))
+    assert(v.version.contains("1.1") && v.comment.contains("KPIs"))
+  }
+
+  test("the reference's verbatim document parses completely") {
+    val v = MetricViewYaml.parse(ReviewMetrics.yamlDocument,
+      Map("catalog" -> "cat", "environment" -> "env"))
+    assert(v.source == "cat.env.fact_reviews")
+    assert(v.filter.contains("weighted_score IS NOT NULL"))
+    assert(v.version.contains("1.1") && v.comment.contains("KPIs for Reviews"))
+    assert(v.joins.map(_.name) == Seq("dim_games", "dim_categories",
+      "dim_genres", "dim_publishers", "dim_developers"))
+    assert(v.joins.forall(_.joinType == "left"))
+    assert(v.joins.find(_.name == "dim_genres").get.table == "cat.env.dim_genres")
+    assert(v.dimensions.size == 11 && v.measures.size == 5)
+    // display_name / comment metadata is captured, not dropped
+    val rel = v.dimensions.find(_.name == "release_date").get
+    assert(rel.displayName.contains("Release Date")
+      && rel.comment.contains("Release Date of the Game")
+      && rel.join.contains("dim_games"))
+    assert(v.dimensions.find(_.name == "review_date").get.join.isEmpty)
+    val pct = v.measures.find(_.name == "positive_review_pct").get
+    assert(pct.expression ==
+      "SUM(CASE WHEN weighted_score > 0 THEN 1 ELSE 0 END) / COUNT(*)")
+    assert(pct.displayName.contains("Postive Review Percentage"))
+    assert(v.measures.find(_.name == "median_review_length").get
+      .expression == "PERCENTILE(LENGTH(review_text), 0.5)")
+  }
+
+  test("unresolved template variables fail loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      MetricViewYaml.parse(ReviewMetrics.yamlDocument,
+        Map("catalog" -> "cat"))
+    }
+    assert(ex.getMessage.contains("unresolved template variable"))
   }
 
   test("malformed documents fail loudly, not silently") {
