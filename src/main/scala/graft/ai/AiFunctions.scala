@@ -28,6 +28,15 @@ trait LlmClient {
   */
 trait SentimentScorer extends Serializable {
   def score(text: String): Int
+
+  /** Score a stream of texts with THIS instance — the partition-batched
+    * form (SURVEY.md §2.9): called from `mapPartitions`
+    * ([[AiFunctions.withSentimentBatched]]) there is one scorer — and for
+    * the HTTP scorer one client/connection — per partition, so connection
+    * count scales with partitions, never rows. Lazy: consumes `texts` in
+    * lockstep with the caller.
+    */
+  def scoreBatch(texts: Iterator[String]): Iterator[Int] = texts.map(score)
 }
 
 /** Deterministic keyword-rubric scorer (test/offline default).
@@ -78,5 +87,40 @@ object AiFunctions {
     spark.udf.register("sentiment_score", (text: String) => scorer.score(text))
     spark.udf.register("ai_query",
       (model: String, prompt: String) => client.query(model, prompt))
+  }
+
+  /** Partition-batched scoring — the production entry point for the HTTP
+    * scorer: `mapPartitions` constructs ONE scorer per partition via
+    * `makeScorer` and streams the partition's rows through
+    * [[SentimentScorer.scoreBatch]], appending `outCol` (INT). One scorer
+    * per partition means one HTTP client — and with keep-alive one
+    * connection — per partition, against one per ROW if the UDF path were
+    * pointed at an HTTP scorer (SURVEY.md §2.9; `reviews_fact.py:35-109`
+    * pays exactly that per-row cost). Null/absent text scores through the
+    * scorer's own null contract (0 for every implementation here).
+    * Partitioning is preserved — no shuffle, no state.
+    *
+    * Deployments registering HTTP-backed scoring should still mark any
+    * SQL-facing UDF `asNondeterministic` and materialize scored batches
+    * before reuse (SURVEY.md §7.4.1); this DataFrame-level path is the
+    * form that makes the batching explicit.
+    */
+  def withSentimentBatched(df: org.apache.spark.sql.DataFrame,
+                           textCol: String, outCol: String,
+                           makeScorer: () => SentimentScorer)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val ti = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema
+      .add(outCol, org.apache.spark.sql.types.IntegerType, nullable = false)
+    df.mapPartitions { rows =>
+      val scorer = makeScorer()
+      // duplicate + zip keeps text extraction and row emission in lockstep
+      // (bounded buffering), letting scoreBatch see one flat text stream
+      val (forText, forRow) = rows.duplicate
+      val scores = scorer.scoreBatch(forText.map(r =>
+        if (r.isNullAt(ti)) null else r.getString(ti)))
+      forRow.zip(scores).map { case (r, sc) => Row.fromSeq(r.toSeq :+ sc) }
+    }(Encoders.row(outSchema))
   }
 }

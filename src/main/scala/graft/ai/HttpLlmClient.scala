@@ -80,12 +80,16 @@ object ResponseParser {
 
 /** Blocking HTTP scorer over `java.net.http` (30s default timeout ≙
   * `reviews_fact.py:73`; injectable for specs). One request per row like
-  * the reference; for production-scale use, call through `mapPartitions`
-  * so connections amortize per partition rather than per row.
+  * the reference; for production-scale use call the partition-batched
+  * entry point [[AiFunctions.withSentimentBatched]] — `mapPartitions`
+  * builds one scorer here per partition, the inherited
+  * [[SentimentScorer.scoreBatch]] streams that partition through this
+  * instance's single lazy `client`, and connections amortize per
+  * partition rather than per row.
   *
   * Covered end to end (request shape, parse, fallback, non-2xx, timeout,
-  * null short-circuit) by `HttpLlmSpec` against a loopback HTTP stub — no
-  * network egress involved.
+  * null short-circuit, batched connection amortization) by `HttpLlmSpec`
+  * against a loopback HTTP stub — no network egress involved.
   */
 final class HttpLlmScorer(endpoint: String, model: String,
                           promptPrefix: String,

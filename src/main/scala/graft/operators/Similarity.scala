@@ -287,12 +287,15 @@ object Similarity {
       .select(col("vid") +: col("v") +: col("nrm") +: probes: _*)
   }
 
-  /** Approximate top-k via IVF: queries probe their `nProbe` nearest
-    * centroid partitions only; within the probed buckets ranking is exact.
-    * Scanned-vector count drops from n to ~n·nProbe/nCentroids.
+  /** Shared IVF probe stage: every (query, probed-bucket vector) pair with
+    * its raw-double cosine — queries broadcast with their probe lists, the
+    * corpus never shuffles, and a corpus vector meets a query at most once
+    * (it lives in exactly one centroid bucket). [[ivfTopK]] ranks this;
+    * [[contrastivePairs]]'s IVF negative path filters it by threshold
+    * first — same scan, different consumers.
     */
-  def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nProbe: Int): DataFrame = {
+  private def ivfScored(index: IvfIndex, queries: DataFrame, idCol: String,
+                        vecCol: String, nProbe: Int): DataFrame = {
     val q0 = withNorm(queries, idCol, vecCol)
     val q = assign(q0, index.centroids, nProbe)
       .select(col("vid").as("qid"), col("v").as("qv"),
@@ -302,13 +305,21 @@ object Similarity {
       .join(broadcast(q),
         col("centroid") === col("probe") && col("vid") =!= col("qid"))
       .withColumn("cosine", cosine(col("v"), col("qv")))
+  }
+
+  /** Approximate top-k via IVF: queries probe their `nProbe` nearest
+    * centroid partitions only; within the probed buckets ranking is exact.
+    * Scanned-vector count drops from n to ~n·nProbe/nCentroids.
+    */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfScored(index, queries, idCol, vecCol, nProbe)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vid").as("neighbor"), col("rank"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
-  }
 
   /** CONTRASTIVE training-pair assembly — the pair-mining step of an
     * embedding-model pipeline, composed from the two similarity families:
@@ -321,15 +332,21 @@ object Similarity {
     * Output: (anchor, other, pair_type ∈ 'positive'|'negative').
     *
     * Shape at scale: positives ride the banded path (sub-quadratic,
-    * band-key shuffles); negatives broadcast the anchor slice and stream
-    * the corpus once (the [[bruteForceTopK]] posture) — at large anchor
-    * counts swap in [[ivfTopK]] for the negative side, identical output
-    * columns. Ranking determinism: raw-double cosine order with the id
+    * band-key shuffles); the negative side is pluggable via `negativesVia`
+    * — [[NegativesBruteForce]] (default) broadcasts the anchor slice and
+    * streams the corpus once (the [[bruteForceTopK]] posture, exact, right
+    * for bounded anchor sets); [[NegativesIvf]] probes an IVF index built
+    * over the corpus (the [[ivfTopK]] posture, ~nProbe/nCentroids of the
+    * scan per anchor, right for large anchor sets — recall governed by the
+    * probe count, the sim2 calibration). Identical output columns either
+    * way. Ranking determinism: raw-double cosine order with the id
     * tie-break, the sim1 rank-parity argument.
     */
   def contrastivePairs(df: DataFrame, idCol: String, vecCol: String,
                        anchors: DataFrame, k: Int, threshold: Double,
-                       dim: Int): DataFrame = {
+                       dim: Int,
+                       negativesVia: NegativeMining = NegativesBruteForce)
+      : DataFrame = {
     val pairs = cosineNearDupPairsBanded(df, idCol, vecCol, threshold, dim)
     val aIds = broadcast(anchors.select(col(idCol).cast("long").as("_cp_aid")))
     val posA = pairs.join(aIds, col("id_a") === col("_cp_aid"))
@@ -338,12 +355,22 @@ object Similarity {
       .select(col("id_b").as("anchor"), col("id_a").as("other"))
     val pos = posA.unionByName(posB)
       .select(col("anchor"), col("other"), lit("positive").as("pair_type"))
-    val c = df.select(col(idCol).cast("long").as("vid"),
-      toDouble(col(vecCol)).as("v"))
-    val q = anchors.select(col(idCol).cast("long").as("anchor"),
-      toDouble(col(vecCol)).as("qv"))
-    val neg = c.join(broadcast(q), col("vid") =!= col("anchor"))
-      .withColumn("_cp_cos", cosine(col("v"), col("qv")))
+    val scored = negativesVia match {
+      case NegativesBruteForce =>
+        val c = df.select(col(idCol).cast("long").as("vid"),
+          toDouble(col(vecCol)).as("v"))
+        val q = anchors.select(col(idCol).cast("long").as("anchor"),
+          toDouble(col(vecCol)).as("qv"))
+        c.join(broadcast(q), col("vid") =!= col("anchor"))
+          .select(col("anchor"), col("vid"),
+            cosine(col("v"), col("qv")).as("_cp_cos"))
+      case NegativesIvf(nCentroids, nProbe, seed) =>
+        val index = ivfIndex(df, idCol, vecCol, nCentroids, seed)
+        ivfScored(index, anchors, idCol, vecCol, nProbe)
+          .select(col("qid").as("anchor"), col("vid"),
+            col("cosine").as("_cp_cos"))
+    }
+    val neg = scored
       // null cosine = zero-norm vector (see d5 note): excluded, as is
       // everything at/above the near-dup threshold
       .filter(col("_cp_cos").isNotNull && col("_cp_cos") < threshold)
@@ -356,6 +383,22 @@ object Similarity {
     pos.unionByName(neg)
   }
 }
+
+/** How [[Similarity.contrastivePairs]] mines its hard negatives. */
+sealed trait NegativeMining
+
+/** Broadcast the anchors, stream the corpus once — exact; the right shape
+  * while the anchor set fits a broadcast.
+  */
+case object NegativesBruteForce extends NegativeMining
+
+/** Probe an IVF index (trained on the corpus with `seed`): each anchor
+  * scans only its `nProbe` nearest of `nCentroids` buckets — the scale
+  * shape for large anchor sets, with [[Similarity.ivfTopK]]'s recall
+  * characteristics.
+  */
+final case class NegativesIvf(nCentroids: Int, nProbe: Int,
+                              seed: Long = 42L) extends NegativeMining
 
 /** Vectors tagged with their centroid partition + the centroid matrix. */
 final case class IvfIndex(vectors: DataFrame, centroids: Array[Array[Double]])

@@ -110,4 +110,55 @@ class HttpLlmSpec extends AnyFunSuite {
     }
     assert(calls.get() == 0)
   }
+
+  test("scoreBatch reuses one instance: every text scored, order preserved") {
+    val calls = new AtomicInteger(0)
+    withServer { ex =>
+      calls.incrementAndGet()
+      respond(ex, 200, chatCompletion("""{"score": 3}"""))
+    } { url =>
+      val scorer = new HttpLlmScorer(url, "m", "")
+      val got = scorer.scoreBatch(Iterator("a1", null, "b2", "")).toSeq
+      assert(got == Seq(3, 0, 3, 0))
+    }
+    assert(calls.get() == 2) // null/empty short-circuit inside the batch too
+  }
+}
+
+/** The partition-batched scoring path over a real Spark job: connections
+  * must scale with PARTITIONS, not rows — the SURVEY §2.9 batching claim,
+  * measured at the loopback server by distinct client sockets.
+  */
+class HttpBatchedScoringSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("withSentimentBatched opens at most one connection per partition") {
+    val remotes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val rows = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat", ex => {
+      remotes.add(ex.getRemoteAddress.toString)
+      rows.incrementAndGet()
+      val body = """{"id":"c","choices":[{"index":0,"message":{"role":"assistant","content":"{\"score\": 2}"}}]}"""
+        .getBytes(UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat"
+      val nPart = 4
+      val df = (1 to 40).map(i => (i.toLong, s"text $i")).toDF("id", "text")
+        .repartition(nPart)
+      val scored = graft.ai.AiFunctions.withSentimentBatched(
+        df, "text", "sentiment", () => new HttpLlmScorer(url, "m", ""))
+      assert(scored.columns.toSeq == Seq("id", "text", "sentiment"))
+      val got = scored.select($"sentiment").as[Int].collect()
+      assert(got.length == 40 && got.forall(_ == 2))
+      assert(rows.get() == 40) // one request per row...
+      assert(remotes.size <= nPart, // ...but connections ≤ partitions
+        s"expected ≤ $nPart client sockets, saw ${remotes.size}: $remotes")
+    } finally server.stop(0)
+  }
 }

@@ -91,6 +91,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("contrastive negatives via IVF: column/type parity + recall vs brute") {
+    val anchors = emb.filter($"vec_id" < 5)
+    val bf = Similarity.contrastivePairs(emb, "vec_id", "embedding",
+      anchors, k = 5, threshold = 0.9, dim = 64)
+    val ivf = Similarity.contrastivePairs(emb, "vec_id", "embedding",
+      anchors, k = 5, threshold = 0.9, dim = 64,
+      negativesVia = NegativesIvf(nCentroids = 16, nProbe = 8))
+    // identical output surface regardless of the mining path
+    assert(ivf.schema == bf.schema)
+    val bfNeg = bf.filter($"pair_type" === "negative")
+      .select("anchor", "other").as[(Long, Long)].collect().toSet
+    val ivfNeg = ivf.filter($"pair_type" === "negative")
+      .select("anchor", "other").as[(Long, Long)].collect().toSet
+    val recall = (bfNeg intersect ivfNeg).size.toDouble / bfNeg.size
+    assert(recall >= 0.5, s"IVF negative recall $recall too low")
+    // positives are independent of the negative path
+    val pos = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter($"pair_type" === "positive")
+        .select("anchor", "other").as[(Long, Long)].collect().toSet
+    assert(pos(ivf) == pos(bf))
+  }
+
   test("IVF index sampling is deterministic: same centroids across runs") {
     val c1 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
       .centroids.map(_.toSeq).toSeq
