@@ -34,12 +34,15 @@ object UrlFunctions {
     *
     * Steps, in order (each a codegen'd builtin; regexes in the Java∩RE2
     * subset — no lookaround — so the oracle replays them verbatim):
+    *   0. lowercase a case-variant scheme (`HTTPS://` → `https://`) so the
+    *      anchored steps below match case-insensitively-entered URLs,
     *   1. drop the fragment (`#…`),
-    *   2. drop tracking params (`utm_*`, `gclid`, `fbclid`) and tidy the
+    *   2. drop tracking params (`utm_*` incl. multi-underscore names like
+    *      `utm_source_platform`, `gclid`, `fbclid`) and tidy the
     *      separators they leave behind,
     *   3. drop userinfo (`user@`) and the scheme-default port
     *      (`:80` for http, `:443` for https),
-    *   4. lowercase scheme + host (paths stay case-sensitive) and strip a
+    *   4. lowercase the host (paths stay case-sensitive) and strip a
     *      leading `www.`,
     *   5. drop a bare root-path trailing slash (`https://x.com/` ≡
     *      `https://x.com`, deeper paths untouched).
@@ -48,7 +51,13 @@ object UrlFunctions {
     * in, same garbage out, never null.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    // a regex replacement cannot lowercase its capture, so the scheme fix
+    // is extract-lower-reassemble; `(?i:…)` is in both Java and RE2
+    val sch = regexp_extract(url, "^((?i:https?)://)", 1)
+    val schemeLowered =
+      when(sch === "", url)
+        .otherwise(concat(lower(sch), expr_substr(url, length(sch) + 1)))
+    val noFrag = regexp_replace(schemeLowered, "#.*$", "")
     // tracking params must START at a ?/& boundary (a param named
     // `xutm_source` is not a tracking param); removal leaves dangling
     // separators ("?&a", "a&&b", trailing ?/&) which the next two
@@ -56,7 +65,7 @@ object UrlFunctions {
     val noTrack = regexp_replace(
       regexp_replace(
         regexp_replace(noFrag,
-          "([?&])(?:utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "$1"),
+          "([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*", "$1"),
         "([?&])&+", "$1"),
       "[?&]$", "")
     val noUser = regexp_replace(noTrack, "^(https?://)[^/@?#]*@", "$1")

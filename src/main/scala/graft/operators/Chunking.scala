@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Overlapping token-window chunking — the document→training-example (or
   * document→RAG-passage) splitter: each document becomes
-  * `ceil((n - size) / stride) + 1` windows of `size` tokens advancing by
-  * `stride = size - overlap`, so consecutive chunks share `overlap`
-  * tokens and every token is covered. A document shorter than one window
-  * yields exactly one (short) chunk.
+  * `1 + ceil(max(n - size, 0) / stride)` windows of `size` tokens
+  * advancing by `stride = size - overlap`, so consecutive chunks share
+  * `overlap` tokens and every token is covered. The `max(…, 0)` clamp is
+  * what makes a document shorter than one window yield exactly one
+  * (short) chunk rather than zero.
   *
   * Scale shape: a pure per-row projection — tokenize once, build the
   * window-index array with `sequence`, materialize each window with

@@ -26,9 +26,19 @@ object SnapshotDiff {
     * (default: every non-key column of `oldDf`). Output: the key columns
     * plus `change` ∈ {'added','removed','changed'}; unchanged keys are
     * omitted. Both inputs must carry all key and value columns.
+    *
+    * CONTRACT: `keyCols` identify AT MOST ONE row per snapshot (and are
+    * non-null). A duplicated key multiplies rows through the full-outer
+    * join and [[applyDelta]] would then rebuild a corrupt image — with no
+    * error, since the join itself is well-defined. The contract is not
+    * checked by default (a groupBy-count over both snapshots is real work
+    * at 100 TB); pass `checkUniqueKeys = true` in validation runs to fail
+    * loudly on the first duplicated key instead. No input column may be
+    * named `change` (the classification output column — checked).
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
-           valueCols: Seq[String] = Nil): DataFrame = {
+           valueCols: Seq[String] = Nil,
+           checkUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "diff needs at least one key column")
     val vals =
       if (valueCols.nonEmpty) valueCols
@@ -37,6 +47,19 @@ object SnapshotDiff {
       require(oldDf.columns.contains(c) && newDf.columns.contains(c),
         s"diff: column '$c' must exist in both snapshots")
     }
+    require(!(keyCols ++ vals).contains("change"),
+      "diff: a key/value column named 'change' would collide with the " +
+        "classification output column — rename it before diffing")
+    if (checkUniqueKeys)
+      Seq("old" -> oldDf, "new" -> newDf).foreach { case (side, df) =>
+        val dup = df.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"diff: $side snapshot has duplicated key " +
+            keyCols.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+              .mkString("(", ", ", ")") +
+            " — snapshots must hold at most one row per key")
+      }
     val o = oldDf.select((keyCols ++ vals).map(col): _*).as("o")
     val n = newDf.select((keyCols ++ vals).map(col): _*).as("n")
     val keyEq = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
@@ -59,14 +82,16 @@ object SnapshotDiff {
 
   /** Value-carrying diff: [[diff]]'s classification plus the NEW-side
     * value columns on `added`/`changed` rows (NULL on `removed`) — the
-    * delta format [[applyDelta]] consumes. Same single full-outer join.
+    * delta format [[applyDelta]] consumes. Same single full-outer join,
+    * same unique-key contract as [[diff]].
     */
   def diffWithValues(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
-                     valueCols: Seq[String] = Nil): DataFrame = {
+                     valueCols: Seq[String] = Nil,
+                     checkUniqueKeys: Boolean = false): DataFrame = {
     val vals =
       if (valueCols.nonEmpty) valueCols
       else oldDf.columns.toSeq.filterNot(keyCols.contains)
-    val d = diff(oldDf, newDf, keyCols, vals)
+    val d = diff(oldDf, newDf, keyCols, vals, checkUniqueKeys)
     d.join(newDf.select((keyCols ++ vals).map(col): _*), keyCols, "left")
       .select(keyCols.map(col) ++ (col("change") +: vals.map(col)): _*)
   }
@@ -83,6 +108,9 @@ object SnapshotDiff {
   def applyDelta(oldDf: DataFrame, delta: DataFrame,
                  keyCols: Seq[String]): DataFrame = {
     val vals = oldDf.columns.toSeq.filterNot(keyCols.contains)
+    require(!vals.contains("change"),
+      "applyDelta: the old snapshot has a value column named 'change', " +
+        "colliding with the delta's classification column — rename it")
     (keyCols :+ "change").foreach { c =>
       require(delta.columns.contains(c), s"applyDelta: delta missing '$c'")
     }

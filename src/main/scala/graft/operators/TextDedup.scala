@@ -329,11 +329,30 @@ object TextDedup {
     * `expectedItems` sizes the filter; pass the corpus row count from
     * table metadata at scale (here a column-pruned count() when omitted —
     * one extra scan of a 32-byte column, the documented local default).
+    *
+    * The "candidate-sized broadcast" claim assumes a mostly-new batch; a
+    * replay-heavy or adversarial batch (candidates ≈ |batch|) would turn
+    * it into a batch-sized broadcast that can exceed driver/broadcast
+    * limits. The verify path is therefore SIZE-GATED: candidates are
+    * counted in the same batch scan that probes the filter, and when they
+    * exceed `broadcastCandidateFraction` of the batch the verify falls
+    * back to plain shuffle semi-joins (AQE still broadcasts if the
+    * absolute size turns out small) — identical output, graceful
+    * degradation instead of an OOM. The bloom broadcast itself is
+    * destroyed once the returned frame's plan no longer needs it — i.e.
+    * NOT here; callers looping over increments should `unpersist` corpus
+    * caches but need no bloom cleanup beyond letting the frame go out of
+    * scope (Spark GCs broadcasts with their last reference). Each call
+    * builds one filter; nothing accumulates across calls beyond normal
+    * broadcast GC latency.
     */
   def bloomNewDocs(corpus: DataFrame, batch: DataFrame,
                    idCol: String, textCol: String,
                    fpp: Double = 0.01,
-                   expectedItems: Long = -1L): DataFrame = {
+                   expectedItems: Long = -1L,
+                   broadcastCandidateFraction: Double = 0.5): DataFrame = {
+    require(broadcastCandidateFraction >= 0 && broadcastCandidateFraction <= 1,
+      s"broadcastCandidateFraction must be in [0,1]: $broadcastCandidateFraction")
     val spark = corpus.sparkSession
     val cd = corpus.select(md5(col(textCol)).as("_bd_digest"))
     val expected = if (expectedItems > 0) expectedItems
@@ -343,17 +362,65 @@ object TextDedup {
     val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
     val bd = batch.select(col(idCol), md5(col(textCol)).as("_bd_digest"))
     val candidates = bd.filter(mightContain(col("_bd_digest")))
-    // verify with the CANDIDATES broadcast against the corpus scan — the
-    // corpus side is probed in place, never shuffled; a semi-join the other
-    // way round would build on the 100 TB side
-    val dupDigests = cd
-      .join(broadcast(candidates.select(col("_bd_digest")).distinct()),
-        Seq("_bd_digest"), "left_semi")
-      .distinct()
-    val dupIds = candidates
-      .join(broadcast(dupDigests), Seq("_bd_digest"), "left_semi")
-      .select(col(idCol))
-    bd.join(broadcast(dupIds), Seq(idCol), "left_anti").select(col(idCol))
+    // one batch scan sizes the gate: total rows + rows passing the filter
+    val gate = bd.agg(
+      count(lit(1)).as("n"),
+      count(when(mightContain(col("_bd_digest")), lit(1))).as("nCand")).head()
+    val broadcastable =
+      gate.getLong(1) <= broadcastCandidateFraction * gate.getLong(0)
+    if (broadcastable) {
+      // verify with the CANDIDATES broadcast against the corpus scan — the
+      // corpus side is probed in place, never shuffled; a semi-join the
+      // other way round would build on the 100 TB side
+      val dupDigests = cd
+        .join(broadcast(candidates.select(col("_bd_digest")).distinct()),
+          Seq("_bd_digest"), "left_semi")
+        .distinct()
+      val dupIds = candidates
+        .join(broadcast(dupDigests), Seq("_bd_digest"), "left_semi")
+        .select(col(idCol))
+      bd.join(broadcast(dupIds), Seq(idCol), "left_anti").select(col(idCol))
+    } else {
+      // saturated-filter regime: the candidate slice is batch-sized, so
+      // broadcasting it is exactly the OOM the gate exists to avoid —
+      // shuffle semi-joins instead (compact 32-byte digest keys)
+      val dupIds = candidates
+        .join(cd, Seq("_bd_digest"), "left_semi")
+        .select(col(idCol))
+      bd.join(dupIds, Seq(idCol), "left_anti").select(col(idCol))
+    }
+  }
+
+  /** CHUNK-grain dedup report — paragraph/passage-level dedup (the C4 /
+    * RefinedWeb shape) at token-window grain: split every document into
+    * non-overlapping `size`-token windows ([[Chunking.chunk]]), digest
+    * each window, and report per document its window count, how many of
+    * its windows occur more than once in the corpus (in any document,
+    * including repeats within its own) and the duplicate ratio. This
+    * surfaces PARTIAL duplication that document-grain [[newDocs]]/d1
+    * cannot see — boilerplate headers, quoted passages, templated
+    * sections — and is the dedup grain line/paragraph splitting would
+    * give on a corpus with newlines.
+    *
+    * Plan shape: chunk fan-out (pure projection, no shuffle) → one digest
+    * groupBy (16-byte keys, map-side partial agg) → digest-keyed join
+    * back → doc groupBy. The same shuffle classes as exact dedup, at
+    * chunk-grain row counts — no new join geometry at 100 TB.
+    */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+                    size: Int = 32): DataFrame = {
+    val chunks = Chunking.chunk(df, idCol, textCol, size = size, overlap = 0)
+      .select(col(idCol), md5(col("chunk_text")).as("_cd_digest"))
+    val freq = chunks.groupBy(col("_cd_digest"))
+      .agg(count(lit(1)).as("_cd_n"))
+    chunks.join(freq, Seq("_cd_digest"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(when(col("_cd_n") > 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_dup_chunks"))
+      .withColumn("dup_chunk_ratio",
+        (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .cast("decimal(18,6)"))
   }
 
   /** FNV-1a 64-bit — a stable, dependency-free token hash for SimHash

@@ -132,6 +132,40 @@ object DataPipelineQueries {
         uni.filter(col("vec_id") < 10), k = 5, threshold = 0.9, dim = 64)
     }),
 
+    // the IVF negative path of contrastive mining, made SELF-VERIFYING
+    // (the sim2 scheme): mine the same universe twice — negatives via
+    // NegativesIvf and via the exact brute-force default — and emit the
+    // per-anchor recall@5 assertion as a boolean DuckDB reproduces as
+    // literal TRUE. Positives ride the identical banded path in both
+    // runs, so the comparison isolates exactly the swapped negative side.
+    // Probe count is the recall lever (sim2): the planted universe's
+    // near-dup mass shifts this index's centroid draw enough that one
+    // anchor dipped under the 0.5 floor at nProbe=8, so the catalog
+    // entry probes 12/16 — measured per-anchor floor 0.6 at every SF,
+    // 0.5 asserted.
+    "ctr2_contrastive_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+            .as("embedding"))
+      val uni = emb.unionByName(planted)
+      val anchors = uni.filter(col("vec_id") < 10)
+      def mine(via: graft.operators.NegativeMining) =
+        Similarity.contrastivePairs(uni, "vec_id", "embedding",
+          anchors, k = 5, threshold = 0.9, dim = 64, negativesVia = via)
+          .filter(col("pair_type") === "negative")
+      val bf = mine(graft.operators.NegativesBruteForce)
+        .select(col("anchor"), col("other"))
+      val ivf = mine(graft.operators.NegativesIvf(nCentroids = 16, nProbe = 12))
+        .select(col("anchor"), col("other"), lit(1).as("hit"))
+      bf.join(ivf, Seq("anchor", "other"), "left")
+        .groupBy(col("anchor"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double")
+          / count(lit(1)).cast("double") >= 0.5).as("neg_recall_at_5_ok"))
+    }),
+
     // exact brute-force cosine top-k for a query subset
     "sim1_ann_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -286,6 +320,19 @@ object DataPipelineQueries {
         table(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", size = 64, overlap = 16)),
 
+    // chunk-grain dedup (ch1 × d1 composed): the C4-style PARTIAL-
+    // duplication report — per doc, how many of its 32-token windows
+    // also occur elsewhere. Planted: every 11th doc re-keyed +1e6, so all
+    // its windows duplicate their original's; natural cross-doc repeats
+    // in the synthetic corpus count too
+    "cd1_chunk_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      TextDedup.chunkDupStats(docs.unionByName(planted), "doc_id", "text",
+        size = 32)
+    }),
+
     // corpus collocations: bigram lift (exp-PMI) over integer counts —
     // the multi-word-expression / template-phrase report
     "pmi1_collocations" -> ((s, d) =>
@@ -420,6 +467,10 @@ object DataPipelineQueries {
     // literal-TRUE recall assertion (the ag2 scheme) — one row per query id
     "sim2_ivf_topk" ->
       """SELECT vec_id AS qid, TRUE AS recall_at_5_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // same scheme for the IVF negative-mining path — one row per anchor
+    "ctr2_contrastive_ivf" ->
+      """SELECT CAST(vec_id AS BIGINT) AS anchor, TRUE AS neg_recall_at_5_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // Zero-norm guard: Spark's native cosine yields NULL for a zero vector
     // (filtered out); DuckDB's list_cosine_similarity yields NaN, which
@@ -610,6 +661,29 @@ object DataPipelineQueries {
         | array_to_string(toks[ci*48+1 : least(ci*48+64, n)], ' ') AS chunk_text,
         | CAST(least(ci*48+64, n) - ci*48 AS INTEGER) AS n_tokens
         |FROM i""".stripMargin,
+    // the ch1 chunking recipe at size 32/stride 32 over the planted
+    // union, digested and counted; ratio mirrors the double-division +
+    // DECIMAL(18,6) rounding of the Spark side exactly
+    "cd1_chunk_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |     UNION ALL
+        |     SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') toks FROM u),
+        |c AS (SELECT doc_id, toks, len(toks) n,
+        |        1 + CAST(ceil(greatest(len(toks) - 32, 0) / 32.0) AS BIGINT) nc
+        |      FROM t),
+        |i AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, nc - 1)) ci FROM c),
+        |ch AS (SELECT doc_id,
+        |         md5(array_to_string(toks[ci*32+1 : least(ci*32+32, n)], ' ')) dg
+        |       FROM i),
+        |f AS (SELECT dg, count(*) cnt FROM ch GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        | CAST(CAST(CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS dup_chunk_ratio
+        |FROM ch JOIN f USING (dg) GROUP BY doc_id""".stripMargin,
     // identical association order as the Spark side: ((c_ab/T)·(U/u_a))·(U/u_b)
     "pmi1_collocations" ->
       """WITH t AS (SELECT string_split(lower(text), ' ') toks FROM documents),

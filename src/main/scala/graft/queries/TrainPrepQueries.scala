@@ -198,7 +198,10 @@ object TrainPrepQueries {
     // assembly step of a sequence-model pipeline (events → one training
     // example per user). One groupBy shuffle; ordering is engine-stable
     // ((ts, event_id) — ids are unique) via sort_array over structs, the
-    // la1 pattern at event grain
+    // la1 pattern at event grain. POWER-USER HAZARD: the per-user row
+    // grows with full history — a 10^8-event user builds one pathological
+    // row/group; production corpora should bound history with the seq2
+    // window-tail form below
     "seq1_user_event_sequence" -> ((s, d) =>
       events(s, d)
         .groupBy(col("user_id"))
@@ -210,24 +213,64 @@ object TrainPrepQueries {
               x => x.getField("event_type")), ",").as("event_seq"),
           count(lit(1)).cast("bigint").as("n_events"))),
 
+    // BOUNDED-history sequence assembly — seq1 with a maxEvents lever:
+    // keep each user's LAST maxEvents events (row_number tail over
+    // (ts, event_id) DESC — one window, same single shuffle class) before
+    // the assembly aggregation, so the per-user row is O(maxEvents)
+    // regardless of history. The unbounded seq1 stays the default for
+    // bounded-history corpora; this is the production guard
+    "seq2_bounded_sequence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val maxEvents = 20
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= maxEvents)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")), ",").as("event_seq_tail"),
+          count(lit(1)).cast("bigint").as("n_tail_events"))
+    }),
+
+    // per-user DECAYED click rate — EWMA (α=0.5) over each user's last 40
+    // events, newest-weighted: the recency feature of a behavior model.
+    // Oracle-checkable because α=0.5 over 0/1 click indicators makes every
+    // weight a power of two: the weighted sum is exactly representable, so
+    // both engines produce bit-identical doubles in any reduction order
+    // (the round-6 "EWMA isn't SQL-oracle-able" blocker, dissolved by
+    // planting exactness instead of asserting literals)
+    "ew1_ewma_clicks" -> ((s, d) =>
+      graft.operators.Decay.ewma(
+        events(s, d).withColumn("is_click",
+          when(col("event_type") === "click", 1.0).otherwise(0.0)),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valCol = "is_click", alpha = 0.5, lastN = 40)),
+
     // URL canonicalization + dedup: the normalize-before-fetch step of a
-    // crawl pipeline. Six deterministic variants of each logical URL are
-    // planted in-plan (case, www, tracking params, default port,
-    // fragment, userinfo — plus one with a REAL query param that must
-    // stay distinct); canonicalization collapses the five spurious ones
+    // crawl pipeline. Seven deterministic variants of each logical URL are
+    // planted in-plan (host case, scheme case, www, tracking params incl.
+    // a multi-underscore utm name, default port, fragment, userinfo —
+    // plus one with a REAL query param that must stay distinct);
+    // canonicalization collapses the six spurious ones
     "url2_canonical_dedup" -> ((s, d) => {
       import graft.functions.UrlFunctions
-      val k = expr("doc_id div 6").cast("string")
-      val m = col("doc_id") % 6
+      val k = expr("doc_id div 7").cast("string")
+      val m = col("doc_id") % 7
       val url =
         when(m === 0, concat(lit("https://EXAMPLE.com/a/"), k))
           .when(m === 1, concat(lit("https://www.example.com/a/"), k,
-            lit("?utm_source=x&utm_medium=y")))
+            lit("?utm_source=x&utm_source_platform=y")))
           .when(m === 2, concat(lit("https://example.com:443/a/"), k))
           .when(m === 3, concat(lit("https://example.com/a/"), k,
             lit("#sec-2")))
           .when(m === 4, concat(lit("https://example.com/a/"), k,
             lit("?id=7")))
+          .when(m === 5, concat(lit("HTTPS://example.com/a/"), k))
           .otherwise(concat(lit("https://u@example.com/a/"), k))
       table(s, d, "documents").select(col("doc_id"), url.as("url"))
         .select(col("doc_id"),
@@ -468,6 +511,34 @@ object TrainPrepQueries {
         | string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
         | CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    // the closed-form weighted sum, recomposed relationally: newest-first
+    // rank, per-user kept-count m, weight 0.5·0.5^(rn-1) except the
+    // oldest kept row's 0.5^(m-1); every term a power of two → exact
+    "ew1_ewma_clicks" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS DOUBLE) v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events),
+        |f AS (SELECT user_id, v, rn FROM t WHERE rn <= 40),
+        |g AS (SELECT user_id, v, rn,
+        |        count(*) OVER (PARTITION BY user_id) m FROM f)
+        |SELECT user_id,
+        | SUM(v * CASE WHEN rn = m THEN power(0.5, m - 1)
+        |              ELSE 0.5 * power(0.5, rn - 1) END) AS ewma,
+        | CAST(count(*) AS BIGINT) AS n_events_used
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // same assembly over the row_number tail — the bound is plain SQL
+    "seq2_bounded_sequence" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events)
+        |SELECT user_id,
+        | string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq_tail,
+        | CAST(count(*) AS BIGINT) AS n_tail_events
+        |FROM t WHERE rn <= 20 GROUP BY 1""".stripMargin,
     // identical double evaluation order: bin = least(floor((x-lo)*20/(hi-lo)), 19)
     "hist1_price_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) lo, max(l_extendedprice) hi
@@ -486,18 +557,24 @@ object TrainPrepQueries {
     // same planted variants, same canonicalization regex chain (DuckDB
     // backreference syntax \1; 'g' where Spark replaces globally)
     "url2_canonical_dedup" ->
-      """WITH v AS (SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) k, doc_id % 6 m FROM documents),
+      """WITH v AS (SELECT doc_id, CAST(doc_id // 7 AS VARCHAR) k, doc_id % 7 m FROM documents),
         |u AS (SELECT doc_id, CASE m
         |        WHEN 0 THEN 'https://EXAMPLE.com/a/' || k
-        |        WHEN 1 THEN 'https://www.example.com/a/' || k || '?utm_source=x&utm_medium=y'
+        |        WHEN 1 THEN 'https://www.example.com/a/' || k || '?utm_source=x&utm_source_platform=y'
         |        WHEN 2 THEN 'https://example.com:443/a/' || k
         |        WHEN 3 THEN 'https://example.com/a/' || k || '#sec-2'
         |        WHEN 4 THEN 'https://example.com/a/' || k || '?id=7'
+        |        WHEN 5 THEN 'HTTPS://example.com/a/' || k
         |        ELSE 'https://u@example.com/a/' || k END AS url
         |      FROM v),
-        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') u FROM u),
+        |s0 AS (SELECT doc_id, url,
+        |         regexp_extract(url, '^((?i:https?)://)', 1) sc FROM u),
+        |sl AS (SELECT doc_id, CASE WHEN sc = '' THEN url
+        |         ELSE lower(sc) || substr(url, length(sc) + 1) END AS url
+        |       FROM s0),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') u FROM sl),
         |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
-        |         '([?&])(?:utm_[A-Za-z]+|gclid|fbclid)=[^&]*', '\1', 'g'),
+        |         '([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*', '\1', 'g'),
         |         '([?&])&+', '\1', 'g'), '[?&]$', '') u FROM s1),
         |s3 AS (SELECT doc_id, regexp_replace(u, '^(https?://)[^/@?#]*@', '\1') u FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,

@@ -66,6 +66,22 @@ class ChunkingSpec extends SparkSpec {
       Chunking.chunk(df, "doc_id", "text", size = 4, overlap = 4)
     }
   }
+
+  test("chunk-grain dedup counts shared windows, not whole-doc digests") {
+    // docs 1 and 2 share their FIRST 2-token window only; doc 3 is unique;
+    // doc 4 repeats a window internally (both occurrences count as dups)
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "p q r s"),
+      (4L, "z z z z")).toDF("doc_id", "text")
+    // size=2 → windows: 1:[a b][c d], 2:[a b][x y], 3:[p q][r s],
+    // 4:[z z][z z] (its two windows are identical)
+    val got = TextDedup.chunkDupStats(df, "doc_id", "text", size = 2)
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks")
+      .as[(Long, Long, Long)].collect().map { case (d, n, k) => d -> ((n, k)) }.toMap
+    assert(got == Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L)),
+      4L -> ((2L, 2L))))
+  }
 }
 
 class BloomNewDocsSpec extends SparkSpec {
@@ -120,6 +136,34 @@ class BloomNewDocsSpec extends SparkSpec {
     val got = TextDedup.bloomNewDocs(corpus, batch, "doc_id", "text")
       .as[Long].collect().toSet
     assert(got == Set(10L, 11L))
+  }
+
+  test("all-duplicate batch: broadcast and shuffle verify paths agree") {
+    // a replayed batch (100% duplicates) saturates the candidate gate; the
+    // two fractions force each verify path in turn and must agree exactly
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = corpus.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val want = exactNew(corpus, batch) // empty: every text already in corpus
+    assert(want.isEmpty)
+    val viaBroadcast = TextDedup.bloomNewDocs(corpus, batch, "doc_id", "text",
+      broadcastCandidateFraction = 1.0).as[Long].collect().toSet
+    val viaShuffle = TextDedup.bloomNewDocs(corpus, batch, "doc_id", "text",
+      broadcastCandidateFraction = 0.0).as[Long].collect().toSet
+    assert(viaBroadcast == want && viaShuffle == want)
+  }
+
+  test("mixed batch: both verify paths equal the exact anti-join") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val replays = corpus.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val batch = docs.filter($"doc_id" % 10 === 0).unionByName(replays)
+    val want = exactNew(corpus, batch)
+    val viaBroadcast = TextDedup.bloomNewDocs(corpus, batch, "doc_id", "text",
+      broadcastCandidateFraction = 1.0).as[Long].collect().toSet
+    val viaShuffle = TextDedup.bloomNewDocs(corpus, batch, "doc_id", "text",
+      broadcastCandidateFraction = 0.0).as[Long].collect().toSet
+    assert(viaBroadcast == want && viaShuffle == want)
   }
 }
 
@@ -229,5 +273,30 @@ class SnapshotDiffSpec extends SparkSpec {
     val applied = SnapshotDiff.applyDelta(old, delta, Seq("k"))
       .as[(Long, Double)].collect().toSet
     assert(applied == Set((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("a value column named 'change' is rejected loudly") {
+    val old = Seq((1L, "a")).toDF("k", "change")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(old, old, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.applyDelta(old,
+        Seq((1L, "added", "a")).toDF("k", "change", "v"), Seq("k"))
+    }
+  }
+
+  test("checkUniqueKeys fails loudly on a duplicated key; clean inputs pass") {
+    val dup = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val clean = Seq((1L, 1.0), (2L, 3.0)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(dup, clean, Seq("k"), checkUniqueKeys = true)
+    }
+    assert(ex.getMessage.contains("duplicated key"))
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diffWithValues(clean, dup, Seq("k"), checkUniqueKeys = true)
+    }
+    val got = SnapshotDiff.diff(clean, clean, Seq("k"), checkUniqueKeys = true)
+    assert(got.isEmpty)
   }
 }

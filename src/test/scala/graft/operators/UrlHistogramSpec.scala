@@ -49,6 +49,18 @@ class UrlCanonSpec extends SparkSpec {
       == Seq("https://x.com/CaseSensitive/Path"))
   }
 
+  test("case-variant schemes canonicalize (incl. their port/host steps)") {
+    assert(canon("HTTPS://Example.com/a/1") == Seq("https://example.com/a/1"))
+    assert(canon("HTTP://x.com:80/p") == Seq("http://x.com/p"))
+    assert(canon("HtTpS://u@x.com:443/") == Seq("https://x.com"))
+  }
+
+  test("multi-underscore and digit-bearing utm params drop") {
+    assert(canon("https://x.com/p?utm_source_platform=y&id=7")
+      == Seq("https://x.com/p?id=7"))
+    assert(canon("https://x.com/p?utm_id2=7") == Seq("https://x.com/p"))
+  }
+
   test("non-URL-shaped values pass through unchanged") {
     assert(canon("not a url", "ftp://x.com/a#f")
       == Seq("not a url", "ftp://x.com/a"))

@@ -168,6 +168,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("bounded sequence and EWMA reuse one key partitioning (single exchange)") {
+    // window(user_id) → filter → groupBy(user_id): the groupBy reuses the
+    // window's hash partitioning, so the whole tail+fold costs ONE shuffle
+    Seq("seq2_bounded_sequence", "ew1_ewma_clicks").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q expected a single hash exchange:\n$p")
+    }
+  }
+
+  test("chunk-grain dedup joins by digest: hash joins, no cartesian") {
+    val p = plan("cd1_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("m8 verbatim-document view prunes to the requested joins only") {
+    val p = plan("m8_review_metrics_yaml")
+    // the document declares 5 joins; the 3 requested dims touch 2 — the
+    // plan must scan fact + games + genres and nothing else
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ctr2 IVF negative mining stays cartesian-free") {
+    // (the in-plan brute-force comparison side keeps the documented sim1
+    // broadcast-NLJ posture, so only cartesians are asserted away)
+    assert(!plan("ctr2_contrastive_ivf").contains("CartesianProduct"))
+  }
+
   test("LSH verify joins hashed shingle sets, not strings") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val df = graft.SparkEntry.queries("d2_minhash_lsh")(spark, sf)
