@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SEMANTIC deduplication over an embedding column — the SemDeDup recipe
+  * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus embeddings
+  * with a cheap coarse quantizer, then search for cosine near-duplicates
+  * only WITHIN each cluster. Textually different documents that embed to
+  * nearly the same point (templated rewrites, translations back and forth,
+  * boilerplate paraphrases) are exactly what the lexical families
+  * ([[TextDedup]]) cannot see and this operator exists to catch.
+  *
+  * Relationship to the other embedding-dedup path: [[Similarity.cosineNearDupPairsBanded]]
+  * buckets by random-hyperplane signs (data-independent); this operator
+  * buckets by learned k-means cells (data-dependent — clusters follow the
+  * corpus density, so a tight semantic clump lands in one cell even when
+  * its spread straddles several sign-LSH bands). The two are complementary
+  * candidate generators over the same exact-verify core.
+  *
+  * Shape at scale: the corpus shuffles ONCE on the cluster id (a small
+  * int), then each cluster self-joins locally — candidate pairs are
+  * Σ |cluster|²/2 instead of n²/2, a ~nClusters× cut for balanced
+  * clusters. The centroid matrix is the only driver state (the
+  * [[Similarity.ivfIndex]] contract), and every emitted pair carries its
+  * exact recomputed cosine, so precision is 1 by construction — cluster
+  * quality only affects recall. A pathologically popular cell (mode
+  * collapse in the embedding model) re-creates the quadratic locally; the
+  * lever is `nClusters` ∝ corpus size, keeping E|cluster| constant so
+  * per-cluster work stays bounded as data grows.
+  *
+  * `assignProbes` > 1 assigns each vector to its `assignProbes` nearest
+  * cells (overlapping clusters): a pair straddling a Voronoi boundary is
+  * missed only if all probed cells differ. Pure SemDeDup is `probes=1`;
+  * 2 is the boundary-robust setting worth its 2× membership cost when
+  * recall is contractual (the semd1 oracle).
+  */
+object SemanticDedup {
+
+  /** All within-cluster pairs with cosine ≥ `threshold`, as
+    * (keep_id, drop_id, cosine DECIMAL(18,4)) with keep_id < drop_id —
+    * min-id survivor convention, duplicates from overlapping memberships
+    * collapsed. Feed into [[DedupClusters.canonicalize]] when transitive
+    * closure (cluster-level survivors) is wanted.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       nClusters: Int, threshold: Double,
+                       assignProbes: Int = 1, seed: Long = 42L): DataFrame = {
+    require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    val index = Similarity.ivfIndex(df, idCol, vecCol, nClusters, seed)
+    val members =
+      if (assignProbes == 1)
+        index.vectors.select(col("vid"), col("v"), col("nrm"),
+          col("centroid").as("cluster"))
+      else Similarity.clusterAssignments(index, df, idCol, vecCol, assignProbes)
+    val a = members.select(col("cluster"), col("vid").as("_sd_ida"),
+      col("v").as("_sd_va"))
+    val b = members.select(col("cluster"), col("vid").as("_sd_idb"),
+      col("v").as("_sd_vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("_sd_ida") < col("_sd_idb"))
+      .withColumn("_sd_cos", Similarity.cosine(col("_sd_va"), col("_sd_vb")))
+      // null cosine = zero-norm vector: no direction, never a duplicate
+      .filter(col("_sd_cos").isNotNull && col("_sd_cos") >= threshold)
+      .select(col("_sd_ida").as("keep_id"), col("_sd_idb").as("drop_id"),
+        col("_sd_cos").cast("decimal(18,4)").as("cosine"))
+      .distinct()
+  }
+}

@@ -307,6 +307,23 @@ object Similarity {
       .withColumn("cosine", cosine(col("v"), col("qv")))
   }
 
+  /** Per-vector cluster memberships under an index's coarse quantizer:
+    * each row of `df` exploded to its `probes` nearest centroids as
+    * (vid, v, nrm, cluster) — one output row per membership. `probes=1`
+    * is the plain Voronoi partition (each vector in exactly one cluster);
+    * `probes>1` gives overlapping clusters, the standard
+    * boundary-robustness trick for cluster-local pairwise work
+    * ([[SemanticDedup]]): two vectors that straddle a Voronoi boundary
+    * still co-occur in a cluster unless ALL `probes` nearest centroids
+    * differ. Cost is linear in `probes` (membership rows, not pairs).
+    */
+  def clusterAssignments(index: IvfIndex, df: DataFrame, idCol: String,
+                         vecCol: String, probes: Int): DataFrame =
+    assign(withNorm(df, idCol, vecCol), index.centroids, probes)
+      .select(col("vid"), col("v"), col("nrm"),
+        explode(array((0 until probes).map(i => col(s"c$i")): _*))
+          .as("cluster"))
+
   /** Approximate top-k via IVF: queries probe their `nProbe` nearest
     * centroid partitions only; within the probed buckets ranking is exact.
     * Scanned-vector count drops from n to ~n·nProbe/nCentroids.

@@ -34,6 +34,33 @@ object Splits {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE split assignment: a near-duplicate that lands in train
+    * while its twin lands in test silently inflates eval scores — the
+    * cross-SPLIT version of the contamination problem `ct1` guards
+    * against cross-CORPUS. The fix is granularity: bucket on the
+    * near-dup CLUSTER's canonical id ([[DedupClusters.canonicalize]]),
+    * not the row id, so every member of a cluster draws the same split;
+    * singletons (the overwhelming majority) fall back to their own id
+    * via the left join + coalesce and keep `assignSplit`'s exact
+    * portable-md5 assignment.
+    *
+    * Output: `df` + `split_key` (the id actually bucketed) + `split`.
+    * Shape at scale: pair generation and closure are the dedup family's
+    * cost (sub-quadratic banded/LSH paths); this adds one left equi-join
+    * of the corpus against the (clustered-members-only, ≪ corpus)
+    * canonical map and the same shuffle-free bucket projection as sp1.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val canon = DedupClusters.canonicalize(pairs, aCol, bCol)
+      .select(col("member_id").as("_ls_id"), col("canonical_id").as("_ls_canon"))
+    val keyed = df.join(canon, col(idCol) === col("_ls_id"), "left")
+      .withColumn("split_key", coalesce(col("_ls_canon"), col(idCol)))
+      .drop("_ls_id", "_ls_canon")
+    assignSplit(keyed, "split_key", trainPct, valPct)
+  }
+
   /** Deterministic stratified sample: the first `n` rows per stratum in
     * portable-hash order — "give me a reproducible k-per-source eval
     * slice". Ordering by (bucket-of-id, id) makes the pick pseudo-random

@@ -27,7 +27,7 @@ object DataPipelineQueries {
     * the harness corpus sits at s ≥ 0.97 where misses are ~impossible, so
     * LSH+verify returns exactly the exact-Jaccard pair set.
     */
-  private val jaccardOracleSql: String =
+  private[queries] val jaccardOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
       |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |        generate_series(1, greatest(len(toks)-4, 0)),

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HostBudget, LanguageModel, Retrieval, SemanticDedup,
+  Similarity, Splits, TextDedup}
+import graft.functions.{TextAnalysis, UrlFunctions}
+import QueryUtil._
+
+/** Retrieval and corpus-policy operators beyond the reference surface:
+  * BM25 inverted-index scoring, the SemDeDup semantic-dedup recipe,
+  * corpus-trained bigram-LM perplexity, and per-host document budgets —
+  * the lexical-retrieval / embedding-dedup / fluency-filter / crawl-policy
+  * quartet of a pretraining-data pipeline.
+  */
+object RetrievalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // BM25 top-10 per query — queries are the first 6 tokens of docs 0-4
+    // (derivable identically in both engines, so the oracle recomputes the
+    // full scoring). Per-term contributions round to DECIMAL(18,6) at the
+    // ln boundary, scores sum as DECIMAL, ranking compares the decimal —
+    // the tf1 cross-libm scheme extended to a sum (Retrieval scaladoc)
+    "bm25_1_retrieval" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+            .as("qtext"))
+      Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", k = 10)
+    }),
+
+    // SemDeDup over the d5b planted universe, made SELF-VERIFYING: the
+    // emitted surface is every exact ≥0.9 pair (the d5b oracle set) with
+    // the boolean "the cluster-local path found it". Precision needs no
+    // check (every SemanticDedup pair carries an exact recomputed cosine
+    // ≥ τ — subset of the exact set by construction); recall is the
+    // claim, and assignProbes=2 overlapping clusters make it total on
+    // ε-separated planted pairs (a miss needs BOTH nearest centroids to
+    // differ across a 0.01 nudge — SemanticDedupSpec measures recall 1.0
+    // at every SF)
+    "semd1_semantic_dedup" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+            .as("embedding"))
+      val uni = emb.unionByName(planted)
+      val semd = SemanticDedup.semanticDupPairs(uni, "vec_id", "embedding",
+        nClusters = 16, threshold = 0.9, assignProbes = 2)
+      val exact = Similarity.cosineNearDupPairs(uni, "vec_id", "embedding",
+        threshold = 0.9)
+      exact.select(col("id_a"), col("id_b"))
+        .join(semd.select(col("keep_id").as("id_a"), col("drop_id").as("id_b"),
+          lit(1).as("_sf_hit")), Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          (coalesce(col("_sf_hit"), lit(0)) === 1).as("semd_found"))
+    }),
+
+    // per-document bigram-LM surprisal/perplexity, model trained on the
+    // corpus itself — counts exact, each ln rounded DECIMAL(18,6), decimal
+    // sums, one exp of a bit-identical mean (LanguageModel scaladoc)
+    "ppl1_lm_perplexity" -> ((s, d) =>
+      LanguageModel.bigramSurprisal(table(s, d, "documents"), "doc_id", "text")),
+
+    // LEAKAGE-SAFE splitting: near-dup clusters (the dc1 pair graph) draw
+    // ONE split via their canonical id; singletons keep sp1's assignment
+    // verbatim. Oracle = dc1's recursive-CTE closure composed with sp1's
+    // portable md5 bucket on the coalesced key
+    "sp2_leakage_safe_split" -> ((s, d) =>
+      Splits.clusterSafeSplit(
+        table(s, d, "documents").select(col("doc_id")), "doc_id",
+        TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b")
+        .select(col("doc_id"), col("split_key"), col("split"))),
+
+    // per-host crawl budget: planted URLs spread docs over 37 hosts, the
+    // host comes back out through the hardened DomainRe extractor, and
+    // each host keeps its 10 lowest-doc_id pages with the pre-cap size
+    // carried for the rationing report
+    "hc1_host_cap" -> ((s, d) => {
+      val url = concat(lit("https://h"), (col("doc_id") % 37).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val hosts = table(s, d, "documents")
+        .select(col("doc_id"), UrlFunctions.extractDomain(url).as("host"))
+      HostBudget.capPerHost(hosts, "host", Seq(col("doc_id")), maxPerHost = 10)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "bm25_1_retrieval" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) dl FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+        |               CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) sum_dl
+        |        FROM documents),
+        |q AS (SELECT DISTINCT qid, term FROM
+        |       (SELECT doc_id AS qid,
+        |               unnest(list_slice(string_split(lower(text), ' '), 1, 6)) term
+        |        FROM documents WHERE doc_id < 5)),
+        |c AS (SELECT q.qid, tf.doc_id,
+        |        CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                 / (CAST(df AS DOUBLE) + 0.5))
+        |          * (CAST(tf AS DOUBLE) * 2.2)
+        |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |              * (CAST(dl AS DOUBLE)
+        |                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |        AS DECIMAL(18,6)) c
+        |      FROM tf JOIN q ON tf.term = q.term
+        |      JOIN dfq ON tf.term = dfq.term
+        |      JOIN dl ON tf.doc_id = dl.doc_id
+        |      CROSS JOIN tot),
+        |sc AS (SELECT qid, doc_id, SUM(c) score_d FROM c GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_d,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score_d DESC, doc_id) rn FROM sc)
+        |SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank,
+        | CAST(score_d AS DOUBLE) AS score
+        |FROM r WHERE rn <= 10""".stripMargin,
+    // the d5b exact-pair universe with the literal-TRUE found flag (the
+    // ag2 scheme: the engine-internal clustering isn't SQL-reproducible,
+    // its checkable consequence — total recall on the exact pair set — is)
+    "semd1_semantic_dedup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000,
+        |   list_concat([embedding[1] + CAST(0.01 AS REAL)], embedding[2:])
+        | FROM embeddings WHERE vec_id < 50),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS semd_found
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "ppl1_lm_perplexity" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |db AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |           i -> toks[i] || ' ' || toks[i+1])) bigram FROM tk),
+        |dbm AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) m FROM db GROUP BY 1, 2),
+        |bc AS (SELECT bigram, CAST(SUM(m) AS BIGINT) c12 FROM dbm GROUP BY 1),
+        |uc AS (SELECT token, CAST(count(*) AS BIGINT) c1 FROM
+        |        (SELECT unnest(string_split(lower(text), ' ')) token FROM documents)
+        |       GROUP BY 1),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) v_total FROM uc),
+        |sc AS (SELECT dbm.doc_id, dbm.m,
+        |         CAST(dbm.m AS DECIMAL(18,0))
+        |           * CAST(ln((CAST(c1 AS DOUBLE) + CAST(v_total AS DOUBLE))
+        |               / (CAST(c12 AS DOUBLE) + 1.0)) AS DECIMAL(18,6)) s
+        |       FROM dbm JOIN bc ON dbm.bigram = bc.bigram
+        |       JOIN uc ON string_split(dbm.bigram, ' ')[1] = uc.token
+        |       CROSS JOIN vt),
+        |ag AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) n_bigrams, SUM(s) ssum
+        |       FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        | CAST(ssum AS DOUBLE) AS sum_surprisal,
+        | CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_surprisal,
+        | CAST(CAST(exp(CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+        |   AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
+        |FROM ag""".stripMargin,
+    "sp2_leakage_safe_split" ->
+      (s"""WITH RECURSIVE pairs AS (${DataPipelineQueries.jaccardOracleSql}),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        |  WHERE e2.v != r.u),
+        |canon AS (SELECT u AS member_id, least(u, min(v)) AS canonical_id
+        |          FROM reach GROUP BY u),
+        |k AS (SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS split_key
+        |      FROM documents d LEFT JOIN canon c ON d.doc_id = c.member_id)
+        |SELECT doc_id, split_key,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id, split_key,
+        |  CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 AS b
+        | FROM k)""".stripMargin),
+    "hc1_host_cap" ->
+      """WITH h AS (SELECT doc_id,
+        |  'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |r AS (SELECT doc_id, host,
+        |        row_number() OVER (PARTITION BY host ORDER BY doc_id) rn,
+        |        count(*) OVER (PARTITION BY host) tot FROM h)
+        |SELECT doc_id, host, CAST(rn AS INTEGER) AS host_rank,
+        | CAST(tot AS BIGINT) AS host_total
+        |FROM r WHERE rn <= 10""".stripMargin)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 semantics: hand-computed scores on a tiny corpus (same rounding
+  * discipline as the operator), ranking shape, and inverted-index sparsity.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("BM25 matches a hand-computed score on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val qs = Seq((100L, "a c")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+      k = 10)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+
+    // N=3, avgdl=(3+2+3)/3=8/3; df(a)=1, df(c)=2
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfp(tf: Double, dl: Double) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    // d1: only 'a' (tf=2, dl=3); d2: only 'c' (tf=1, dl=2); d3: 'c' tf=3 dl=3
+    val exp = Map(
+      1L -> round6(idf(1) * tfp(2, 3)).toDouble,
+      2L -> round6(idf(2) * tfp(1, 2)).toDouble,
+      3L -> round6(idf(2) * tfp(3, 3)).toDouble)
+    assert(got.keySet == exp.keySet, s"got $got expected $exp")
+    // 1e-6 tolerance: the spec's BigDecimal path and Spark's double→decimal
+    // cast may round a borderline 7th digit differently; value identity at
+    // full precision is the oracle's job (bm25_1), semantics are checked here
+    exp.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) <= 1e-6, s"doc $k: got ${got(k)} expected $v")
+    }
+  }
+
+  test("ranking is dense 1..n per query, scores non-increasing, k-capped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("qid"),
+        array_join(slice(split(lower($"text"), " "), 1, 6), " ").as("qtext"))
+    val rows = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+      k = 10)
+      .select($"qid", $"rank", $"score").as[(Long, Int, Double)]
+      .collect().groupBy(_._1)
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length), "dense ranks")
+      assert(sorted.length <= 10)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      }, "scores non-increasing in rank")
+    }
+  }
+
+  test("documents sharing no query term never appear") {
+    val docs = Seq((1L, "x y"), (2L, "p q")).toDF("doc_id", "text")
+    val qs = Seq((9L, "x")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}

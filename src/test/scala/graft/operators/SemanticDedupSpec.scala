@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup semantics: cluster-local pairs are a subset of the exact pair
+  * set (precision 1), overlapping assignment dominates single assignment,
+  * planted near-dups are fully recalled at probes=2, runs are
+  * deterministic.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The d5b planted universe: every vec_id < 50 gets a +0.01-nudged copy
+    * at id+1e6 — cosine ≈ 0.9999, the "same content re-embedded" regime.
+    */
+  private lazy val universe: DataFrame = {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"))
+    emb.unionByName(planted)
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("keep_id", "drop_id").as[(Long, Long)].collect().toSet
+
+  test("semantic pairs are a subset of the exact all-pairs set") {
+    val semd = pairsOf(SemanticDedup.semanticDupPairs(universe, "vec_id",
+      "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2))
+    val exact = Similarity.cosineNearDupPairs(universe, "vec_id", "embedding",
+      threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(semd.subsetOf(exact),
+      s"cluster-local found pairs outside the exact set: ${semd -- exact}")
+  }
+
+  test("probes=2 recalls every planted pair (the semd1 oracle invariant)") {
+    val semd = pairsOf(SemanticDedup.semanticDupPairs(universe, "vec_id",
+      "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2))
+    val planted = (0L until 50L).map(i => (i, i + 1000000L)).toSet
+    val missed = planted -- semd
+    assert(missed.isEmpty, s"planted pairs missed: $missed")
+  }
+
+  test("probes=1 finds a subset of probes=2 (overlap only adds candidates)") {
+    def run(p: Int) = pairsOf(SemanticDedup.semanticDupPairs(universe,
+      "vec_id", "embedding", nClusters = 16, threshold = 0.9, assignProbes = p))
+    val p1 = run(1); val p2 = run(2)
+    assert(p1.subsetOf(p2), s"p1-only pairs: ${p1 -- p2}")
+  }
+
+  test("two runs produce identical output (seeded determinism)") {
+    def run() = SemanticDedup.semanticDupPairs(universe, "vec_id",
+      "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
+      .select($"keep_id", $"drop_id", $"cosine".cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(run() == run())
+  }
+}

@@ -200,6 +200,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan("ctr2_contrastive_ivf").contains("CartesianProduct"))
   }
 
+  test("BM25 is an inverted-index equi-join: hash joins, no cartesian") {
+    val p = plan("bm25_1_retrieval")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row (n_docs, sum_dl) totals may ride a broadcast nested loop
+    // (the pmi1 posture); the term/doc-keyed joins must be hash joins
+    assert(p.contains("HashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("semantic dedup self-joins on the cluster key: no cartesian") {
+    val p = plan("semd1_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("bigram-LM scoring joins model tables by key: no cartesian") {
+    val p = plan("ppl1_lm_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("host cap pays exactly one shuffle (rank and total share it)") {
+    val p = plan("hc1_host_cap")
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected a single hash exchange:\n$p")
+  }
+
+  test("leakage-safe split is one left equi-join over the canonical map") {
+    val p = plan("sp2_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LSH verify joins hashed shingle sets, not strings") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val df = graft.SparkEntry.queries("d2_minhash_lsh")(spark, sf)
