@@ -30,18 +30,28 @@ import graft.functions.TextAnalysis
   * which is why the boundary case — were a transcendental ever to land on
   * one — could not flip between engines that round halves away from zero.
   *
-  * Shape at scale: one (doc, term) aggregation, one (term) aggregation,
-  * an equi-join back on term, and a rank window partitioned by doc —
-  * all map-side-combinable shuffles on compact keys. The corpus size N
-  * joins in as a broadcast single-row aggregate (no driver action).
+  * Shape at scale: doc-local term frequencies are a native-expression
+  * PROJECTION (`NgramCounts` — the former explode + groupBy(doc, term)
+  * exchange, the widest key in the plan, no longer exists), leaving one
+  * (term) aggregation, an equi-join back on term, and a rank window
+  * partitioned by doc — map-side-combinable shuffles on compact keys.
+  * The corpus size N joins in as a broadcast single-row aggregate (no
+  * driver action).
   */
 object Keywords {
 
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // doc-local term frequencies come from the native NgramCounts
+    // expression (a projection) rather than explode + groupBy(doc, term)
+    // — same (doc, term, tf) rows, minus a corpus-wide exchange on the
+    // widest key in the plan (value-equivalence spec-asserted)
     val tf = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col(idCol),
+        explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
+          .as("_tc"))
+      .select(col(idCol), col("_tc.gram").as("term"),
+        col("_tc.cnt").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = df.agg(count(lit(1)).as("n_docs"))
     // idf argument (N+1)/(df+1) ≥ 1 always (df ≤ N), so ln ≥ 0 — the

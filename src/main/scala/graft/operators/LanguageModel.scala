@@ -46,14 +46,22 @@ object LanguageModel {
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // doc-grain frequency tables come from the native NgramCounts
+    // expression (projections) rather than explode + groupBy(doc, gram) —
+    // the per-document model-scoring grain never shuffles; only the
+    // vocabulary-sized corpus aggregations do
     val docBi = df
       .select(col(idCol).as("doc_id"),
-        explode(NgramStats.bigrams(col(textCol))).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("m"))
+        explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 2))
+          .as("_bc"))
+      .select(col("doc_id"), col("_bc.gram").as("bigram"),
+        col("_bc.cnt").cast("long").as("m"))
     val biCount = docBi.groupBy(col("bigram")).agg(sum(col("m")).as("c12"))
     val uniCount = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      .select(explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
+        .as("_tc"))
+      .select(col("_tc.gram").as("token"), col("_tc.cnt").as("c"))
+      .groupBy(col("token")).agg(sum(col("c")).cast("long").as("c1"))
     val vocab = uniCount.agg(count(lit(1)).as("v_total"))
     val surprisal = log(
       (col("c1").cast("double") + col("v_total").cast("double"))

@@ -50,9 +50,15 @@ object Retrieval {
                qId: String, qTextCol: String, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // postings come from the native NgramCounts expression (a projection)
+    // rather than explode + groupBy(doc, term) — the inverted-index build
+    // drops its (doc, term) exchange (value-equivalence spec-asserted)
     val postings = docs
-      .select(col(docId).as("doc_id"), explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col(docId).as("doc_id"),
+        explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
+          .as("_tc"))
+      .select(col("doc_id"), col("_tc.gram").as("term"),
+        col("_tc.cnt").cast("long").as("tf"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val docLen = docs.select(col(docId).as("doc_id"),
       size(toks).cast("long").as("dl"))
