@@ -66,4 +66,42 @@ object SemanticDedup {
         col("_sd_cos").cast("decimal(18,4)").as("cosine"))
       .distinct()
   }
+
+  /** INCREMENTAL semantic dedup — the embedding analog of
+    * [[TextDedup]]'s batch-vs-corpus paths (il1/il2): which of a new
+    * batch's vectors are semantic duplicates of the EXISTING corpus?
+    * The coarse quantizer is trained on (and the cluster shuffle paid
+    * by) the corpus once; the batch — typically ≪ corpus — is assigned
+    * to its `assignProbes` nearest cells and compared only against the
+    * corpus members of those cells. Batch-internal duplicates are
+    * [[semanticDupPairs]] on the batch alone; this operator answers the
+    * cross question an append-only ingest loop asks every increment.
+    *
+    * Output: (new_id, match_id, cosine DECIMAL(18,4)) — one row per
+    * (batch vector, corpus near-duplicate) pair with cosine ≥
+    * `threshold`, exact by recomputation (cell quality only affects
+    * recall, the [[semanticDupPairs]] argument). Ids need not be
+    * disjoint; a batch vector never matches the corpus vector with the
+    * same id (self-pair guard).
+    */
+  def incrementalPairs(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, vecCol: String,
+                       nClusters: Int, threshold: Double,
+                       assignProbes: Int = 2, seed: Long = 42L): DataFrame = {
+    require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    val index = Similarity.ivfIndex(corpus, idCol, vecCol, nClusters, seed)
+    val corpusM = Similarity.clusterAssignments(index, corpus, idCol, vecCol,
+      assignProbes)
+      .select(col("cluster"), col("vid").as("_sd_cid"), col("v").as("_sd_cv"))
+    val batchM = Similarity.clusterAssignments(index, batch, idCol, vecCol,
+      assignProbes)
+      .select(col("cluster"), col("vid").as("_sd_bid"), col("v").as("_sd_bv"))
+    batchM.join(corpusM, Seq("cluster"))
+      .filter(col("_sd_bid") =!= col("_sd_cid"))
+      .withColumn("_sd_cos", Similarity.cosine(col("_sd_bv"), col("_sd_cv")))
+      .filter(col("_sd_cos").isNotNull && col("_sd_cos") >= threshold)
+      .select(col("_sd_bid").as("new_id"), col("_sd_cid").as("match_id"),
+        col("_sd_cos").cast("decimal(18,4)").as("cosine"))
+      .distinct()
+  }
 }

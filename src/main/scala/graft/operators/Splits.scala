@@ -80,6 +80,53 @@ object Splits {
       .filter(col("sample_rank") <= n)
   }
 
+  /** TEMPERATURE-SCALED source mixing — the multilingual/source-balance
+    * sampling recipe (mT5 / XLM-R style): sample sources proportional to
+    * `n_s^α` instead of `n_s`, so with α < 1 head sources are downsampled
+    * and tail sources keep (relatively) more mass. `targetFrac` sets the
+    * overall corpus fraction kept; each source's keep-probability is
+    * `min(1, targetFrac·N·share_s / n_s)` with `share_s = n_s^α / Σ n_t^α`,
+    * decided per row by the same portable md5 bucket as [[assignSplit]].
+    *
+    * Cross-engine determinism: α = 0.5 makes the power a `sqrt` — IEEE
+    * correctly-rounded, bit-identical everywhere (other α go through
+    * libm `pow`; the threshold's DECIMAL(18,6) rounding then carries the
+    * tf1 boundary argument instead of exactness). Each per-source
+    * `sqrt` is rounded to DECIMAL(18,6) BEFORE the normalizer sums them,
+    * so Σ is exact in any reduction order; the per-source threshold is a
+    * fixed-order double expression of exact inputs, rounded to
+    * DECIMAL(18,6), and compared against the integer bucket.
+    *
+    * Shape at scale: one tiny (source) aggregation, thresholds broadcast
+    * back on the source key, then a pure filter — the mix pipelines into
+    * the scan like [[mixBySource]], with the rates COMPUTED from corpus
+    * statistics instead of hand-supplied.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double = 0.5, targetFrac: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0, 1]: $targetFrac")
+    val pw: Column => Column =
+      if (alpha == 0.5) sqrt else (c: Column) => pow(c, lit(alpha))
+    val perSource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_tm_ns"))
+      .withColumn("_tm_sq",
+        pw(col("_tm_ns").cast("double")).cast("decimal(18,6)"))
+    val totals = perSource
+      .agg(sum(col("_tm_ns")).as("_tm_total"), sum(col("_tm_sq")).as("_tm_z"))
+    val thr = perSource.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        (least(lit(1.0),
+          (lit(targetFrac) * col("_tm_total").cast("double")
+            * (col("_tm_sq").cast("double") / col("_tm_z").cast("double")))
+            / col("_tm_ns").cast("double")) * lit(100.0))
+          .cast("decimal(18,6)").cast("double").as("_tm_thr"))
+    df.join(broadcast(thr), sourceCol)
+      .filter(bucket(col(idCol)).cast("double") < col("_tm_thr"))
+      .drop("_tm_thr")
+  }
+
   /** Deterministic weighted corpus mixing — the "dataset mixing weights"
     * step of a training-data pipeline: keep each row with its source's
     * sampling rate (percent kept, 0–100), decided by the same portable

@@ -57,6 +57,43 @@ object RetrievalQueries {
           (coalesce(col("_sf_hit"), lit(0)) === 1).as("semd_found"))
     }),
 
+    // INCREMENTAL semantic dedup (batch vs corpus — the il1 question at
+    // the embedding grain), self-verifying like semd1: the emitted
+    // surface is every exact batch×corpus pair ≥0.9 (brute-force in-plan,
+    // batch broadcast — the sim1 posture) with the boolean "the
+    // cell-local incremental path found it"
+    "semd2_incremental_semantic" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+            .as("embedding"))
+      val inc = SemanticDedup.incrementalPairs(emb, batch, "vec_id",
+        "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
+      val b = batch.select(col("vec_id").as("new_id"),
+        Similarity.toDouble(col("embedding")).as("_bv"))
+      val exact = emb
+        .select(col("vec_id").as("match_id"),
+          Similarity.toDouble(col("embedding")).as("_cv"))
+        .crossJoin(broadcast(b))
+        .withColumn("_c", Similarity.cosine(col("_cv"), col("_bv")))
+        .filter(col("_c").isNotNull && col("_c") >= 0.9)
+        .select(col("new_id"), col("match_id"))
+      exact.join(inc.select(col("new_id"), col("match_id"),
+        lit(1).as("_sf_hit")), Seq("new_id", "match_id"), "left")
+        .select(col("new_id"), col("match_id"),
+          (coalesce(col("_sf_hit"), lit(0)) === 1).as("inc_found"))
+    }),
+
+    // temperature-scaled source mixing (α=0.5 → sqrt, IEEE-exact): rates
+    // computed from corpus statistics, decided by the sp1 md5 bucket
+    "mix2_temperature_mix" -> ((s, d) =>
+      graft.operators.Splits.temperatureMix(
+        table(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", alpha = 0.5, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"))),
+
     // per-document bigram-LM surprisal/perplexity, model trained on the
     // corpus itself — counts exact, each ln rounded DECIMAL(18,6), decimal
     // sums, one exp of a bit-identical mean (LanguageModel scaladoc)
@@ -132,6 +169,34 @@ object RetrievalQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "semd2_incremental_semantic" ->
+      """WITH c AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |      FROM embeddings),
+        |b AS (SELECT vec_id + 1000000 AS vec_id,
+        |        list_transform(
+        |          list_concat([embedding[1] + CAST(0.01 AS REAL)], embedding[2:]),
+        |          x -> CAST(x AS DOUBLE)) v
+        |      FROM embeddings WHERE vec_id < 50)
+        |SELECT b.vec_id AS new_id, c.vec_id AS match_id, TRUE AS inc_found
+        |FROM b, c
+        |WHERE NOT isnan(list_cosine_similarity(b.v, c.v))
+        |  AND list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin,
+    "mix2_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) ns
+        |           FROM documents GROUP BY 1),
+        |q AS (SELECT source, ns,
+        |        CAST(sqrt(CAST(ns AS DOUBLE)) AS DECIMAL(18,6)) sq FROM n),
+        |t AS (SELECT CAST(SUM(ns) AS BIGINT) total, SUM(sq) z FROM q),
+        |p AS (SELECT source,
+        |        CAST(least(1.0, (0.5 * CAST(total AS DOUBLE)
+        |            * (CAST(sq AS DOUBLE) / CAST(z AS DOUBLE)))
+        |          / CAST(ns AS DOUBLE)) * 100.0 AS DECIMAL(18,6)) thr
+        |      FROM q CROSS JOIN t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN p ON d.source = p.source
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 100 AS DOUBLE) < CAST(thr AS DOUBLE)""".stripMargin,
     "ppl1_lm_perplexity" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
         |db AS (SELECT doc_id,

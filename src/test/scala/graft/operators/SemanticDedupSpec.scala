@@ -56,6 +56,24 @@ class SemanticDedupSpec extends SparkSpec {
     assert(p1.subsetOf(p2), s"p1-only pairs: ${p1 -- p2}")
   }
 
+  test("incremental: planted batch recalls every cross pair at probes=2") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val batch = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"))
+    val inc = SemanticDedup.incrementalPairs(emb, batch, "vec_id",
+      "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
+      .select("new_id", "match_id").as[(Long, Long)].collect().toSet
+    val planted = (0L until 50L).map(i => (i + 1000000L, i)).toSet
+    assert((planted -- inc).isEmpty, s"missed: ${planted -- inc}")
+    // nothing below threshold sneaks in: every emitted pair is a planted
+    // one (natural corpus max cosine ~0.6 ≪ 0.9)
+    assert(inc.subsetOf(planted), s"extra pairs: ${inc -- planted}")
+  }
+
   test("two runs produce identical output (seeded determinism)") {
     def run() = SemanticDedup.semanticDupPairs(universe, "vec_id",
       "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)

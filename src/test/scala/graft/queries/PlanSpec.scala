@@ -228,6 +228,18 @@ class PlanSpec extends SparkSpec {
       s"expected a single hash exchange:\n$p")
   }
 
+  test("incremental semantic dedup joins on the cell key: no cartesian") {
+    // (the in-plan exact-verify companion keeps the documented sim1
+    // broadcast-NLJ posture; cartesians are asserted away)
+    assert(!plan("semd2_incremental_semantic").contains("CartesianProduct"))
+  }
+
+  test("temperature mix is a broadcast threshold join + scan filter") {
+    val p = plan("mix2_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("leakage-safe split is one left equi-join over the canonical map") {
     val p = plan("sp2_leakage_safe_split")
     assert(!p.contains("CartesianProduct"), p)
