@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, MarkerCount, ShingleHashes}
+import graft.functions.{CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashes.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("ngram_counts"),
+      new ExpressionInfo(classOf[NgramCounts].getName, "ngram_counts"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NgramCounts.build(exprs)))
   }
 }

@@ -107,4 +107,26 @@ object NgramCounts {
   /** Column surface: doc-local n-gram frequency table of `text`. */
   def ngramCounts(text: Column, n: Int): Column =
     Bridge.column(NgramCounts(Bridge.expression(text), n))
+
+  /** SQL builder: `ngram_counts(text, 2)` — n must be an integer literal
+    * (it parameterizes the generated code).
+    */
+  private[graft] def build(exprs: Seq[Expression]): NgramCounts = {
+    require(exprs.length == 2,
+      s"ngram_counts expects 2 arguments (text, n), got ${exprs.length}")
+    val nExpr = exprs(1)
+    require(nExpr.foldable && nExpr.dataType == IntegerType,
+      "ngram_counts: n must be an integer literal")
+    val n = nExpr.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case other => throw new IllegalArgumentException(
+        s"ngram_counts: expected integer literal for n, got $other")
+    }
+    NgramCounts(exprs.head, n)
+  }
+
+  /** SQL surface registration (`SELECT ngram_counts(text, 2)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_counts", build, "built-in")
 }

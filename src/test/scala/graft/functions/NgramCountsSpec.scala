@@ -62,6 +62,18 @@ class NgramCountsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("SQL surface: ngram_counts registered and literal-checked") {
+    NgramCounts.register(spark)
+    val rows = spark.sql(
+      "SELECT inline(ngram_counts('b a b', 1))").as[(String, Int)]
+      .collect().toSeq
+    assert(rows == Seq(("b", 2), ("a", 1)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT ngram_counts('x', cast(rand()*2 as int))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("counts are first-occurrence ordered and deterministic") {
     val out = Seq((1L, "b a b a b")).toDF("doc_id", "text")
       .select(NgramCounts.ngramCounts($"text", 1).as("tc"))
