@@ -152,4 +152,54 @@ object NgramStats {
       .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(k)
+
+  /** Token-distribution DIVERGENCE between two corpus slices — the
+    * distribution-shift monitor of a data pipeline: KL(P‖Q) and KL(Q‖P)
+    * over the add-one-smoothed unigram distributions of sources `srcP`
+    * and `srcQ`. A re-crawl whose token mix drifts from the reference
+    * slice, a contaminated source, or a language-mix change all move
+    * this number before any model does.
+    *
+    * `p_t = (c_P(t)+1)/(N_P+V)` over the UNION vocabulary V (smoothing
+    * keeps absent-in-one-side terms finite). Cross-engine determinism:
+    * counts are exact integers; each signed KL term rounds to
+    * DECIMAL(18,12) at the `ln` boundary (the tf1 scheme — signed values
+    * change nothing: ties cannot occur on transcendental outputs) and
+    * the vocabulary sum is a DECIMAL sum, exact in any order.
+    *
+    * Shape at scale: doc-local counts ride the native
+    * [[graft.functions.NgramCounts]] projection; one (source, token)
+    * aggregation, one full-outer equi-join on token, a 1-row totals
+    * broadcast, and a 1-row final aggregate. Vocabulary-bounded
+    * throughout (Zipf: ≪ corpus).
+    */
+  def tokenDivergence(df: DataFrame, textCol: String, sourceCol: String,
+                      srcP: String, srcQ: String): DataFrame = {
+    val counts = df.filter(col(sourceCol).isin(srcP, srcQ))
+      .select(col(sourceCol).as("_td_src"),
+        explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
+          .as("_tc"))
+      .select(col("_td_src"), col("_tc.gram").as("token"),
+        col("_tc.cnt").cast("long").as("c"))
+      .groupBy(col("_td_src"), col("token")).agg(sum(col("c")).as("c"))
+    val p = counts.filter(col("_td_src") === srcP)
+      .select(col("token"), col("c").as("ca"))
+    val q = counts.filter(col("_td_src") === srcQ)
+      .select(col("token"), col("c").as("cb"))
+    val joined = p.join(q, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val pa = (col("ca").cast("double") + lit(1.0)) /
+      (col("na").cast("double") + col("v").cast("double"))
+    val qb = (col("cb").cast("double") + lit(1.0)) /
+      (col("nb").cast("double") + col("v").cast("double"))
+    joined.crossJoin(broadcast(totals))
+      .select((pa * log(pa / qb)).cast("decimal(18,12)").as("_td_pq"),
+        (qb * log(qb / pa)).cast("decimal(18,12)").as("_td_qp"))
+      .agg(count(lit(1)).cast("bigint").as("n_vocab"),
+        sum(col("_td_pq")).cast("double").as("kl_pq"),
+        sum(col("_td_qp")).cast("double").as("kl_qp"))
+  }
 }

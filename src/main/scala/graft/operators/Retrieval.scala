@@ -89,4 +89,37 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("rank"),
         col("_bm_d").cast("double").as("score"))
   }
+
+  /** Retrieval EVALUATION over a ranked result list — the metric half of
+    * a retriever pipeline (MRR and hit-rate are how BM25 and the
+    * embedding retrievers ([[Similarity]]) get compared at corpus scale).
+    *
+    * `results` is any (qid, doc_id, rank) ranking ([[bm25TopK]],
+    * [[Similarity.bruteForceTopK]] renamed, …); `qrels` is the relevance
+    * set (qid, rel_doc), many rows per query allowed. Per query:
+    * `best_rank` = rank of the first relevant hit (null if none
+    * retrieved), `rr` = 1/best_rank (0.0 on a miss — the MRR convention),
+    * `hit` = any relevant doc retrieved. Queries present only in `qrels`
+    * still report (rr 0) — a retriever that drops a query entirely must
+    * not inflate the mean.
+    *
+    * Determinism: rr = 1.0/rank is one IEEE division of exact integers.
+    * Shape at scale: one equi-join on (qid, doc) and one (qid) min-agg —
+    * both on compact keys; results are already k-bounded per query.
+    */
+  def evalTopK(results: DataFrame, qrels: DataFrame): DataFrame = {
+    val hits = results
+      .join(qrels.select(col("qid"), col("rel_doc")),
+        results("qid") === qrels("qid")
+          && col("doc_id") === col("rel_doc"))
+      .select(results("qid").as("qid"), col("rank"))
+      .groupBy(col("qid")).agg(min(col("rank")).cast("int").as("best_rank"))
+    qrels.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("best_rank"),
+        when(col("best_rank").isNotNull,
+          lit(1.0) / col("best_rank").cast("double")).otherwise(lit(0.0))
+          .as("rr"),
+        col("best_rank").isNotNull.as("hit"))
+  }
 }

@@ -57,6 +57,29 @@ object RetrievalQueries {
           (coalesce(col("_sf_hit"), lit(0)) === 1).as("semd_found"))
     }),
 
+    // retrieval EVALUATION: MRR/hit@10 of the bm25_1 ranking against the
+    // planted relevance "a query's source doc is its relevant doc" — the
+    // metric surface a retriever comparison runs at corpus scale
+    "mrr1_retrieval_eval" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+            .as("qtext"))
+      val res = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+        k = 10)
+      val qrels = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("doc_id").as("rel_doc"))
+      Retrieval.evalTopK(res, qrels)
+    }),
+
+    // token-distribution drift monitor: smoothed unigram KL between two
+    // corpus slices, both directions, union vocabulary
+    "kl1_source_divergence" -> ((s, d) =>
+      graft.operators.NgramStats.tokenDivergence(
+        table(s, d, "documents").select(col("text"), col("source")),
+        "text", "source", "src0", "src1")),
+
     // INCREMENTAL semantic dedup (batch vs corpus — the il1 question at
     // the embedding grain), self-verifying like semd1: the emitted
     // surface is every exact batch×corpus pair ≥0.9 (brute-force in-plan,
@@ -123,38 +146,79 @@ object RetrievalQueries {
       HostBudget.capPerHost(hosts, "host", Seq(col("doc_id")), maxPerHost = 10)
     }))
 
+  /** The BM25 scoring CTE chain (through ranked `r`), shared by the
+    * bm25_1 result oracle and the mrr1 evaluation oracle.
+    */
+  private val bm25Core: String =
+    """tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) dl FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+      |               CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) sum_dl
+      |        FROM documents),
+      |q AS (SELECT DISTINCT qid, term FROM
+      |       (SELECT doc_id AS qid,
+      |               unnest(list_slice(string_split(lower(text), ' '), 1, 6)) term
+      |        FROM documents WHERE doc_id < 5)),
+      |c AS (SELECT q.qid, tf.doc_id,
+      |        CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                 / (CAST(df AS DOUBLE) + 0.5))
+      |          * (CAST(tf AS DOUBLE) * 2.2)
+      |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |              * (CAST(dl AS DOUBLE)
+      |                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |        AS DECIMAL(18,6)) c
+      |      FROM tf JOIN q ON tf.term = q.term
+      |      JOIN dfq ON tf.term = dfq.term
+      |      JOIN dl ON tf.doc_id = dl.doc_id
+      |      CROSS JOIN tot),
+      |sc AS (SELECT qid, doc_id, SUM(c) score_d FROM c GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score_d,
+      |        row_number() OVER (PARTITION BY qid
+      |          ORDER BY score_d DESC, doc_id) rn FROM sc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "bm25_1_retrieval" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) dl FROM documents),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) n_docs,
-        |               CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) sum_dl
-        |        FROM documents),
-        |q AS (SELECT DISTINCT qid, term FROM
-        |       (SELECT doc_id AS qid,
-        |               unnest(list_slice(string_split(lower(text), ' '), 1, 6)) term
-        |        FROM documents WHERE doc_id < 5)),
-        |c AS (SELECT q.qid, tf.doc_id,
-        |        CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |                 / (CAST(df AS DOUBLE) + 0.5))
-        |          * (CAST(tf AS DOUBLE) * 2.2)
-        |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |              * (CAST(dl AS DOUBLE)
-        |                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |        AS DECIMAL(18,6)) c
-        |      FROM tf JOIN q ON tf.term = q.term
-        |      JOIN dfq ON tf.term = dfq.term
-        |      JOIN dl ON tf.doc_id = dl.doc_id
-        |      CROSS JOIN tot),
-        |sc AS (SELECT qid, doc_id, SUM(c) score_d FROM c GROUP BY 1, 2),
-        |r AS (SELECT qid, doc_id, score_d,
-        |        row_number() OVER (PARTITION BY qid
-        |          ORDER BY score_d DESC, doc_id) rn FROM sc)
+      s"""WITH $bm25Core
         |SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank,
         | CAST(score_d AS DOUBLE) AS score
         |FROM r WHERE rn <= 10""".stripMargin,
+    // first-relevant rank over the same ranking; the planted relevance is
+    // "a query's source document is its relevant document"
+    "mrr1_retrieval_eval" ->
+      s"""WITH $bm25Core,
+        |hits AS (SELECT qid, CAST(min(rn) AS INTEGER) best_rank
+        |         FROM r WHERE rn <= 10 AND doc_id = qid GROUP BY 1),
+        |qq AS (SELECT DISTINCT doc_id AS qid FROM documents WHERE doc_id < 5)
+        |SELECT qq.qid, best_rank,
+        | CASE WHEN best_rank IS NOT NULL
+        |  THEN 1.0 / CAST(best_rank AS DOUBLE) ELSE 0.0 END AS rr,
+        | best_rank IS NOT NULL AS hit
+        |FROM qq LEFT JOIN hits ON qq.qid = hits.qid""".stripMargin,
+    "kl1_source_divergence" ->
+      """WITH inst AS (SELECT source s, unnest(string_split(lower(text), ' ')) token
+        |              FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT s, token, CAST(count(*) AS BIGINT) c FROM inst GROUP BY 1, 2),
+        |j AS (SELECT coalesce(p.token, q.token) token,
+        |        coalesce(p.c, 0) ca, coalesce(q.c, 0) cb
+        |      FROM (SELECT token, c FROM c WHERE s = 'src0') p
+        |      FULL OUTER JOIN (SELECT token, c FROM c WHERE s = 'src1') q
+        |        ON p.token = q.token),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) na, CAST(SUM(cb) AS BIGINT) nb,
+        |             CAST(count(*) AS BIGINT) v FROM j)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        | CAST(SUM(CAST(
+        |   ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+        |   * ln(((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+        |      / ((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE))))
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_pq,
+        | CAST(SUM(CAST(
+        |   ((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+        |   * ln(((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+        |      / ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))))
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_qp
+        |FROM j CROSS JOIN t""".stripMargin,
     // the d5b exact-pair universe with the literal-TRUE found flag (the
     // ag2 scheme: the engine-internal clustering isn't SQL-reproducible,
     // its checkable consequence — total recall on the exact pair set — is)

@@ -46,4 +46,28 @@ class NgramStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("divergence of identical slices is exactly zero") {
+    val df = Seq(("a b c", "p"), ("a b c", "q")).toDF("text", "source")
+    val row = NgramStats.tokenDivergence(df, "text", "source", "p", "q")
+      .as[(Long, Double, Double)].collect().head
+    // equal counts and totals per term → every ln ratio is ln(1) = 0.0
+    assert(row == ((3L, 0.0, 0.0)))
+  }
+
+  test("disjoint vocabularies diverge positively in both directions") {
+    val df = Seq(("a a b", "p"), ("x y z", "q")).toDF("text", "source")
+    val (v, pq, qp) = NgramStats.tokenDivergence(df, "text", "source", "p", "q")
+      .as[(Long, Double, Double)].collect().head
+    assert(v == 5L, "union vocabulary")
+    assert(pq > 0 && qp > 0)
+  }
+
+  test("divergence is direction-sensitive on skewed counts") {
+    // p is concentrated on 'a'; q spreads evenly — KL(p‖q) ≠ KL(q‖p)
+    val df = Seq(("a a a a b", "p"), ("a b a b a", "q")).toDF("text", "source")
+    val (_, pq, qp) = NgramStats.tokenDivergence(df, "text", "source", "p", "q")
+      .as[(Long, Double, Double)].collect().head
+    assert(pq != qp)
+  }
 }

@@ -61,6 +61,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("evalTopK: first-relevant rank, miss convention, multi-relevant min") {
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 13L, 2),
+      (3L, 14L, 1)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 11L), (1L, 12L), // multi-relevant: best is rank 2
+      (2L, 99L),            // never retrieved → miss
+      (4L, 10L)             // query absent from results → miss row
+    ).toDF("qid", "rel_doc")
+    val got = Retrieval.evalTopK(results, qrels)
+      .select($"qid", $"rr", $"hit").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ((0.5, true)),
+      2L -> ((0.0, false)),
+      4L -> ((0.0, false))))
+  }
+
   test("documents sharing no query term never appear") {
     val docs = Seq((1L, "x y"), (2L, "p q")).toDF("doc_id", "text")
     val qs = Seq((9L, "x")).toDF("qid", "qtext")

@@ -228,6 +228,17 @@ class PlanSpec extends SparkSpec {
       s"expected a single hash exchange:\n$p")
   }
 
+  test("retrieval eval and divergence stay cartesian-free equi-joins") {
+    Seq("mrr1_retrieval_eval", "kl1_source_divergence").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // kl1's full-outer vocabulary join correctly plans as a sort-merge
+      // equi-join (full outers can't broadcast); everything else hashes
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q: $p")
+    }
+  }
+
   test("incremental semantic dedup joins on the cell key: no cartesian") {
     // (the in-plan exact-verify companion keeps the documented sim1
     // broadcast-NLJ posture; cartesians are asserted away)
