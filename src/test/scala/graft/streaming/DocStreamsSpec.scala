@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{PipelineConfig, TableStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Streaming corpus ingest: batch-internal and cross-batch exact dedup,
+  * incremental drops land only genuinely new content, and a restart with
+  * the same checkpoint re-ingests nothing.
+  */
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Write `df` as a single parquet file named `name` inside `dir`. */
+  private def dropFile(df: org.apache.spark.sql.DataFrame, dir: Path,
+                       name: String): Unit = {
+    val stage = Files.createTempDirectory("graft-doc-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("incremental drops land only new content; replay is a no-op") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val distinctTexts = docs.select(md5($"text")).distinct().count()
+
+    val src = Files.createTempDirectory("graft-doc-src")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), src.resolve("a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val config = PipelineConfig(catalog =
+      "ds" + java.util.UUID.randomUUID().toString.replace("-", "").take(8))
+    val store = new TableStore(spark, config)
+    try {
+      val ckpt = Files.createTempDirectory("graft-doc-ckpt").toString
+      def run(): Unit = {
+        val q = new DocStreams.StreamingCorpusIngest(spark, store,
+          src.toString, ckpt).start()
+        q.awaitTermination()
+      }
+      run()
+      val afterFirst = store.load("clean", "documents").count()
+      assert(afterFirst == distinctTexts,
+        s"first drop lands one row per distinct text: $afterFirst vs $distinctTexts")
+
+      // second drop: 10 re-crawled docs (new ids, OLD text → duplicates)
+      // and 10 genuinely new docs
+      val recrawled = docs.limit(10)
+        .select(($"doc_id" + 10000L).as("doc_id"), $"text", $"lang",
+          $"source", $"n_chars")
+      val fresh = (0 until 10).map(i =>
+        (20000L + i, s"genuinely new content number $i with enough words",
+          "en", "srcX", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      dropFile(recrawled.unionByName(fresh), src, "b.parquet")
+      run()
+      val afterSecond = store.load("clean", "documents")
+      assert(afterSecond.count() == afterFirst + 10,
+        "only the 10 fresh docs land; re-crawled text dedups away")
+      assert(afterSecond.filter($"doc_id" >= 20000L).count() == 10)
+      assert(afterSecond.filter($"doc_id" >= 10000L && $"doc_id" < 20000L)
+        .count() == 0, "re-crawled ids never land")
+
+      // restart with the SAME checkpoint: nothing re-ingests
+      run()
+      assert(store.load("clean", "documents").count() == afterFirst + 10)
+    } finally store.dropAll()
+  }
+}
