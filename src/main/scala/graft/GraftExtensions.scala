@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
+import graft.functions.{BigramStats, CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -36,5 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramCounts].getName, "ngram_counts"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NgramCounts.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("bigram_stats"),
+      new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BigramStats.build(exprs)))
   }
 }

@@ -86,4 +86,16 @@ object BigramStats {
   /** Column surface: struct(n_grams, max_c, n_distinct) of `text`. */
   def bigramStats(text: Column): Column =
     Bridge.column(BigramStats(Bridge.expression(text)))
+
+  /** SQL builder: `bigram_stats(text)`. */
+  private[graft] def build(exprs: Seq[Expression]): BigramStats = {
+    require(exprs.length == 1,
+      s"bigram_stats expects 1 argument (text), got ${exprs.length}")
+    BigramStats(exprs.head)
+  }
+
+  /** SQL surface registration (`SELECT bigram_stats(text)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigram_stats", build, "built-in")
 }

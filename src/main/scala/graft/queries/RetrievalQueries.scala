@@ -7,10 +7,12 @@ import graft.functions.{TextAnalysis, UrlFunctions}
 import QueryUtil._
 
 /** Retrieval and corpus-policy operators beyond the reference surface:
-  * BM25 inverted-index scoring, the SemDeDup semantic-dedup recipe,
-  * corpus-trained bigram-LM perplexity, and per-host document budgets —
-  * the lexical-retrieval / embedding-dedup / fluency-filter / crawl-policy
-  * quartet of a pretraining-data pipeline.
+  * BM25 inverted-index scoring and its MRR/hit@k evaluation, the
+  * SemDeDup semantic-dedup recipe (full and incremental), corpus-trained
+  * bigram-LM perplexity, token-distribution drift, per-host document
+  * budgets, leakage-safe splitting, and temperature-scaled mixing — the
+  * lexical-retrieval / embedding-dedup / fluency-filter / crawl-policy
+  * surface of a pretraining-data pipeline.
   */
 object RetrievalQueries {
 

@@ -55,4 +55,12 @@ class BigramStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("SQL surface: bigram_stats registered") {
+    BigramStats.register(spark)
+    val row = spark.sql(
+      "SELECT s.* FROM (SELECT bigram_stats('x y x y x') AS s)")
+      .as[(Long, Long, Long)].collect().head
+    assert(row == ((4L, 2L, 2L)))
+  }
 }
