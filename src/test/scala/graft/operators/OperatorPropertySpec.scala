@@ -106,4 +106,29 @@ class OperatorPropertySpec extends SparkSpec {
     }
     check(prop)
   }
+
+  test("ngram_counts equals an in-memory reference on arbitrary text") {
+    // tiny alphabet + explicit empty tokens/case variance: adjacent
+    // separators, leading/trailing spaces, and repeated grams all occur
+    val tokenGen = Gen.oneOf("a", "B", "ab", "", "ба")
+    val textGen = Gen.listOfN(8, tokenGen).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(6, textGen), Gen.choose(1, 3)) {
+      (texts, n) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = df.select($"doc_id",
+          org.apache.spark.sql.functions.explode(
+            graft.functions.NgramCounts.ngramCounts($"text", n)).as("tc"))
+          .select($"doc_id", $"tc.gram", $"tc.cnt")
+          .as[(Long, String, Int)].collect().toSet
+        val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+          val toks = t.toLowerCase.split(" ", -1).toSeq
+          toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
+            .toList.groupBy(identity)
+            .map { case (g, occ) => (i.toLong, g, occ.length) }
+        }.toSet
+        got == expected
+    }
+    check(prop)
+  }
 }
