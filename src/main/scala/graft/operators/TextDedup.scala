@@ -304,6 +304,54 @@ object TextDedup {
       minJaccard)
   }
 
+  /** Public persistable verify-side index: (doc, sh_set array<long>) —
+    * each document's distinct hashed shingle set, the exact-Jaccard
+    * operand. With [[minHashSignatures]] this is everything the
+    * incremental dedup loop needs from the corpus; both are plain
+    * columnar frames, so an ingest pipeline computes them ONCE per
+    * document and persists them as tables (the sketch-as-data pattern —
+    * hll1's argument applied to dedup).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5): DataFrame =
+    shingleIndex(df, idCol, textCol, n)
+      .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
+
+  /** [[crossMinHashLshPairs]] from PERSISTED index tables: the corpus
+    * side arrives as its stored `(doc, sig)` signatures and
+    * `(doc, sh_set)` shingle sets — computed at ingest, roundtripped
+    * through parquet — so an increment re-reads index columns instead of
+    * re-shingling the corpus text. At 100 TB that is the difference
+    * between scanning a signature table (32 longs/doc) and re-tokenizing
+    * every document ever ingested, every increment. Output and recall
+    * semantics are identical to the text-side form (spec-asserted equal
+    * frame-for-frame; the mh1 oracle is il1's exact cross-Jaccard).
+    */
+  def crossLshPairsFromIndex(corpusSigs: DataFrame, corpusSets: DataFrame,
+                             batch: DataFrame, idCol: String, textCol: String,
+                             n: Int = 5, numHashes: Int = 32, bands: Int = 16,
+                             minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val cb = bandedKeys(corpusSigs, bands, r)
+    val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
+      bands, r)
+    val candidates = cb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc").as("corpus_id"), col("b.doc").as("batch_id"))
+      .distinct()
+    val cSets = corpusSets
+      .join(candidates.select(col("corpus_id").as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+    val bSets = shingleIndex(batch, idCol, textCol, n)
+      .join(candidates.select(col("batch_id").as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+      .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
+    verifyExactJaccard(candidates, "corpus_id", "batch_id", cSets, bSets,
+      minJaccard)
+  }
+
   /** EXACT incremental dedup with a Bloom prefilter — the membership-test
     * shape of ingest: "which of these batch documents are byte-new to the
     * corpus?". A Bloom filter over the corpus text digests (built with

@@ -27,6 +27,25 @@ object DataPipelineQueries {
     * the harness corpus sits at s ≥ 0.97 where misses are ~impossible, so
     * LSH+verify returns exactly the exact-Jaccard pair set.
     */
+  /** Exact cross-Jaccard (corpus % 10 != 0 vs batch % 10 == 0) — the
+    * oracle both incremental-LSH forms (il1 text-side, mh1 from-index)
+    * must equal.
+    */
+  private val il1OracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, greatest(len(toks)-4, 0)),
+      |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
+      |      FROM t),
+      |n AS (SELECT doc_id, count(*) n_sh FROM s GROUP BY 1),
+      |p AS (SELECT a.doc_id corpus_id, b.doc_id batch_id, count(*) c
+      |      FROM s a JOIN s b ON a.sh = b.sh
+      |      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2)
+      |SELECT corpus_id, batch_id,
+      |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+      |FROM p JOIN n na ON p.corpus_id = na.doc_id JOIN n nb ON p.batch_id = nb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin
+
   private[queries] val jaccardOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
       |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -296,6 +315,24 @@ object DataPipelineQueries {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text")
+    }),
+
+    // incremental LSH from the PERSISTED index (sketch-as-data): corpus
+    // signatures + shingle sets are written as parquet tables and read
+    // back, so the increment never re-shingles the corpus — same inputs
+    // and oracle as il1, proving the roundtrip changes nothing
+    "mh1_signature_reuse" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val base = System.getProperty("java.io.tmpdir") + "/graft_mh1_index"
+      TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
+        .write.mode("overwrite").parquet(base + "/sigs")
+      TextDedup.shingleSets(corpus, "doc_id", "text", 5)
+        .write.mode("overwrite").parquet(base + "/sets")
+      TextDedup.crossLshPairsFromIndex(
+        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/sets"),
+        batch, "doc_id", "text")
     }),
 
     // EXACT incremental dedup via Bloom prefilter: batch = genuinely-new
@@ -624,20 +661,10 @@ object DataPipelineQueries {
         |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
         |FROM p JOIN n na ON p.train_id = na.doc_id JOIN n nb ON p.bench_id = nb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
-    "il1_incremental_lsh" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
-        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |        generate_series(1, greatest(len(toks)-4, 0)),
-        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
-        |      FROM t),
-        |n AS (SELECT doc_id, count(*) n_sh FROM s GROUP BY 1),
-        |p AS (SELECT a.doc_id corpus_id, b.doc_id batch_id, count(*) c
-        |      FROM s a JOIN s b ON a.sh = b.sh
-        |      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2)
-        |SELECT corpus_id, batch_id,
-        |  CAST(CAST(CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
-        |FROM p JOIN n na ON p.corpus_id = na.doc_id JOIN n nb ON p.batch_id = nb.doc_id
-        |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
+    "il1_incremental_lsh" -> il1OracleSql,
+    // identical semantics from the PERSISTED index (same inputs, same
+    // exact cross-Jaccard set — the parquet roundtrip must change nothing)
+    "mh1_signature_reuse" -> il1OracleSql,
     // exact set the bloom path must equal: batch docs whose text digest
     // exists in the corpus are dups; output the rest (planting mirrored)
     "il2_bloom_prefilter" ->

@@ -239,6 +239,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("from-index LSH keeps the banded equi-join posture: no cartesian") {
+    val p = plan("mh1_signature_reuse")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("incremental semantic dedup joins on the cell key: no cartesian") {
     // (the in-plan exact-verify companion keeps the documented sim1
     // broadcast-NLJ posture; cartesians are asserted away)
