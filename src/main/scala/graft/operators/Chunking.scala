@@ -54,6 +54,38 @@ object Chunking {
         size_(col("col")).as("n_tokens"))
   }
 
+  /** Chunk-grain LANGUAGE MIX — [[chunk]] × `TextAnalysis.languageId`
+    * composed: per document, the language of each token window, the
+    * dominant language (max window count, lang-ascending tie-break) and
+    * a mixed flag. Document-grain language-ID averages away
+    * code-switching; a half-English-half-German page looks "en" or "de"
+    * depending on marker luck, while its windows disagree loudly — and
+    * multilingual pipelines route or drop on exactly that disagreement.
+    *
+    * Output: (id, n_chunks, n_langs, dominant_lang, mixed).
+    * Shape at scale: the chunk projection is shuffle-free; one
+    * (doc, lang) aggregation and one doc-keyed window/aggregation pair
+    * sharing compact keys.
+    */
+  def languageMix(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = chunk(df, idCol, textCol, size = chunkSize, overlap = 0)
+      .select(col(idCol),
+        graft.functions.TextAnalysis.languageId(col("chunk_text"))
+          .as("chunk_lang"))
+      .groupBy(col(idCol), col("chunk_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n").desc, col("chunk_lang"))
+    perLang.withColumn("_rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).cast("bigint").as("n_chunks"),
+        count(lit(1)).cast("bigint").as("n_langs"),
+        max(when(col("_rn") === 1, col("chunk_lang"))).as("dominant_lang"),
+        (count(lit(1)) > 1).as("mixed"))
+  }
+
   // `size` the function, shadowed by the parameter name above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

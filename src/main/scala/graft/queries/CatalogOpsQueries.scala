@@ -310,6 +310,29 @@ object CatalogOpsQueries {
             .as("shard_count_ok"))
     }),
 
+    // JSONL shard export — the interchange format training runs consume:
+    // k writer tasks emit JSON-lines shards, the read-back (explicit
+    // schema — JSONL carries none) is checksummed ORDER-FREE against the
+    // source (sum of per-row md5-prefix integers + counts), so the
+    // emitted booleans prove the text survived JSON escaping byte-exactly
+    "ex2_jsonl_export" -> ((s, d) => {
+      val tmp = s"/tmp/graft-jsonl-${d.replaceAll("[^a-z0-9.]", "_")}"
+      val src = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      src.repartition(4).write.mode("overwrite").json(tmp)
+      val back = s.read.schema(src.schema).json(tmp)
+      def fp(df: org.apache.spark.sql.DataFrame, n: String, c: String) =
+        df.agg(count(lit(1)).cast("bigint").as(n),
+          sum(conv(substring(md5(concat_ws("", col("doc_id"),
+            col("text"), col("lang"), col("source"))), 1, 8), 16, 10)
+            .cast("long")).as(c))
+      fp(src, "n_rows", "_src_sum")
+        .crossJoin(fp(back, "_back_n", "_back_sum"))
+        .select(col("n_rows"),
+          (col("n_rows") === col("_back_n")
+            && col("_src_sum") === col("_back_sum")).as("roundtrip_ok"))
+    }),
+
     // partition-scoped upsert — the 100 TB MERGE shape: a date-partitioned
     // fact takes a batch that UPDATES scattered keys (o_orderkey ≡ 0 mod
     // 1000 get o_custkey = -1) and INSERTS new keys into a brand-new
@@ -450,6 +473,9 @@ object CatalogOpsQueries {
     "ex1_shard_export" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
         | TRUE AS files_within_bound, TRUE AS shard_count_ok""".stripMargin,
+    "ex2_jsonl_export" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+        | TRUE AS roundtrip_ok""".stripMargin,
     "up2_upsert_partitioned" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 1000 = 0 THEN CAST(-1 AS BIGINT)

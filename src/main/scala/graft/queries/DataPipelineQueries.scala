@@ -255,6 +255,15 @@ object DataPipelineQueries {
         col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_guess"))),
 
+    // chunk-grain language mix (ch1 × t3 composed): per doc, the language
+    // of each 32-token window, the dominant language (max chunk count,
+    // lang-ascending tie-break) and the mixed flag — multilingual
+    // pipelines route or drop code-switched documents on exactly this
+    "ml1_mixed_language" -> ((s, d) =>
+      graft.operators.Chunking.languageMix(
+        table(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 32)),
+
     // order/repetition-insensitive fingerprint
     "t4_fingerprint" -> ((s, d) =>
       table(s, d, "documents").select(
@@ -585,6 +594,41 @@ object DataPipelineQueries {
         |  WHEN s_en >= s_de THEN 'en'
         |  ELSE 'de' END AS lang_guess
         |FROM y""".stripMargin,
+    // the ch1 window recipe at 32/0, each window's tokens lowered, the t3
+    // marker CASE per window, then the dominant/mixed aggregation with
+    // the same (count desc, lang asc) tie-break
+    "ml1_mixed_language" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) n,
+        |        1 + CAST(ceil(greatest(len(toks) - 32, 0) / 32.0) AS BIGINT) nc
+        |      FROM t),
+        |i AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, nc - 1)) ci FROM c),
+        |ch AS (SELECT doc_id,
+        |         list_transform(toks[ci*32+1 : least(ci*32+32, n)],
+        |           x -> lower(x)) ctoks FROM i),
+        |y AS (SELECT doc_id,
+        |        len(list_filter(ctoks, x -> x IN ('the','a','of','and'))) s_en,
+        |        len(list_filter(ctoks, x -> x IN ('der','die','das','und'))) s_de,
+        |        len(list_filter(ctoks, x -> x IN ('le','la','les','et'))) s_fr,
+        |        len(list_filter(ctoks, x -> x IN ('el','los','las','y'))) s_es
+        |      FROM ch),
+        |cl AS (SELECT doc_id, CASE
+        |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |         WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS chunk_lang FROM y),
+        |g AS (SELECT doc_id, chunk_lang, CAST(count(*) AS BIGINT) n
+        |      FROM cl GROUP BY 1, 2),
+        |r AS (SELECT doc_id, chunk_lang, n,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY n DESC, chunk_lang) rn FROM g)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chunks,
+        | CAST(count(*) AS BIGINT) AS n_langs,
+        | max(CASE WHEN rn = 1 THEN chunk_lang END) AS dominant_lang,
+        | count(*) > 1 AS mixed
+        |FROM r GROUP BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         | string_split(lower(text), ' '))), ' ')) AS fingerprint

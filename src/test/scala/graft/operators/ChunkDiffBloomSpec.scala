@@ -67,6 +67,25 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("language mix flags code-switched docs; tie-break is lang-ascending") {
+    import org.apache.spark.sql.functions._
+    val en = Seq.fill(8)("the cat of a dog and").mkString(" ")   // 48 tokens
+    val de = Seq.fill(8)("der hund und die das").mkString(" ")   // 40 tokens
+    val docs = Seq(
+      (1L, s"$en $de"),   // ~3 chunks: en, en/de boundary, de → mixed
+      (2L, en),           // pure English → not mixed
+      (3L, "zz qq ww")    // no markers → und, not mixed
+    ).toDF("doc_id", "text")
+    val got = Chunking.languageMix(docs, "doc_id", "text", chunkSize = 32)
+      .select($"doc_id", $"n_langs", $"dominant_lang", $"mixed")
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4, "code-switched doc flagged mixed")
+    assert(got(1L)._2 >= 2)
+    assert(got(2L)._3 == "en" && !got(2L)._4)
+    assert(got(3L)._3 == "und" && !got(3L)._4)
+  }
+
   test("chunk-grain dedup counts shared windows, not whole-doc digests") {
     // docs 1 and 2 share their FIRST 2-token window only; doc 3 is unique;
     // doc 4 repeats a window internally (both occurrences count as dups)
