@@ -82,6 +82,14 @@ object RetrievalQueries {
         table(s, d, "documents").select(col("text"), col("source")),
         "text", "source", "src0", "src1")),
 
+    // DSIR-style data selection: per-doc log importance weight of the
+    // src0 slice's unigram distribution vs the rest, sign-test keep flag
+    "dsir1_importance_weights" -> ((s, d) =>
+      graft.operators.ImportanceWeights.logImportanceWeights(
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "text", "source", targetSource = "src0")),
+
     // INCREMENTAL semantic dedup (batch vs corpus — the il1 question at
     // the embedding grain), self-verifying like semd1: the emitted
     // surface is every exact batch×corpus pair ≥0.9 (brute-force in-plan,
@@ -235,6 +243,30 @@ object RetrievalQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "dsir1_importance_weights" ->
+      """WITH inst AS (SELECT doc_id, source = 'src0' ist,
+        |         unnest(string_split(lower(text), ' ')) token FROM documents),
+        |dm AS (SELECT doc_id, ist, token, CAST(count(*) AS BIGINT) m
+        |       FROM inst GROUP BY 1, 2, 3),
+        |v AS (SELECT token,
+        |        CAST(SUM(CASE WHEN ist THEN m ELSE 0 END) AS BIGINT) ct,
+        |        CAST(SUM(m) AS BIGINT) cl FROM dm GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) nt,
+        |        CAST(SUM(cl - ct) AS BIGINT) nr,
+        |        CAST(count(*) AS BIGINT) v FROM v),
+        |sc AS (SELECT dm.doc_id, dm.m,
+        |         CAST(dm.m AS DECIMAL(18,0)) * CAST(ln(
+        |           ((CAST(ct AS DOUBLE) + 1.0)
+        |              / (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE)))
+        |           / ((CAST(cl - ct AS DOUBLE) + 1.0)
+        |              / (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE))))
+        |         AS DECIMAL(18,12)) s
+        |       FROM dm JOIN v ON dm.token = v.token CROSS JOIN t),
+        |ag AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) n_tokens, SUM(s) ls
+        |       FROM sc GROUP BY 1)
+        |SELECT doc_id, n_tokens, CAST(ls AS DOUBLE) AS log_weight,
+        | ls > 0 AS keep
+        |FROM ag""".stripMargin,
     "semd2_incremental_semantic" ->
       """WITH c AS (SELECT vec_id,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) v

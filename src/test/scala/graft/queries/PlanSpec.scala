@@ -239,6 +239,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("importance weighting joins the vocabulary by token: no cartesian") {
+    val p = plan("dsir1_importance_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("from-index LSH keeps the banded equi-join posture: no cartesian") {
     val p = plan("mh1_signature_reuse")
     assert(!p.contains("CartesianProduct"), p)
