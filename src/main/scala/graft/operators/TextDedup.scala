@@ -304,6 +304,33 @@ object TextDedup {
       minJaccard)
   }
 
+  /** Exact n-gram COLLISION decontamination — the GPT-3/PaLM rule: a
+    * training document is contaminated if it shares ANY length-`n` token
+    * window with the benchmark (n=13 is the published setting). Stricter
+    * than the Jaccard-threshold form ([[crossJaccardPairs]]/ct1): one
+    * verbatim quoted test item inside an otherwise-unrelated page has
+    * tiny Jaccard but must still be flagged.
+    *
+    * Output: (idCol, n_collisions) — one row per CONTAMINATED corpus doc
+    * with its count of distinct colliding windows; clean docs are absent
+    * (decontamination consumes the flag list as an anti-join side).
+    *
+    * Shape at scale: both sides ride the in-place [[graft.functions.ShingleHashes]]
+    * scan (8-byte window hashes, no window strings); the benchmark's
+    * distinct hash set is tiny (benchmarks are small by nature) so the
+    * collision join broadcasts it; one (doc) count aggregation. The
+    * corpus is scanned once and shuffles nothing but its colliding rows.
+    */
+  def ngramCollisions(corpus: DataFrame, bench: DataFrame,
+                      idCol: String, textCol: String, n: Int = 13): DataFrame =
+    shingleIndex(corpus, idCol, textCol, n)
+      .join(broadcast(
+        shingleIndex(bench, idCol, textCol, n).select(col("sh")).distinct()),
+        "sh")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_collisions"))
+      .select(col("doc").as(idCol), col("n_collisions"))
+
   /** Public persistable verify-side index: (doc, sh_set array<long>) —
     * each document's distinct hashed shingle set, the exact-Jaccard
     * operand. With [[minHashSignatures]] this is everything the

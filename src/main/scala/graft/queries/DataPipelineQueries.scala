@@ -326,6 +326,17 @@ object DataPipelineQueries {
         "doc_id", "text")
     }),
 
+    // exact 13-gram collision decontamination (the GPT-3/PaLM rule, vs
+    // ct1's Jaccard threshold): corpus docs sharing any 13-token window
+    // with the benchmark slice, with distinct-collision counts
+    "ct2_ngram_decontamination" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      TextDedup.ngramCollisions(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 13)
+    }),
+
     // incremental LSH from the PERSISTED index (sketch-as-data): corpus
     // signatures + shingle sets are written as parquet tables and read
     // back, so the increment never re-shingles the corpus — same inputs
@@ -706,6 +717,19 @@ object DataPipelineQueries {
         |FROM p JOIN n na ON p.train_id = na.doc_id JOIN n nb ON p.bench_id = nb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5""".stripMargin,
     "il1_incremental_lsh" -> il1OracleSql,
+    // 13-token windows as strings (Spark hashes them — same distinct
+    // sets modulo 64-bit collisions), benchmark side distinct, count of
+    // colliding window types per contaminated corpus doc
+    "ct2_ngram_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(toks) - 12, 0)),
+        |        i -> array_to_string(toks[i:i+12], ' ')))) sh FROM t),
+        |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_collisions
+        |FROM s JOIN b ON s.sh = b.sh
+        |WHERE s.doc_id % 10 != 0
+        |GROUP BY 1""".stripMargin,
     // identical semantics from the PERSISTED index (same inputs, same
     // exact cross-Jaccard set — the parquet roundtrip must change nothing)
     "mh1_signature_reuse" -> il1OracleSql,

@@ -90,6 +90,29 @@ object TrainPrepQueries {
           TextAnalysis.languageId(col("text")) === "en")))
     }),
 
+    // the Gopher quality-rule cascade (Rae et al. 2021) as a funnel:
+    // token-count window, mean-token-length window, bigram-duplication
+    // cap (the native bigram_stats struct), English stopword floor —
+    // the published pretraining filter, with ff1's per-rule accounting
+    "gf1_gopher_funnel" -> ((s, d) => {
+      import graft.operators.FilterFunnel
+      import graft.functions.{BigramStats, TextAnalysis}
+      val bs = BigramStats.bigramStats(col("text"))
+      FilterFunnel.funnelReport(table(s, d, "documents"), Seq(
+        FilterFunnel.Rule("token_count",
+          TextAnalysis.tokenCount(col("text")).between(10, 100000)),
+        FilterFunnel.Rule("mean_token_len",
+          TextAnalysis.meanTokenLength(col("text")).between(2.0, 12.0)),
+        FilterFunnel.Rule("bigram_dup",
+          bs.getField("n_grams") > 0 &&
+            ((bs.getField("n_grams") - bs.getField("n_distinct"))
+              .cast("double") / bs.getField("n_grams").cast("double"))
+              <= lit(0.3)),
+        FilterFunnel.Rule("stopword_floor",
+          TextAnalysis.markerCount(col("text"),
+            Seq("the", "a", "of", "and")) >= 2)))
+    }),
+
     // SpaceSaving heavy-hitters sketch (typed Aggregator) vs the exact
     // top-5: the one-pass mergeable answer to "top tokens at 100TB"
     // without shuffling the key space. At capacity 512 over this corpus's
@@ -621,6 +644,33 @@ object TrainPrepQueries {
         | SELECT CAST(1 AS INTEGER) AS step, 'min_length' AS rule, s0 AS n_in, s0 - s1 AS n_dropped, s1 AS n_out FROM a
         | UNION ALL SELECT CAST(2 AS INTEGER), 'quality_gate', s1, s1 - s2, s2 FROM a
         | UNION ALL SELECT CAST(3 AS INTEGER), 'english_only', s2, s2 - s3, s3 FROM a) t""".stripMargin,
+    // each rule recomputed relationally; the bigram-dup rule rebuilds the
+    // bigram list as strings (the native side counts by 64-bit hash —
+    // same counts modulo collisions); cumulative conjunctions mirror the
+    // funnel's one-pass conditional sums
+    "gf1_gopher_funnel" ->
+      """WITH x AS (SELECT string_split(lower(text), ' ') toks FROM documents),
+        |w AS (SELECT toks, list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |        i -> toks[i] || ' ' || toks[i+1]) bl FROM x),
+        |y AS (SELECT
+        |  len(toks) BETWEEN 10 AND 100000 AS c1,
+        |  (CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE)) BETWEEN 2.0 AND 12.0 AS c2,
+        |  len(bl) > 0 AND (CAST(len(bl) - len(list_distinct(bl)) AS DOUBLE)
+        |    / CAST(len(bl) AS DOUBLE)) <= 0.3 AS c3,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','and'))) >= 2 AS c4
+        |FROM w),
+        |a AS (SELECT CAST(count(*) AS BIGINT) s0,
+        |        CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) s1,
+        |        CAST(SUM(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) s2,
+        |        CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) s3,
+        |        CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) s4
+        |      FROM y)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS INTEGER) AS step, 'token_count' AS rule, s0 AS n_in, s0 - s1 AS n_dropped, s1 AS n_out FROM a
+        | UNION ALL SELECT CAST(2 AS INTEGER), 'mean_token_len', s1, s1 - s2, s2 FROM a
+        | UNION ALL SELECT CAST(3 AS INTEGER), 'bigram_dup', s2, s2 - s3, s3 FROM a
+        | UNION ALL SELECT CAST(4 AS INTEGER), 'stopword_floor', s3, s3 - s4, s4 FROM a) t""".stripMargin,
     "bp1_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -64,6 +64,53 @@ class IncrementalLshSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("gopher funnel: each rule drops its designed offender in order") {
+    import graft.functions.{BigramStats, TextAnalysis}
+    val docs = Seq(
+      (1L, "a b"),                                         // too short
+      (2L, Seq.fill(12)("absolutelyenormousword").mkString(" ")), // mean len
+      (3L, Seq.fill(10)("foo bar").mkString(" ")),         // bigram dup
+      (4L, "the quick brown fox jumps over a lazy dog of wonder and glory"),
+      (5L, "zulu xray yankee victor whiskey tango sierra romeo quebec papa")
+    ).toDF("doc_id", "text")
+    val bs = BigramStats.bigramStats(col("text"))
+    val report = FilterFunnel.funnelReport(docs, Seq(
+      FilterFunnel.Rule("token_count",
+        TextAnalysis.tokenCount(col("text")).between(10, 100000)),
+      FilterFunnel.Rule("mean_token_len",
+        TextAnalysis.meanTokenLength(col("text")).between(2.0, 12.0)),
+      FilterFunnel.Rule("bigram_dup",
+        bs.getField("n_grams") > 0 &&
+          ((bs.getField("n_grams") - bs.getField("n_distinct"))
+            .cast("double") / bs.getField("n_grams").cast("double"))
+            <= lit(0.3)),
+      FilterFunnel.Rule("stopword_floor",
+        TextAnalysis.markerCount(col("text"),
+          Seq("the", "a", "of", "and")) >= 2)))
+      .select($"rule", $"n_in", $"n_dropped", $"n_out")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report("token_count") == (("token_count", 5L, 1L, 4L)))
+    assert(report("mean_token_len") == (("mean_token_len", 4L, 1L, 3L)))
+    assert(report("bigram_dup") == (("bigram_dup", 3L, 1L, 2L)))
+    assert(report("stopword_floor") == (("stopword_floor", 2L, 1L, 1L)))
+  }
+
+  test("13-gram collisions flag a planted verbatim quote, nothing else") {
+    val span = (1 to 13).map(i => s"w$i").mkString(" ")  // the quoted item
+    val corpus = Seq(
+      (1L, s"intro text here $span and a long tail of words"),
+      (2L, "completely unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark question $span answer"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.ngramCollisions(corpus, bench, "doc_id", "text",
+      n = 13)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L), s"only the quoting doc flags: $got")
+    assert(got(1L) == 1L, "exactly the one shared window")
+  }
+
   test("from-index cross LSH == the direct text-side path, roundtripped") {
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
     val batch = docs.filter($"doc_id" % 10 === 0)

@@ -239,6 +239,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("13-gram decontamination broadcasts the benchmark hash set") {
+    val p = plan("ct2_ngram_decontamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("gopher funnel is a single aggregation pass: no joins") {
+    val p = plan("gf1_gopher_funnel")
+    assert(!"Join".r.findAllIn(p).hasNext, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("importance weighting joins the vocabulary by token: no cartesian") {
     val p = plan("dsir1_importance_weights")
     assert(!p.contains("CartesianProduct"), p)
