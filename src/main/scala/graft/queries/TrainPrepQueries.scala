@@ -113,6 +113,40 @@ object TrainPrepQueries {
             Seq("the", "a", "of", "and")) >= 2)))
     }),
 
+    // the round-7 operators COMPOSED end-to-end — the "corpus to training
+    // mix" pipeline in one plan: Gopher-rule survivors → exact content
+    // dedup (min-id survivor per digest) → portable split assignment →
+    // per-split doc/token budgets. The per-split report is what a
+    // training run reads before it starts
+    "cur2_curation_v2" -> ((s, d) => {
+      import graft.operators.FilterFunnel
+      import graft.functions.{BigramStats, TextAnalysis}
+      import org.apache.spark.sql.expressions.Window
+      val bs = BigramStats.bigramStats(col("text"))
+      val survivors = FilterFunnel.survivors(table(s, d, "documents"), Seq(
+        FilterFunnel.Rule("token_count",
+          TextAnalysis.tokenCount(col("text")).between(10, 100000)),
+        FilterFunnel.Rule("mean_token_len",
+          TextAnalysis.meanTokenLength(col("text")).between(2.0, 12.0)),
+        FilterFunnel.Rule("bigram_dup",
+          bs.getField("n_grams") > 0 &&
+            ((bs.getField("n_grams") - bs.getField("n_distinct"))
+              .cast("double") / bs.getField("n_grams").cast("double"))
+              <= lit(0.3)),
+        FilterFunnel.Rule("stopword_floor",
+          TextAnalysis.markerCount(col("text"),
+            Seq("the", "a", "of", "and")) >= 2)))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = survivors
+        .withColumn("_c2_rn", row_number().over(w))
+        .filter(col("_c2_rn") === 1)
+      graft.operators.Splits.assignSplit(deduped, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .cast("bigint").as("n_tokens"))
+    }),
+
     // SpaceSaving heavy-hitters sketch (typed Aggregator) vs the exact
     // top-5: the one-pass mergeable answer to "top tokens at 100TB"
     // without shuffling the key space. At capacity 512 over this corpus's
@@ -671,6 +705,34 @@ object TrainPrepQueries {
         | UNION ALL SELECT CAST(2 AS INTEGER), 'mean_token_len', s1, s1 - s2, s2 FROM a
         | UNION ALL SELECT CAST(3 AS INTEGER), 'bigram_dup', s2, s2 - s3, s3 FROM a
         | UNION ALL SELECT CAST(4 AS INTEGER), 'stopword_floor', s3, s3 - s4, s4 FROM a) t""".stripMargin,
+    // the gf1 predicates as a WHERE, digest dedup via min-id rank, the
+    // sp1 bucket, then the per-split aggregation
+    "cur2_curation_v2" ->
+      """WITH x AS (SELECT doc_id, text, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, text, toks,
+        |        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |          i -> toks[i] || ' ' || toks[i+1]) bl FROM x),
+        |sv AS (SELECT doc_id, text, toks FROM w
+        |       WHERE len(toks) BETWEEN 10 AND 100000
+        |         AND (CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE)) BETWEEN 2.0 AND 12.0
+        |         AND len(bl) > 0
+        |         AND (CAST(len(bl) - len(list_distinct(bl)) AS DOUBLE)
+        |              / CAST(len(bl) AS DOUBLE)) <= 0.3
+        |         AND len(list_filter(toks, t -> t IN ('the','a','of','and'))) >= 2),
+        |dd AS (SELECT doc_id, toks,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |       FROM sv),
+        |sp AS (SELECT doc_id, toks,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 100 AS b
+        |       FROM dd WHERE rn = 1)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+        |        ELSE 'test' END AS split,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY 1""".stripMargin,
     "bp1_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
