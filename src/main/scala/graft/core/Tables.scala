@@ -121,7 +121,7 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * database/table directory names, so the path must too (mixed-case
     * identifiers pass `ident` but land in lowercased directories).
     */
-  private def tablePath(layer: String, table: String): org.apache.hadoop.fs.Path =
+  private[graft] def tablePath(layer: String, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       s"${spark.conf.get("spark.sql.warehouse.dir")}/${db.toLowerCase}.db/" +
         ident(s"${layer}_$table").toLowerCase)

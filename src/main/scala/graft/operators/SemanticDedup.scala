@@ -47,12 +47,11 @@ object SemanticDedup {
                        nClusters: Int, threshold: Double,
                        assignProbes: Int = 1, seed: Long = 42L): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
-    val index = Similarity.ivfIndex(df, idCol, vecCol, nClusters, seed)
-    val members =
-      if (assignProbes == 1)
-        index.vectors.select(col("vid"), col("v"), col("nrm"),
-          col("centroid").as("cluster"))
-      else Similarity.clusterAssignments(index, df, idCol, vecCol, assignProbes)
+    // one assignment pass yields both the index and the memberships —
+    // assigning twice would pay the O(n·k·dim) centroid scoring per
+    // consumer (code-review finding, closed)
+    val (_, members) = Similarity.ivfIndexAndMembers(df, idCol, vecCol,
+      nClusters, probes = assignProbes, seed = seed)
     val a = members.select(col("cluster"), col("vid").as("_sd_ida"),
       col("v").as("_sd_va"))
     val b = members.select(col("cluster"), col("vid").as("_sd_idb"),
@@ -89,9 +88,12 @@ object SemanticDedup {
                        nClusters: Int, threshold: Double,
                        assignProbes: Int = 2, seed: Long = 42L): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
-    val index = Similarity.ivfIndex(corpus, idCol, vecCol, nClusters, seed)
-    val corpusM = Similarity.clusterAssignments(index, corpus, idCol, vecCol,
-      assignProbes)
+    // the corpus is centroid-scored ONCE: the same assignment pass
+    // produces the index (for the batch side's probes) and the corpus
+    // memberships (code-review finding, closed)
+    val (index, corpusMembers) = Similarity.ivfIndexAndMembers(corpus, idCol,
+      vecCol, nClusters, probes = assignProbes, seed = seed)
+    val corpusM = corpusMembers
       .select(col("cluster"), col("vid").as("_sd_cid"), col("v").as("_sd_cv"))
     val batchM = Similarity.clusterAssignments(index, batch, idCol, vecCol,
       assignProbes)

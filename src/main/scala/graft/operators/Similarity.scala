@@ -207,7 +207,21 @@ object Similarity {
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, seed: Long = 42L,
-               sampleSize: Int = 10000): IvfIndex = {
+               sampleSize: Int = 10000): IvfIndex =
+    ivfIndexAndMembers(df, idCol, vecCol, nCentroids, probes = 1, seed,
+      sampleSize)._1
+
+  /** [[ivfIndex]] plus the corpus's `probes`-way overlapping memberships
+    * from the SAME assignment pass: `assign` at p ≥ 1 yields c0..c(p-1)
+    * where c0 is exactly the Voronoi cell the index stores — so a caller
+    * that needs both (cluster-local pairwise work over overlapping cells,
+    * [[SemanticDedup]]) pays the O(n·k·dim) centroid scoring once, not
+    * once per consumer.
+    */
+  def ivfIndexAndMembers(df: DataFrame, idCol: String, vecCol: String,
+                         nCentroids: Int, probes: Int, seed: Long = 42L,
+                         sampleSize: Int = 10000): (IvfIndex, DataFrame) = {
+    require(probes >= 1, s"probes must be >= 1: $probes")
     val c = withNorm(df, idCol, vecCol)
     // deterministic sample: un-ordered limit() picks whichever partitions
     // answer first, so the trained centroids (and every IVF result) would
@@ -218,8 +232,13 @@ object Similarity {
       .limit(sampleSize).select("v").collect()
       .map(r => r.getSeq[Double](0).toArray)
     val centroids = trainKMeans(sample, nCentroids, iters = 10, seed = seed)
-    IvfIndex(assign(c, centroids, 1).select(
+    val assigned = assign(c, centroids, probes)
+    val index = IvfIndex(assigned.select(
       col("vid"), col("v"), col("nrm"), col("c0").as("centroid")), centroids)
+    val members = assigned.select(col("vid"), col("v"), col("nrm"),
+      explode(array((0 until probes).map(i => col(s"c$i")): _*))
+        .as("cluster"))
+    (index, members)
   }
 
   /** Driver-local seeded Lloyd's iterations on the bounded training sample.

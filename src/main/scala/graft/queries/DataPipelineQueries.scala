@@ -116,12 +116,7 @@ object DataPipelineQueries {
     // computes.
     "d5b_banded_near_dup" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-            .as("embedding"))
-      Similarity.cosineNearDupPairsBanded(emb.unionByName(planted),
+      Similarity.cosineNearDupPairsBanded(plantNearDups(emb),
         "vec_id", "embedding", threshold = 0.9, dim = 64)
     }),
 
@@ -141,12 +136,7 @@ object DataPipelineQueries {
     // Oracle recomposes both sides relationally (the d5b + sim1 schemes)
     "ctr1_contrastive_pairs" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-            .as("embedding"))
-      val uni = emb.unionByName(planted)
+      val uni = plantNearDups(emb)
       Similarity.contrastivePairs(uni, "vec_id", "embedding",
         uni.filter(col("vec_id") < 10), k = 5, threshold = 0.9, dim = 64)
     }),
@@ -164,12 +154,7 @@ object DataPipelineQueries {
     // 0.5 asserted.
     "ctr2_contrastive_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-            .as("embedding"))
-      val uni = emb.unionByName(planted)
+      val uni = plantNearDups(emb)
       val anchors = uni.filter(col("vec_id") < 10)
       def mine(via: graft.operators.NegativeMining) =
         Similarity.contrastivePairs(uni, "vec_id", "embedding",
@@ -345,7 +330,10 @@ object DataPipelineQueries {
       val docs = table(s, d, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      val base = System.getProperty("java.io.tmpdir") + "/graft_mh1_index"
+      // dataset-scoped path (the ex2 convention): a fixed path would let
+      // concurrent/interleaved SF runs clobber each other's index
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_mh1_index_" + d.replaceAll("[^a-z0-9.]", "_")
       TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
         .write.mode("overwrite").parquet(base + "/sigs")
       TextDedup.shingleSets(corpus, "doc_id", "text", 5)

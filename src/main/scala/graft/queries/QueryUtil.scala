@@ -84,5 +84,27 @@ object QueryUtil {
     }
   }
 
+  /** The planted near-duplicate COPIES shared by the embedding-dedup
+    * family (d5b/ctr1/ctr2/semd1/semd2 and their specs): every
+    * `vec_id < nIds` duplicated at `vec_id + idShift` with the first
+    * component nudged by `nudge` (cosine ≈ 0.9999 — the "same content
+    * re-embedded" regime). ONE definition keeps the queries, the specs
+    * whose recall measurements justify the literal-TRUE oracles, and the
+    * hard-coded oracle SQL constants provably aligned.
+    */
+  def nearDupCopies(emb: DataFrame, nIds: Long = 50L,
+                    idShift: Long = 1000000L, nudge: Float = 0.01f): DataFrame = {
+    import org.apache.spark.sql.functions._
+    emb.filter(col("vec_id") < nIds)
+      .select((col("vec_id") + idShift).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(nudge)).otherwise(x))
+          .as("embedding"))
+  }
+
+  /** The full planted universe: the corpus plus its [[nearDupCopies]]. */
+  def plantNearDups(emb: DataFrame): DataFrame =
+    emb.unionByName(nearDupCopies(emb))
+
   type Q = (SparkSession, String) => DataFrame
 }

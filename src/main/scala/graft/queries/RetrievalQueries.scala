@@ -42,12 +42,7 @@ object RetrievalQueries {
     // at every SF)
     "semd1_semantic_dedup" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-            .as("embedding"))
-      val uni = emb.unionByName(planted)
+      val uni = plantNearDups(emb)
       val semd = SemanticDedup.semanticDupPairs(uni, "vec_id", "embedding",
         nClusters = 16, threshold = 0.9, assignProbes = 2)
       val exact = Similarity.cosineNearDupPairs(uni, "vec_id", "embedding",
@@ -97,11 +92,7 @@ object RetrievalQueries {
     // cell-local incremental path found it"
     "semd2_incremental_semantic" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val batch = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-            .as("embedding"))
+      val batch = nearDupCopies(emb)
       val inc = SemanticDedup.incrementalPairs(emb, batch, "vec_id",
         "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
       val b = batch.select(col("vec_id").as("new_id"),

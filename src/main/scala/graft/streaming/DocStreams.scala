@@ -39,9 +39,11 @@ object DocStreams {
     * nothing — and even a partial previous landing is invisible because
     * the batch's partition overwrite is per-batchId. The checkpoint dir
     * must be stable per logical ingest (the StreamingFactIngest
-    * contract); the corpus-existence probe rides the same
-    * catalog-recovery behavior as `saveBatchPartition` (a lost catalog
-    * over surviving files re-registers on first landing).
+    * contract); the corpus-existence probe survives catalog loss
+    * (in-memory metastore, new JVM) by falling back to the table PATH
+    * and reading the surviving parquet directly — dedup is never
+    * silently skipped, and `saveBatchPartition` re-registers the
+    * catalog entry when the same batch lands (spec-asserted).
     *
     * At 100 TB: per-batch state is the batch plus a ~1.2 GB-per-10⁹-docs
     * broadcast Bloom filter; the corpus is scanned (digest column only)
@@ -64,13 +66,28 @@ object DocStreams {
             .withColumn("_di_rn", row_number().over(w))
             .filter(col("_di_rn") === 1)
             .drop("_di_rn", "_di_digest")
-          val fresh =
-            if (spark.catalog.tableExists(store.fqn(layer, table))) {
-              val corpus = store.load(layer, table)
+          // corpus probe must survive catalog loss (in-memory metastore,
+          // new JVM): a catalog-only tableExists would return false while
+          // the warehouse files persist, and the first post-restart batch
+          // would skip dedup and land duplicates. Probe the catalog FIRST
+          // (normal path), then the table PATH (recovery path — read the
+          // surviving parquet directly; saveBatchPartition re-registers
+          // the catalog entry when it lands this very batch).
+          val loc = store.tablePath(layer, table)
+          val corpusOpt =
+            if (spark.catalog.tableExists(store.fqn(layer, table)))
+              Some(store.load(layer, table))
+            else if (loc.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(loc))
+              Some(spark.read.parquet(loc.toString))
+            else None
+          val fresh = corpusOpt match {
+            case Some(corpus) =>
               val newIds = TextDedup.bloomNewDocs(corpus, inBatch,
                 "doc_id", "text")
               inBatch.join(newIds, Seq("doc_id"), "left_semi")
-            } else inBatch
+            case None => inBatch
+          }
           store.saveBatchPartition(
             fresh.withColumn("ingest_batch", lit(batchId)),
             layer, table, "ingest_batch")

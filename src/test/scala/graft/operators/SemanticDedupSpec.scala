@@ -14,19 +14,14 @@ class SemanticDedupSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** The d5b planted universe: every vec_id < 50 gets a +0.01-nudged copy
-    * at id+1e6 — cosine ≈ 0.9999, the "same content re-embedded" regime.
+  /** The d5b planted universe — the ONE shared definition
+    * ([[graft.queries.QueryUtil.plantNearDups]]) the semd1/semd2 oracles'
+    * literal-TRUE recall claims are calibrated against.
     */
-  private lazy val universe: DataFrame = {
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select($"vec_id", $"embedding")
-    val planted = emb.filter($"vec_id" < 50)
-      .select(($"vec_id" + 1000000L).as("vec_id"),
-        transform($"embedding",
-          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-          .as("embedding"))
-    emb.unionByName(planted)
-  }
+  private lazy val universe: DataFrame =
+    graft.queries.QueryUtil.plantNearDups(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select($"vec_id", $"embedding"))
 
   private def pairsOf(df: DataFrame): Set[(Long, Long)] =
     df.select("keep_id", "drop_id").as[(Long, Long)].collect().toSet
@@ -59,11 +54,7 @@ class SemanticDedupSpec extends SparkSpec {
   test("incremental: planted batch recalls every cross pair at probes=2") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding")
-    val batch = emb.filter($"vec_id" < 50)
-      .select(($"vec_id" + 1000000L).as("vec_id"),
-        transform($"embedding",
-          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-          .as("embedding"))
+    val batch = graft.queries.QueryUtil.nearDupCopies(emb)
     val inc = SemanticDedup.incrementalPairs(emb, batch, "vec_id",
       "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
       .select("new_id", "match_id").as[(Long, Long)].collect().toSet

@@ -68,6 +68,33 @@ class DocStreamsSpec extends SparkSpec {
       // restart with the SAME checkpoint: nothing re-ingests
       run()
       assert(store.load("clean", "documents").count() == afterFirst + 10)
+
+      // CATALOG LOSS with surviving files (in-memory metastore restart):
+      // back the table dir up, drop the catalog entry (which purges the
+      // managed files), restore the files — catalog empty, data present.
+      // A new drop of pure duplicates must still dedup to nothing.
+      val loc = store.tablePath("clean", "documents")
+      val backup = Files.createTempDirectory("graft-doc-backup")
+      def copyTree(from: Path, to: Path): Unit = {
+        Files.walk(from).forEach { p =>
+          val t = to.resolve(from.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      copyTree(Paths.get(loc.toUri.getPath), backup)
+      spark.sql(s"DROP TABLE ${store.fqn("clean", "documents")}")
+      copyTree(backup, Paths.get(loc.toUri.getPath))
+      assert(!spark.catalog.tableExists(store.fqn("clean", "documents")))
+
+      dropFile(docs.limit(5)
+        .select(($"doc_id" + 30000L).as("doc_id"), $"text", $"lang",
+          $"source", $"n_chars"), src, "c.parquet")
+      run()
+      val afterRecovery = store.load("clean", "documents")
+      assert(afterRecovery.count() == afterFirst + 10,
+        "post-recovery duplicate drop must land nothing")
+      assert(afterRecovery.filter($"doc_id" >= 30000L).count() == 0)
     } finally store.dropAll()
   }
 }
