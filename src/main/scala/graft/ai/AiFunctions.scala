@@ -120,7 +120,24 @@ object AiFunctions {
       val (forText, forRow) = rows.duplicate
       val scores = scorer.scoreBatch(forText.map(r =>
         if (r.isNullAt(ti)) null else r.getString(ti)))
-      forRow.zip(scores).map { case (r, sc) => Row.fromSeq(r.toSeq :+ sc) }
+      // zip stops at the shorter side: a scorer breaching the 1:1
+      // contract would silently truncate (or drop) rows — fail loudly
+      // once the pair stream is exhausted with either side non-empty
+      new Iterator[Row] {
+        private val zipped = forRow.zip(scores)
+        override def hasNext: Boolean = {
+          val h = zipped.hasNext
+          if (!h && (forRow.hasNext || scores.hasNext))
+            throw new IllegalStateException(
+              "SentimentScorer.scoreBatch breached the one-score-per-text " +
+                "contract: " + (if (forRow.hasNext) "fewer" else "more") +
+                " scores than texts in this partition")
+          h
+        }
+        override def next(): Row = {
+          val (r, sc) = zipped.next(); Row.fromSeq(r.toSeq :+ sc)
+        }
+      }
     }(Encoders.row(outSchema))
   }
 }

@@ -50,10 +50,12 @@ object ImportanceWeights {
       (col("nr").cast("double") + col("v").cast("double"))
     toks.join(vocab, "token").crossJoin(broadcast(totals))
       .select(col(idCol), col("m"),
-        // m as DECIMAL(9,0): long×DECIMAL(18,12) would exceed precision
-        // 38 and Spark's precision-loss rule silently drops the scale to
-        // 11; (9,0)×(18,12) stays exact at scale 12 (m < 10⁹ by far)
-        (col("m").cast("decimal(9,0)")
+        // m as DECIMAL(18,0): raw long×DECIMAL(18,12) would exceed
+        // precision 38 and Spark's precision-loss rule silently drops the
+        // scale to 11; (18,0)×(18,12) → (37,12) fits precision 38 and
+        // stays exact — and unlike (9,0) cannot overflow-to-NULL for any
+        // plausible per-doc multiplicity (the oracle uses DECIMAL(18,0))
+        (col("m").cast("decimal(18,0)")
           * log(pT / pR).cast("decimal(18,12)")).as("_iw_s"))
       .groupBy(col(idCol))
       .agg(sum(col("m")).cast("bigint").as("n_tokens"),

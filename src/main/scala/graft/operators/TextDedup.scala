@@ -359,6 +359,23 @@ object TextDedup {
                              n: Int = 5, numHashes: Int = 32, bands: Int = 16,
                              minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // index-shape guard: a persisted index built with different numHashes
+    // (or corrupted columns) would silently band-key-mismatch and return
+    // an empty/wrong pair set — fail loudly instead. One limit(1) probe
+    // (the SnapshotDiff uniqueness-guard pattern), metadata-cheap
+    Seq(("corpusSigs", corpusSigs, "sig"), ("corpusSets", corpusSets, "sh_set"))
+      .foreach { case (nm, idx, c) =>
+        require(idx.columns.contains("doc") && idx.columns.contains(c),
+          s"$nm: expected columns (doc, $c), got ${idx.columns.mkString(",")}")
+      }
+    corpusSigs.select(size(col("sig")).as("w")).limit(1).collect()
+      .foreach { row =>
+        require(row.getInt(0) == numHashes,
+          s"corpusSigs was built with numHashes=${row.getInt(0)} but the " +
+            s"batch side is using numHashes=$numHashes — rebuild the index " +
+            "or pass matching parameters (shingle n must match too; persist " +
+            "the build parameters alongside the index tables)")
+      }
     val r = numHashes / bands
     val cb = bandedKeys(corpusSigs, bands, r)
     val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
@@ -435,12 +452,21 @@ object TextDedup {
     val bloom = cd.stat.bloomFilter("_bd_digest", expected, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    // probe the filter ONCE per row: the flagged (id, digest, cand)
+    // projection is persisted, so the gate action below materializes it
+    // and every later branch (candidate semi-joins, the final anti-join)
+    // reads the cached columns instead of re-running the bloom UDF.
+    // Cache size is increment-batch-bounded (id + 32-byte digest + bool);
+    // it lives in the CacheManager keyed by this plan — increment loops
+    // should unpersist between corpus generations (doc above)
     val bd = batch.select(col(idCol), md5(col(textCol)).as("_bd_digest"))
-    val candidates = bd.filter(mightContain(col("_bd_digest")))
-    // one batch scan sizes the gate: total rows + rows passing the filter
+      .withColumn("_bd_cand", mightContain(col("_bd_digest")))
+      .persist()
+    val candidates = bd.filter(col("_bd_cand"))
+    // the gate reuses the same pass that populates the cache
     val gate = bd.agg(
       count(lit(1)).as("n"),
-      count(when(mightContain(col("_bd_digest")), lit(1))).as("nCand")).head()
+      count(when(col("_bd_cand"), lit(1))).as("nCand")).head()
     val broadcastable =
       gate.getLong(1) <= broadcastCandidateFraction * gate.getLong(0)
     if (broadcastable) {

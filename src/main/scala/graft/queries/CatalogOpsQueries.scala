@@ -316,7 +316,7 @@ object CatalogOpsQueries {
     // source (sum of per-row md5-prefix integers + counts), so the
     // emitted booleans prove the text survived JSON escaping byte-exactly
     "ex2_jsonl_export" -> ((s, d) => {
-      val tmp = s"/tmp/graft-jsonl-${d.replaceAll("[^a-z0-9.]", "_")}"
+      val tmp = QueryUtil.scopedTmp(s, d, "jsonl")
       val src = table(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
       src.repartition(4).write.mode("overwrite").json(tmp)

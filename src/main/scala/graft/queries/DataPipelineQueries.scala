@@ -151,7 +151,8 @@ object DataPipelineQueries {
     // near-dup mass shifts this index's centroid draw enough that one
     // anchor dipped under the 0.5 floor at nProbe=8, so the catalog
     // entry probes 12/16 — measured per-anchor floor 0.6 at every SF,
-    // 0.5 asserted.
+    // 0.5 asserted; RecallMarginSpec re-measures this entry per SF and
+    // fails with the number before the harness parity check would.
     "ctr2_contrastive_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val uni = plantNearDups(emb)
@@ -330,10 +331,9 @@ object DataPipelineQueries {
       val docs = table(s, d, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      // dataset-scoped path (the ex2 convention): a fixed path would let
-      // concurrent/interleaved SF runs clobber each other's index
-      val base = System.getProperty("java.io.tmpdir") +
-        "/graft_mh1_index_" + d.replaceAll("[^a-z0-9.]", "_")
+      // dataset+run-scoped path: interleaved SF runs AND concurrent runs
+      // against the same dataset each get their own index
+      val base = QueryUtil.scopedTmp(s, d, "mh1-index")
       TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
         .write.mode("overwrite").parquet(base + "/sigs")
       TextDedup.shingleSets(corpus, "doc_id", "text", 5)

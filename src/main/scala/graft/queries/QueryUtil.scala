@@ -42,6 +42,17 @@ object QueryUtil {
   /** Exact-decimal view of a double column (see parity rules above). */
   def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
 
+  /** Scratch path for queries that write-then-read inside the plan.
+    *
+    * Scoped by dataset dir AND Spark application id: the dataset suffix
+    * keeps interleaved SF runs apart, the application id keeps CONCURRENT
+    * runs against the same dataset (e.g. driver verify racing a local
+    * bench) from clobbering each other's overwrite.
+    */
+  def scopedTmp(spark: SparkSession, dir: String, tag: String): String =
+    System.getProperty("java.io.tmpdir") + s"/graft-$tag-" +
+      dir.replaceAll("[^a-z0-9.]", "_") + "-" + spark.sparkContext.applicationId
+
   /** Cast every top-level DECIMAL output column to DOUBLE.
     *
     * Decimal arithmetic stays internal (reduction-order determinism), but the

@@ -39,7 +39,9 @@ object RetrievalQueries {
     // claim, and assignProbes=2 overlapping clusters make it total on
     // ε-separated planted pairs (a miss needs BOTH nearest centroids to
     // differ across a 0.01 nudge — SemanticDedupSpec measures recall 1.0
-    // at every SF)
+    // at every SF, and RecallMarginSpec re-runs THIS entry per SF so a
+    // seed/constant drift fails there with the measured number, not as
+    // an opaque harness hash-mismatch)
     "semd1_semantic_dedup" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val uni = plantNearDups(emb)

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Measured-recall front-runner for the literal-TRUE clustering oracles.
+  *
+  * semd1/semd2/ctr2 assert seed- and data-dependent k-means/IVF recall
+  * as a literal-TRUE boolean in their DuckDB oracles (RetrievalQueries /
+  * DataPipelineQueries). That is measured-true at every shipped SF with
+  * the catalog constants (nClusters=16, assignProbes=2; nCentroids=16,
+  * nProbe=12), but brittle to any future seed, sampleSize, or
+  * scale-factor change — and a drift would surface as an opaque harness
+  * hash-mismatch. This spec runs the EXACT catalog entries at every
+  * shipped SF and fails FIRST, with the measured recall in the message,
+  * so a constant/seed/SF change is diagnosed here rather than in the
+  * parity run.
+  */
+class RecallMarginSpec extends SparkSpec {
+
+  // Each case lists the SFs it is asserted at. The parity surfaces are
+  // sf0.01 (driver Verify) and sf0.1 (Bench); sf0.001 is covered where it
+  // holds as an extra early-warning margin. ctr2 is scoped to the parity
+  // SFs only: at sf0.001 the 100-vector corpus leaves some IVF buckets
+  // near-empty and one anchor's 5th-best neighbor lands outside its 12
+  // probed cells — measured recall 0.9000 (9/10 anchors) at nProbe=12,
+  // a documented property of that sub-parity corpus size, not a drift.
+  private val cases = Seq(
+    ("semd1_semantic_dedup", "semd_found",
+      "SemanticDedup.semanticDupPairs nClusters=16 assignProbes=2",
+      Seq("sf0.001", "sf0.01", "sf0.1")),
+    ("semd2_incremental_semantic", "inc_found",
+      "SemanticDedup.incrementalPairs nClusters=16 assignProbes=2",
+      Seq("sf0.001", "sf0.01", "sf0.1")),
+    ("ctr2_contrastive_ivf", "neg_recall_at_5_ok",
+      "NegativesIvf nCentroids=16 nProbe=12 (per-anchor floor 0.5)",
+      Seq("sf0.01", "sf0.1")))
+
+  for ((name, flag, constants, sfs) <- cases;
+       sf <- sfs) {
+    test(s"$name literal-TRUE oracle holds at $sf") {
+      val df = graft.SparkEntry.queries(name)(spark, s"/root/testdata/$sf")
+      val agg = df.agg(count(lit(1)).as("n"),
+        count(when(col(flag), lit(1))).as("ok")).head()
+      val (n, ok) = (agg.getLong(0), agg.getLong(1))
+      assert(n > 0, s"$name produced no rows at $sf")
+      assert(ok == n,
+        f"$name at $sf: measured recall ${ok.toDouble / n}%.4f < 1.0 " +
+          s"($ok/$n rows true in '$flag') — the literal-TRUE DuckDB oracle " +
+          s"would hash-mismatch in the harness. Re-tune the constants " +
+          s"($constants) or re-calibrate the oracle.")
+    }
+  }
+}
