@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BigramStats, CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
+import graft.functions.{BigramStats, BpeStats, CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BigramStats.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_stats"),
+      new ExpressionInfo(classOf[BpeStats].getName, "bpe_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeStats.build(exprs)))
   }
 }

@@ -29,7 +29,8 @@ object SparkEntry {
     (CoreQueries.queries ++ SemanticQueries.queries ++
       DataPipelineQueries.queries ++ StreamMiscQueries.queries ++
       FlagshipQueries.queries ++ TrainPrepQueries.queries ++
-      CatalogOpsQueries.queries ++ RetrievalQueries.queries).map { case (name, q) =>
+      CatalogOpsQueries.queries ++ RetrievalQueries.queries ++
+      BpeQueries.queries).map { case (name, q) =>
       name -> { (s: SparkSession, d: String) =>
         QueryUtil.finalizeDecimals(q(s, d))
       }
@@ -51,5 +52,6 @@ object SparkEntry {
     CoreQueries.oracle ++ SemanticQueries.oracle ++
       DataPipelineQueries.oracle ++ StreamMiscQueries.oracle ++
       FlagshipQueries.oracle ++ TrainPrepQueries.oracle ++
-      CatalogOpsQueries.oracle ++ RetrievalQueries.oracle
+      CatalogOpsQueries.oracle ++ RetrievalQueries.oracle ++
+      BpeQueries.oracle
 }

@@ -25,6 +25,29 @@ object TrainPrepQueries {
     lit(" from 10."), (col("doc_id") % 250).cast("string"),
     lit(".0."), (col("doc_id") % 200).cast("string"))
 
+  /** The Gopher quality-rule cascade (Rae et al. 2021) — shared by the
+    * gf1 funnel report, cur2's survivor filter, and cur3's BPE-grain
+    * curation (BpeQueries) so the three stay provably aligned.
+    */
+  private[queries] lazy val gopherRules: Seq[graft.operators.FilterFunnel.Rule] = {
+    import graft.operators.FilterFunnel
+    import graft.functions.{BigramStats, TextAnalysis}
+    val bs = BigramStats.bigramStats(col("text"))
+    Seq(
+      FilterFunnel.Rule("token_count",
+        TextAnalysis.tokenCount(col("text")).between(10, 100000)),
+      FilterFunnel.Rule("mean_token_len",
+        TextAnalysis.meanTokenLength(col("text")).between(2.0, 12.0)),
+      FilterFunnel.Rule("bigram_dup",
+        bs.getField("n_grams") > 0 &&
+          ((bs.getField("n_grams") - bs.getField("n_distinct"))
+            .cast("double") / bs.getField("n_grams").cast("double"))
+            <= lit(0.3)),
+      FilterFunnel.Rule("stopword_floor",
+        TextAnalysis.markerCount(col("text"),
+          Seq("the", "a", "of", "and")) >= 2))
+  }
+
   // single line: this fragment is interpolated into a stripMargin SQL
   // string, where a multi-line value would be re-margin-stripped
   private val piiSynthSql: String =
@@ -94,24 +117,9 @@ object TrainPrepQueries {
     // token-count window, mean-token-length window, bigram-duplication
     // cap (the native bigram_stats struct), English stopword floor —
     // the published pretraining filter, with ff1's per-rule accounting
-    "gf1_gopher_funnel" -> ((s, d) => {
-      import graft.operators.FilterFunnel
-      import graft.functions.{BigramStats, TextAnalysis}
-      val bs = BigramStats.bigramStats(col("text"))
-      FilterFunnel.funnelReport(table(s, d, "documents"), Seq(
-        FilterFunnel.Rule("token_count",
-          TextAnalysis.tokenCount(col("text")).between(10, 100000)),
-        FilterFunnel.Rule("mean_token_len",
-          TextAnalysis.meanTokenLength(col("text")).between(2.0, 12.0)),
-        FilterFunnel.Rule("bigram_dup",
-          bs.getField("n_grams") > 0 &&
-            ((bs.getField("n_grams") - bs.getField("n_distinct"))
-              .cast("double") / bs.getField("n_grams").cast("double"))
-              <= lit(0.3)),
-        FilterFunnel.Rule("stopword_floor",
-          TextAnalysis.markerCount(col("text"),
-            Seq("the", "a", "of", "and")) >= 2)))
-    }),
+    "gf1_gopher_funnel" -> ((s, d) =>
+      graft.operators.FilterFunnel.funnelReport(
+        table(s, d, "documents"), gopherRules)),
 
     // the round-7 operators COMPOSED end-to-end — the "corpus to training
     // mix" pipeline in one plan: Gopher-rule survivors → exact content
@@ -119,23 +127,10 @@ object TrainPrepQueries {
     // per-split doc/token budgets. The per-split report is what a
     // training run reads before it starts
     "cur2_curation_v2" -> ((s, d) => {
-      import graft.operators.FilterFunnel
-      import graft.functions.{BigramStats, TextAnalysis}
+      import graft.functions.TextAnalysis
       import org.apache.spark.sql.expressions.Window
-      val bs = BigramStats.bigramStats(col("text"))
-      val survivors = FilterFunnel.survivors(table(s, d, "documents"), Seq(
-        FilterFunnel.Rule("token_count",
-          TextAnalysis.tokenCount(col("text")).between(10, 100000)),
-        FilterFunnel.Rule("mean_token_len",
-          TextAnalysis.meanTokenLength(col("text")).between(2.0, 12.0)),
-        FilterFunnel.Rule("bigram_dup",
-          bs.getField("n_grams") > 0 &&
-            ((bs.getField("n_grams") - bs.getField("n_distinct"))
-              .cast("double") / bs.getField("n_grams").cast("double"))
-              <= lit(0.3)),
-        FilterFunnel.Rule("stopword_floor",
-          TextAnalysis.markerCount(col("text"),
-            Seq("the", "a", "of", "and")) >= 2)))
+      val survivors = graft.operators.FilterFunnel.survivors(
+        table(s, d, "documents"), gopherRules)
       val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val deduped = survivors
         .withColumn("_c2_rn", row_number().over(w))
