@@ -357,6 +357,68 @@ object Similarity {
       .select(col("qid"), col("vid").as("neighbor"), col("rank"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
 
+  // ---------------------------------------------------------------------
+  // Persisted IVF index (the mh1 sketch-as-data pattern for ANN): the
+  // centroid matrix and the assigned corpus are exactly as persistable as
+  // MinHash signatures. Build once per corpus generation, write both
+  // tables, and every later query/increment probes the STORED index —
+  // no k-means pass, no corpus re-assignment. At 100 TB the build is the
+  // one-time cost; the increments are ~nProbe/nCentroids scans.
+  // ---------------------------------------------------------------------
+
+  /** Write an index as two plain parquet tables under `path`:
+    * `centroids` (centroid_id, centroid) — nCentroids tiny rows — and
+    * `vectors` (vid, v, nrm, centroid) — the assigned corpus.
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val sp = index.vectors.sparkSession
+    import sp.implicits._
+    index.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1) // nCentroids rows — one file, not one per partition
+      .write.mode("overwrite").parquet(path + "/centroids")
+    index.vectors.write.mode("overwrite").parquet(path + "/vectors")
+  }
+
+  /** Rebuild an [[IvfIndex]] from its persisted tables. The only driver
+    * materialization is the centroid table (nCentroids rows — the same
+    * bounded state the build holds); the corpus side stays a lazy scan.
+    * Loud validation instead of silent wrong answers (the
+    * crossLshPairsFromIndex rule): the table shapes, the dense 0..k-1
+    * centroid-id space the assignment key joins on, and rectangular
+    * centroid dims are all checked.
+    */
+  def loadIvfIndex(centroidsDf: DataFrame, vectorsDf: DataFrame): IvfIndex = {
+    val vCols = vectorsDf.columns.toSet
+    require(Set("vid", "v", "nrm", "centroid").subsetOf(vCols),
+      s"ivf vectors table needs (vid, v, nrm, centroid), got ${vCols.mkString(",")}")
+    require(centroidsDf.columns.toSet == Set("centroid_id", "centroid"),
+      s"ivf centroid table needs (centroid_id, centroid), got " +
+        centroidsDf.columns.mkString(","))
+    val rows = centroidsDf.select(col("centroid_id"), col("centroid"))
+      .orderBy(col("centroid_id")).collect()
+    require(rows.nonEmpty, "ivf centroid table is empty")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"ivf centroid ids must be dense 0..k-1: expected $i, got ${r.getInt(0)}") }
+    val cm = rows.map(_.getSeq[Double](1).toArray)
+    require(cm.map(_.length).distinct.length == 1,
+      s"ragged centroid dims: ${cm.map(_.length).distinct.mkString(",")}")
+    IvfIndex(
+      vectorsDf.select(col("vid"), col("v"), col("nrm"), col("centroid")), cm)
+  }
+
+  /** [[ivfTopK]] over the persisted tables — the increment's entry point.
+    * By construction this path CANNOT train: it only reads the stored
+    * centroid matrix and the stored assignments.
+    */
+  def ivfTopKFromIndex(centroidsDf: DataFrame, vectorsDf: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int): DataFrame =
+    ivfTopK(loadIvfIndex(centroidsDf, vectorsDf), queries, idCol, vecCol,
+      k, nProbe)
+
   /** CONTRASTIVE training-pair assembly — the pair-mining step of an
     * embedding-model pipeline, composed from the two similarity families:
     * POSITIVES are the exact near-duplicate pairs touching an anchor

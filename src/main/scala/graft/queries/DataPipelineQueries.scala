@@ -205,6 +205,34 @@ object DataPipelineQueries {
           / count(lit(1)).cast("double") >= 0.5).as("recall_at_5_ok"))
     }),
 
+    // IVF top-k from the PERSISTED index — the mh1 sketch-as-data pattern
+    // for ANN: centroids + assignments are written as parquet tables at
+    // build time, and the query path reads the STORED tables only
+    // (loadIvfIndex collects nCentroids rows; by construction it cannot
+    // train). A fresh query slice (vec_id 10..19 — not the build's sim2
+    // anchors) plays the increment. Self-verifying like sim2: per-query
+    // recall@5 vs in-plan brute force, nProbe=12 (the ctr2 margin
+    // calibration; IvfPersistSpec asserts frame-identity with the
+    // in-memory index and re-measures the floor per SF)
+    "sim4_ivf_persisted" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val base = QueryUtil.scopedTmp(s, d, "sim4-index")
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16),
+        base)
+      val ivf = Similarity.ivfTopKFromIndex(
+        s.read.parquet(base + "/centroids"), s.read.parquet(base + "/vectors"),
+        qs, "vec_id", "embedding", k = 5, nProbe = 12)
+      val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      bf.select(col("qid"), col("neighbor"))
+        .join(ivf.select(col("qid"), col("neighbor"), lit(1).as("hit")),
+          Seq("qid", "neighbor"), "left")
+        .groupBy(col("qid"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double")
+          / count(lit(1)).cast("double") >= 0.5).as("recall_at_5_ok"))
+    }),
+
     // ANN over int8-quantized vectors (4× storage cut); the oracle
     // reproduces the quantization arithmetic exactly (float-cast scale
     // metadata + floor(x+0.5) rounding)
@@ -513,6 +541,10 @@ object DataPipelineQueries {
     "sim2_ivf_topk" ->
       """SELECT vec_id AS qid, TRUE AS recall_at_5_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // same scheme over the increment's query slice
+    "sim4_ivf_persisted" ->
+      """SELECT vec_id AS qid, TRUE AS recall_at_5_ok
+        |FROM embeddings WHERE vec_id >= 10 AND vec_id < 20""".stripMargin,
     // same scheme for the IVF negative-mining path — one row per anchor
     "ctr2_contrastive_ivf" ->
       """SELECT CAST(vec_id AS BIGINT) AS anchor, TRUE AS neg_recall_at_5_ok

@@ -34,7 +34,10 @@ class RecallMarginSpec extends SparkSpec {
       Seq("sf0.001", "sf0.01", "sf0.1")),
     ("ctr2_contrastive_ivf", "neg_recall_at_5_ok",
       "NegativesIvf nCentroids=16 nProbe=12 (per-anchor floor 0.5)",
-      Seq("sf0.01", "sf0.1")))
+      Seq("sf0.01", "sf0.1")),
+    ("sim4_ivf_persisted", "recall_at_5_ok",
+      "persisted IVF nCentroids=16 nProbe=12 (per-query floor 0.5)",
+      Seq("sf0.001", "sf0.01", "sf0.1")))
 
   for ((name, flag, constants, sfs) <- cases;
        sf <- sfs) {
