@@ -102,4 +102,57 @@ object DedupClusters {
         "pointerJumping = true (O(log diameter) rounds)")
     labels.select(col("u").as("member_id"), col("lbl").as("canonical_id"))
   }
+
+  /** INCREMENTAL cluster maintenance — merge a batch's new pair edges into
+    * an existing `(member_id, canonical_id)` state (the [[canonicalize]]
+    * output, persisted as a table) without re-running the closure over the
+    * full corpus graph.
+    *
+    * The old closure is carried by its STAR: the member→canonical edges of
+    * a component have exactly its connectivity, so re-converging
+    * (affected stars ∪ new pairs) equals re-converging (old pairs ∪ new
+    * pairs) on the affected subgraph — and stars have diameter 2, so with
+    * the pointer jumping this path always uses, rounds are bounded by the
+    * NEW chain depth, not the accumulated component history.
+    *
+    * Scale shape: work is increment-proportional — two semi-joins carve
+    * out the components the batch touches, propagation runs on THAT
+    * subgraph plus the batch pairs, and every untouched component passes
+    * through as a left-anti scan, byte-identical (spec-asserted). This is
+    * the composition the persisted LSH index (mh1) was built for: stored
+    * signatures → batch candidate pairs → stored clusters updated in
+    * O(batch) — where recomputing [[canonicalize]] over the union pair set
+    * is O(corpus) per increment.
+    */
+  def incrementalCanonicalize(existing: DataFrame, pairs: DataFrame,
+                              aCol: String, bCol: String,
+                              maxIters: Int = 20,
+                              useReliableCheckpoint: Boolean = false)
+      : DataFrame = {
+    require(Set("member_id", "canonical_id").subsetOf(existing.columns.toSet),
+      s"existing cluster state needs (member_id, canonical_id), got " +
+        existing.columns.mkString(","))
+    require(existing.schema("member_id").dataType == pairs.schema(aCol).dataType,
+      s"id type mismatch: state member_id is " +
+        s"${existing.schema("member_id").dataType.sql}, " +
+        s"batch $aCol is ${pairs.schema(aCol).dataType.sql}")
+    val seeds = pairs.select(col(aCol).as("_ic_id"))
+      .union(pairs.select(col(bCol).as("_ic_id"))).distinct()
+    // canonicals of every existing component the batch touches (batch ids
+    // outside any existing cluster simply have no row here)
+    val touched = existing
+      .join(seeds, col("member_id") === col("_ic_id"), "left_semi")
+      .select(col("canonical_id")).distinct()
+    val affected = existing.join(touched, Seq("canonical_id"), "left_semi")
+    val starPairs = affected
+      .filter(col("member_id") =!= col("canonical_id"))
+      .select(col("member_id").as("_ic_a"), col("canonical_id").as("_ic_b"))
+    val merged = starPairs.unionByName(
+      pairs.select(col(aCol).as("_ic_a"), col(bCol).as("_ic_b")))
+    val reconverged = canonicalize(merged, "_ic_a", "_ic_b", maxIters,
+      pointerJumping = true, useReliableCheckpoint = useReliableCheckpoint)
+    existing.join(touched, Seq("canonical_id"), "left_anti")
+      .select(col("member_id"), col("canonical_id"))
+      .unionByName(reconverged)
+  }
 }

@@ -130,6 +130,31 @@ object DataPipelineQueries {
         TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text"),
         "doc_a", "doc_b")),
 
+    // INCREMENTAL cluster maintenance — the persisted-state composition:
+    // corpus-internal clusters (dc1's pair graph restricted to doc_id %
+    // 10 != 0) are converged once and WRITTEN AS A TABLE; the batch
+    // (doc_id % 10 = 0) generates cross pairs via banded MinHash (il1's
+    // path — mh1 proves the persisted-index variant yields the identical
+    // pair set), and incrementalCanonicalize merges them into the stored
+    // state touching only batch-reached components (untouched clusters
+    // pass through as a left-anti scan — DedupClustersSpec asserts
+    // byte-identity). Oracle = recursive-CTE closure over the UNION pair
+    // set, which the increment must equal exactly.
+    "dc2_incremental_clusters" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val base = QueryUtil.scopedTmp(s, d, "dc2-state")
+      graft.operators.DedupClusters.canonicalize(
+        TextDedup.jaccardPairs(corpus, "doc_id", "text"), "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(base)
+      val newPairs = TextDedup
+        .crossMinHashLshPairs(corpus, batch, "doc_id", "text")
+        .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
+      graft.operators.DedupClusters.incrementalCanonicalize(
+        s.read.parquet(base), newPairs, "doc_a", "doc_b")
+    }),
+
     // contrastive pair mining over the d5b universe (planted near-dups):
     // positives = exact near-dup pairs touching an anchor (vec_id < 10),
     // hard negatives = each anchor's top-5 below-threshold neighbors.
@@ -510,6 +535,35 @@ object DataPipelineQueries {
         |  WHERE e2.v != r.u)
         |SELECT u AS member_id, least(u, min(v)) AS canonical_id
         |FROM reach GROUP BY u""".stripMargin),
+    // closure over BOTH pair families (corpus-internal + cross), computed
+    // relationally from one shingle CTE; the incremental path must equal
+    // the from-scratch closure over the union
+    "dc2_incremental_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(toks)-4, 0)),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) sh
+        |      FROM t),
+        |n AS (SELECT doc_id, count(*) n_sh FROM s GROUP BY 1),
+        |cp AS (SELECT a.doc_id u, b.doc_id v, count(*) c
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 != 0 GROUP BY 1, 2),
+        |cpe AS (SELECT u, v FROM cp JOIN n na ON cp.u = na.doc_id JOIN n nb ON cp.v = nb.doc_id
+        |       WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5),
+        |xp AS (SELECT a.doc_id u, b.doc_id v, count(*) c
+        |      FROM s a JOIN s b ON a.sh = b.sh
+        |      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2),
+        |xpe AS (SELECT u, v FROM xp JOIN n na ON xp.u = na.doc_id JOIN n nb ON xp.v = nb.doc_id
+        |       WHERE CAST(c AS DOUBLE) / CAST(na.n_sh + nb.n_sh - c AS DOUBLE) >= 0.5),
+        |alle AS (SELECT u, v FROM cpe UNION SELECT v, u FROM cpe
+        |        UNION SELECT u, v FROM xpe UNION SELECT v, u FROM xpe),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM alle
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN alle e2 ON r.v = e2.u
+        |  WHERE e2.v != r.u)
+        |SELECT u AS member_id, least(u, min(v)) AS canonical_id
+        |FROM reach GROUP BY u""".stripMargin,
     // positives: exact ≥0.9 pairs (either side an anchor, emitted
     // anchor→other); negatives: per-anchor top-5 among <0.9 neighbors —
     // both over the d5b planted universe, same zero-norm NaN guard

@@ -89,6 +89,57 @@ class DedupClustersSpec extends SparkSpec {
     assert(jumped(2L) == 1L)
   }
 
+  private def inc(state: Map[Long, Long], batch: Seq[(Long, Long)])
+      : Map[Long, Long] =
+    DedupClusters.incrementalCanonicalize(
+      state.toSeq.toDF("member_id", "canonical_id"),
+      batch.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("incremental equals full recompute over the union pair set") {
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+    val batch = Seq((3L, 50L), (50L, 51L), (11L, 20L), (60L, 61L))
+    assert(inc(got(old).map(identity), batch) == got(old ++ batch))
+  }
+
+  test("untouched components pass through byte-identical") {
+    val old = Seq((1L, 2L), (10L, 11L), (30L, 31L))
+    val state = got(old)
+    val out = inc(state, Seq((2L, 5L)))
+    // {10,11} and {30,31} were not touched: exact rows of the old state
+    assert(out.view.filterKeys(Set(10L, 11L, 30L, 31L)).toMap ==
+      state.view.filterKeys(Set(10L, 11L, 30L, 31L)).toMap)
+    assert(out(5L) == 1L && out(2L) == 1L && out(1L) == 1L)
+  }
+
+  test("a batch chain merges two existing clusters to the global min") {
+    val state = got(Seq((1L, 2L), (7L, 8L)))
+    // 2—100—7: bridges the {1,2} and {7,8} clusters through a new doc
+    val out = inc(state, Seq((2L, 100L), (100L, 7L)))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 8L -> 1L, 100L -> 1L))
+  }
+
+  test("batch-only vertices (no existing cluster) form fresh clusters") {
+    val state = got(Seq((1L, 2L)))
+    val out = inc(state, Seq((200L, 201L)))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 200L -> 200L, 201L -> 200L))
+  }
+
+  test("incremental state mismatch fails loudly") {
+    val bad = Seq((1L, 2L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      DedupClusters.incrementalCanonicalize(bad,
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    }
+    assert(ex.getMessage.contains("member_id"))
+    val typed = Seq(("a", "a")).toDF("member_id", "canonical_id")
+    val ex2 = intercept[IllegalArgumentException] {
+      DedupClusters.incrementalCanonicalize(typed,
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    }
+    assert(ex2.getMessage.contains("type mismatch"))
+  }
+
   test("reliable checkpoint: flag requires a checkpoint dir, then matches") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val sc = spark.sparkContext
