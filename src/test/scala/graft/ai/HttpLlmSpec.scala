@@ -111,36 +111,92 @@ class HttpLlmSpec extends AnyFunSuite {
     assert(calls.get() == 0)
   }
 
-  test("scoreBatch reuses one instance: every text scored, order preserved") {
+  test("scoreBatch sends ONE request per chunk; scores stitch back in order") {
+    val calls = new AtomicInteger(0)
+    @volatile var seen: String = null
+    withServer { ex =>
+      calls.incrementAndGet()
+      seen = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      respond(ex, 200, chatCompletion("""{"scores": [3, -1]}"""))
+    } { url =>
+      val scorer = new HttpLlmScorer(url, "m", "Rate: ")
+      val got = scorer.scoreBatch(Iterator("a1", null, "b2", "")).toSeq
+      assert(got == Seq(3, 0, -1, 0)) // null/empty stay 0, never sent
+    }
+    assert(calls.get() == 1) // 4 texts, one HTTP request
+    assert(seen.contains("""1. a1\n2. b2""")) // numbered, empties excluded
+    assert(seen.contains(""""max_tokens":40""")) // 20 per answer
+  }
+
+  test("scoreBatch chunks at batchSize: ceil(n/batchSize) requests") {
     val calls = new AtomicInteger(0)
     withServer { ex =>
       calls.incrementAndGet()
-      respond(ex, 200, chatCompletion("""{"score": 3}"""))
+      respond(ex, 200, chatCompletion("""{"scores": [1, 2]}"""))
+    } { url =>
+      val scorer = new HttpLlmScorer(url, "m", "") {
+        override def batchSize: Int = 2
+      }
+      val got = scorer.scoreBatch(Iterator("a1", "b2", "c3", "d4")).toSeq
+      assert(got == Seq(1, 2, 1, 2))
+    }
+    assert(calls.get() == 2)
+  }
+
+  test("a reply without a well-formed scores array falls back to per-row") {
+    // per-row-shaped reply: batched parse is None (no silent misalignment),
+    // the chunk re-scores row by row through the reference's parseScore
+    val calls = new AtomicInteger(0)
+    withServer { ex =>
+      calls.incrementAndGet()
+      respond(ex, 200, chatCompletion("""{"score": 2}"""))
     } { url =>
       val scorer = new HttpLlmScorer(url, "m", "")
       val got = scorer.scoreBatch(Iterator("a1", null, "b2", "")).toSeq
-      assert(got == Seq(3, 0, 3, 0))
+      assert(got == Seq(2, 0, 2, 0))
     }
-    assert(calls.get() == 2) // null/empty short-circuit inside the batch too
+    assert(calls.get() == 3) // 1 failed batch + 2 per-row fallbacks
+  }
+
+  test("a scores array with the WRONG count falls back instead of stitching") {
+    val batchCalls = new AtomicInteger(0)
+    withServer { ex =>
+      batchCalls.incrementAndGet()
+      // 3 scores for 2 texts on the batch call; per-row fallback then sees
+      // the same body and parseScore's integer fallback yields 1
+      respond(ex, 200, chatCompletion("""{"scores": [1, 2, 3]}"""))
+    } { url =>
+      val scorer = new HttpLlmScorer(url, "m", "")
+      val got = scorer.scoreBatch(Iterator("a1", "b2")).toSeq
+      assert(got == Seq(1, 1))
+    }
+    assert(batchCalls.get() == 3)
   }
 }
 
 /** The partition-batched scoring path over a real Spark job: connections
-  * must scale with PARTITIONS, not rows — the SURVEY §2.9 batching claim,
-  * measured at the loopback server by distinct client sockets.
+  * must scale with PARTITIONS and requests with rows/batchSize, not rows
+  * — the SURVEY §2.9 batching claim, measured at the loopback server by
+  * distinct client sockets and request count.
   */
 class HttpBatchedScoringSpec extends graft.SparkSpec {
   import spark.implicits._
 
-  test("withSentimentBatched opens at most one connection per partition") {
+  test("withSentimentBatched: connections ≤ partitions, requests ≪ rows") {
     val remotes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val rows = new AtomicInteger(0)
+    val requests = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1/chat", ex => {
       remotes.add(ex.getRemoteAddress.toString)
-      rows.incrementAndGet()
-      val body = """{"id":"c","choices":[{"index":0,"message":{"role":"assistant","content":"{\"score\": 2}"}}]}"""
-        .getBytes(UTF_8)
+      requests.incrementAndGet()
+      val req = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      // every row's text is "text <i>" — counting the marker recovers the
+      // chunk size so the stub answers with exactly n scores
+      val n = """text \d+""".r.findAllIn(req).length
+      val scores = Seq.fill(n)("2").mkString(", ")
+      val body =
+        (s"""{"id":"c","choices":[{"index":0,"message":{"role":"assistant",""" +
+          s""""content":"{\\"scores\\": [$scores]}"}}]}""").getBytes(UTF_8)
       ex.sendResponseHeaders(200, body.length)
       ex.getResponseBody.write(body)
       ex.close()
@@ -156,8 +212,11 @@ class HttpBatchedScoringSpec extends graft.SparkSpec {
       assert(scored.columns.toSeq == Seq("id", "text", "sentiment"))
       val got = scored.select($"sentiment").as[Int].collect()
       assert(got.length == 40 && got.forall(_ == 2))
-      assert(rows.get() == 40) // one request per row...
-      assert(remotes.size <= nPart, // ...but connections ≤ partitions
+      // 40 rows over 4 round-robin partitions at batchSize 16 → one
+      // batched request per partition; bound loosely against splits
+      assert(requests.get() < 40 && requests.get() <= 2 * nPart,
+        s"expected ≪ 40 requests, saw ${requests.get()}")
+      assert(remotes.size <= nPart, // connections ≤ partitions
         s"expected ≤ $nPart client sockets, saw ${remotes.size}: $remotes")
     } finally server.stop(0)
   }

@@ -34,4 +34,22 @@ class ResponseParserSpec extends AnyFunSuite {
     assert(body.contains("""\"great\""""))
     assert(body.contains("""\n"""))
   }
+
+  test("batch request numbers the texts and scales max_tokens") {
+    val body = ResponseParser.batchRequestBody("m-1", "Rate: ",
+      Seq("first", "second", "third"))
+    assert(body.contains("""1. first\n2. second\n3. third"""))
+    assert(body.contains(""""max_tokens":60"""))
+    assert(body.contains(""""temperature":0.0"""))
+    assert(body.contains(""""response_format":{"type":"json_object"}"""))
+  }
+
+  test("parseScores: exact-count arrays parse with clamping; anything else is None") {
+    assert(ResponseParser.parseScores("""{"scores": [1, -2, 999]}""", 3)
+      .contains(Seq(1, -2, 0))) // out-of-rubric clamps like the per-row path
+    assert(ResponseParser.parseScores("""{"scores": [1, 2]}""", 3).isEmpty)
+    assert(ResponseParser.parseScores("""{"scores": [1, "x", 3]}""", 3).isEmpty)
+    assert(ResponseParser.parseScores("""{"score": 4}""", 1).isEmpty)
+    assert(ResponseParser.parseScores(null, 1).isEmpty)
+  }
 }
