@@ -524,6 +524,29 @@ object TextDedup {
           .cast("decimal(18,6)"))
   }
 
+  /** LINE-grain exact-dedup report — the C4 recipe at its native grain
+    * (drop any line occurring more than once in the corpus; Raffel et al.
+    * 2020 §2.2). Splits each doc on `\n`, drops empty lines, counts each
+    * line's corpus-wide frequency by 128-bit digest (the shuffle carries
+    * 32-byte keys, never line text), and reports per-doc line counts plus
+    * the removal ratio a C4 line-dedup pass would apply.
+    */
+  def lineDupStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("_ld_line"))
+      .filter(length(col("_ld_line")) > 0)
+      .select(col(idCol), md5(col("_ld_line")).as("_ld_digest"))
+    val freq = lines.groupBy(col("_ld_digest")).agg(count(lit(1)).as("_ld_n"))
+    lines.join(freq, Seq("_ld_digest"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_lines"),
+        sum(when(col("_ld_n") > 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_dup_lines"))
+      .withColumn("dup_line_ratio",
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .cast("decimal(18,6)"))
+  }
+
   /** FNV-1a 64-bit — a stable, dependency-free token hash for SimHash
     * (explicit implementation so fingerprints never change under us).
     */

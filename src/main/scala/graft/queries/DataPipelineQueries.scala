@@ -431,6 +431,20 @@ object DataPipelineQueries {
         size = 32)
     }),
 
+    // line-grain exact dedup (cd1's sibling at the C4 recipe's NATIVE
+    // grain): docs are made multi-line in-query (sentence boundary →
+    // newline via plain replace, so both engines agree byte-for-byte),
+    // every 11th doc is re-keyed +1e6 so all its lines duplicate their
+    // original's, and the report is the per-doc removal ratio a C4
+    // line-dedup pass would apply
+    "cd2_line_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"),
+        expr("replace(text, '. ', concat('.', chr(10)))").as("text"))
+      val planted = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      TextDedup.lineDupStats(docs.unionByName(planted), "doc_id", "text")
+    }),
+
     // corpus collocations: bigram lift (exp-PMI) over integer counts —
     // the multi-word-expression / template-phrase report
     "pmi1_collocations" -> ((s, d) =>
@@ -853,6 +867,24 @@ object DataPipelineQueries {
         | CAST(CAST(CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS dup_chunk_ratio
         |FROM ch JOIN f USING (dg) GROUP BY doc_id""".stripMargin,
+    // the cd2 recipe replayed at line grain: same sentence→newline
+    // rewrite, same planted union, same digest-count-join-ratio shape
+    "cd2_line_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |        replace(text, '. ', '.' || chr(10)) AS text FROM documents),
+        |u AS (SELECT doc_id, text FROM u0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM u0 WHERE doc_id % 11 = 0),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM u),
+        |nz AS (SELECT doc_id, md5(line) dg FROM l WHERE length(line) > 0),
+        |f AS (SELECT dg, count(*) cnt FROM nz GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        | CAST(CAST(CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS dup_line_ratio
+        |FROM nz JOIN f USING (dg) GROUP BY doc_id""".stripMargin,
+
     // identical association order as the Spark side: ((c_ab/T)·(U/u_a))·(U/u_b)
     "pmi1_collocations" ->
       """WITH t AS (SELECT string_split(lower(text), ' ') toks FROM documents),

@@ -101,6 +101,21 @@ class ChunkingSpec extends SparkSpec {
       1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L)),
       4L -> ((2L, 2L))))
   }
+
+  test("line-grain dedup counts corpus-wide duplicate lines, skips empties") {
+    // docs 1 and 2 share one line; doc 3 repeats a line internally (both
+    // occurrences dup); blank lines never count toward n_lines
+    val df = Seq(
+      (1L, "shared line\nunique one"),
+      (2L, "shared line\nother text\n"),
+      (3L, "twin\ntwin")).toDF("doc_id", "text")
+    val got = TextDedup.lineDupStats(df, "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"n_dup_lines")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, k) => d -> ((n, k)) }.toMap
+    assert(got == Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 2L))))
+  }
 }
 
 class BloomNewDocsSpec extends SparkSpec {
