@@ -107,6 +107,21 @@ object FlagshipQueries {
       graft.operators.Skew.saltedSumCount(table(s, d, "lineitem"),
         Seq("l_returnflag"), "l_quantity", saltFactor = 8)),
 
+    // planted power-law stress: one key absorbs ~20% of lineitem (every
+    // 5th orderkey folds to -1) — the sk1/sk2 salting asserted on REAL
+    // skew, not the mild natural kind. The two-phase salted agg caps any
+    // single reducer's share of the hot key at ~1/saltFactor (partition-
+    // share bound asserted in ScaleSpec); result is salt-invariant, so
+    // the oracle is the plain unsalted GROUP BY
+    "sk3_power_law_agg" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select(
+        when(col("l_orderkey") % 5 === 0, -1L)
+          .otherwise(col("l_orderkey")).as("skew_key"),
+        col("l_quantity"))
+      graft.operators.Skew.saltedSumCount(li, Seq("skew_key"), "l_quantity",
+        saltFactor = 32)
+    }),
+
     // S7/raw-catalog — the raw zone as a queryable layer (≙ the reference's
     // `steam.raw.inbound_*` exploration tables, `analysis.sql:20-21`): land
     // nation+region as reference-dialect CSVs, register `raw_*` views, then
@@ -248,6 +263,10 @@ object FlagshipQueries {
       "SELECT l_orderkey, l_linenumber, l_partkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey",
     "sk2_salted_agg" ->
       "SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1",
+    "sk3_power_law_agg" ->
+      """SELECT CASE WHEN l_orderkey % 5 = 0 THEN -1 ELSE l_orderkey END AS skew_key,
+        | SUM(l_quantity) AS sum_l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "r1_raw_explore" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "s2_csv_roundtrip" ->

@@ -39,6 +39,31 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salting bounds any reducer's share of a planted power-law key") {
+    // one key (= -1) absorbs 20% of the rows — the shape salting exists
+    // for. Keyed partitioning alone pins that 20% on ONE reducer; the
+    // salted sub-key spreads it to ~1/saltFactor per reducer.
+    val n = 20000L
+    val df = spark.range(n).select(
+      when($"id" % 5 === 0, -1L).otherwise($"id").as("k"), lit(1L).as("v"))
+    def maxShare(parted: org.apache.spark.sql.DataFrame): Double =
+      parted.groupBy(spark_partition_id().as("p"))
+        .agg(count(lit(1)).as("c")).agg(max($"c"))
+        .as[Long].head.toDouble / n
+    assert(maxShare(df.repartition(32, $"k")) >= 0.20)
+    val salted = df.withColumn("_salt", floor(rand(42) * 32).cast("long"))
+    assert(maxShare(salted.repartition(32, $"k", $"_salt")) <= 0.10)
+    // and the bounded-share plan still aggregates exactly
+    val got = Skew.saltedSumCount(df, Seq("k"), "v", 32)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val want = df.groupBy($"k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == want)
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val config = PipelineConfig(catalog = "bk")
     val store = new TableStore(spark, config)
