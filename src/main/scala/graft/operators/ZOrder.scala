@@ -47,6 +47,50 @@ object ZOrder {
       .sortWithinPartitions(col("zkey"))
   }
 
+  /** Write `df` z-clustered at `path` and return the per-file min/max
+    * stats of the two clustered dimensions — the file-skipping index that
+    * Delta/Iceberg keep in their metadata layer, here as a one-row-per-
+    * file DataFrame. The stats pass is one extra parallel scan of the
+    * written files (at production scale it folds into the write commit);
+    * vanilla Spark prunes parquet ROW GROUPS from these same min/max
+    * stats but never whole files on data columns, so this index is what
+    * turns z-clustering into an actual files-read drop.
+    */
+  def writeClustered(df: DataFrame, xCol: String, yCol: String,
+                     path: String, numFiles: Int, bits: Int = 16): DataFrame = {
+    cluster(df, xCol, yCol, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+    fileStats(df.sparkSession, path, xCol, yCol)
+  }
+
+  /** Per-file min/max of `xCol`/`yCol` for every parquet file at `path`. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+
+  /** Box-predicate read with file skipping: drop every file whose
+    * [min,max] span provably misses the box, read only the survivors,
+    * re-apply the exact predicate (stats prune is conservative, never
+    * authoritative). Returns the frame plus the file count actually
+    * read — the skipping evidence. The stats collect is metadata-sized
+    * (one row per file), the same class as partition listings.
+    */
+  def readPruned(stats: DataFrame, xCol: String, yCol: String,
+                 xLo: Long, xHi: Long, yLo: Long,
+                 yHi: Long): (DataFrame, Int) = {
+    val spark = stats.sparkSession
+    val files = stats
+      .filter(!(col("x_max") < xLo || col("x_min") > xHi ||
+        col("y_max") < yLo || col("y_min") > yHi))
+      .select(col("file")).collect().map(_.getString(0))
+    val df = spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+    (df, files.length)
+  }
+
   /** Reference implementation for specs: interleave on plain Longs. */
   private[graft] def zkeyRef(x: Long, y: Long, bits: Int = 16): Long = {
     val mask = (1L << bits) - 1

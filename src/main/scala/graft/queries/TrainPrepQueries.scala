@@ -222,6 +222,36 @@ object TrainPrepQueries {
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    // the zo1 key's PAYOFF proven end to end: lineitem written z-clustered
+    // on (l_partkey, l_suppkey) beside a round-robin twin, the same box
+    // predicate read back through the per-file min/max index. File counts
+    // are engine-internal → ag2-scheme booleans; the row/sum payload of
+    // the PRUNED read replays in plain SQL over lineitem
+    "zo2_zorder_skipping" -> ((s, d) => {
+      import graft.operators.ZOrder
+      val base = QueryUtil.scopedTmp(s, d, "zo2")
+      val df = table(s, d, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val zStats = ZOrder.writeClustered(df, "x", "y", s"$base/z",
+        numFiles = 16)
+      df.repartition(16).write.mode("overwrite").parquet(s"$base/flat")
+      val flatStats = ZOrder.fileStats(s, s"$base/flat", "x", "y")
+      val (zDf, zFiles) = ZOrder.readPruned(zStats, "x", "y", 100, 299, 20, 59)
+      val (fDf, fFiles) = ZOrder.readPruned(flatStats, "x", "y",
+        100, 299, 20, 59)
+      def summarize(r: org.apache.spark.sql.DataFrame) =
+        r.groupBy().agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("x")).cast("bigint").as("sum_x"),
+          sum(col("y")).cast("bigint").as("sum_y")).head()
+      val (za, fa) = (summarize(zDf), summarize(fDf))
+      s.range(1).select(
+        lit(za.getLong(0)).as("n_rows"),
+        lit(za.getLong(1)).as("sum_x"),
+        lit(za.getLong(2)).as("sum_y"),
+        lit(zFiles < fFiles).as("z_skips_files"),
+        lit(za == fa).as("reads_match"))
+    }),
+
     // URL extraction + blocklist filter over a deterministically
     // URL-decorated corpus (synthetic docs carry no URLs); the blocklist is
     // a broadcast anti-join, the curation shape for a real (large) corpus
@@ -484,6 +514,18 @@ object TrainPrepQueries {
         | FROM lineitem)
         |SELECT l_orderkey, l_linenumber, zkey FROM z
         |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    // file counts are engine-internal (ag2 scheme: measured booleans are
+    // literal-TRUE here); rows/sums replay from the base table because the
+    // pruned read must return exactly the plain-filter answer
+    "zo2_zorder_skipping" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(l_partkey) AS BIGINT) AS sum_x,
+        | CAST(SUM(l_suppkey) AS BIGINT) AS sum_y,
+        | TRUE AS z_skips_files, TRUE AS reads_match
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299
+        |  AND l_suppkey BETWEEN 20 AND 59""".stripMargin,
+
     // DomainRe interpolated from the single source of truth — a hand-synced
     // copy here drifted once already (the userinfo ?/# fix)
     "url1_url_filter" ->

@@ -43,4 +43,39 @@ class ZOrderSpec extends SparkSpec {
     assert(maxXs <= 32, s"x spans: ${spans.map(_._2).toSeq}")
     assert(maxYs <= 32, s"y spans: ${spans.map(_._3).toSeq}")
   }
+
+  test("z-clustered box read SKIPS files; unclustered reads them all") {
+    // the end-to-end payoff: same data written z-clustered vs round-robin,
+    // same 10%×10% box predicate — the clustered layout's per-file min/max
+    // prunes most files, the unclustered one can prove nothing and reads
+    // all 16; both reads return exactly the plain-filter answer.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+    try {
+      val df = spark.range(1 << 14).select(
+        pmod(hash($"id"), lit(1000)).cast("long").as("x"),
+        pmod(hash($"id" * 7), lit(1000)).cast("long").as("y"))
+      val want = df.filter($"x".between(100, 199) && $"y".between(300, 399))
+        .groupBy().agg(count(lit(1)), sum($"x"), sum($"y"))
+        .as[(Long, Long, Long)].head()
+
+      val zStats = ZOrder.writeClustered(df, "x", "y", s"$dir/z",
+        numFiles = 16, bits = 10)
+      df.repartition(16).write.parquet(s"$dir/flat")
+      val flatStats = ZOrder.fileStats(spark, s"$dir/flat", "x", "y")
+
+      val (zDf, zFiles) = ZOrder.readPruned(zStats, "x", "y",
+        100, 199, 300, 399)
+      val (flatDf, flatFiles) = ZOrder.readPruned(flatStats, "x", "y",
+        100, 199, 300, 399)
+      assert(flatFiles == 16, s"round-robin files all span the full range")
+      assert(zFiles <= 8, s"z-clustered read should skip most files: $zFiles")
+      for (got <- Seq(zDf, flatDf)) {
+        val g = got.groupBy().agg(count(lit(1)), sum($"x"), sum($"y"))
+          .as[(Long, Long, Long)].head()
+        assert(g == want)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
