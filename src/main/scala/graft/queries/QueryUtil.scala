@@ -28,15 +28,25 @@ object QueryUtil {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` ships with nanosecond parquet timestamps, which Spark only
-    * reads as LONG (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * Sessions/Verify/Bench). DuckDB truncates ns→µs on read, so
-    * `timestamp_micros(ns div 1000)` (floor; epoch is positive here)
-    * reproduces the oracle's TIMESTAMP exactly.
+  /** Normalized `events` view: `ts` as a microsecond timestamp.
+    *
+    * The harness has shipped this column two ways across dataset
+    * generations: nanosecond parquet timestamps (which Spark reads as LONG
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Sessions/Verify/Bench, while DuckDB truncates ns→µs on read) and
+    * native `timestamp[us]` (both engines read it directly). Branching on
+    * the physical type keeps every event query parity-stable across
+    * regenerations: for the LONG shape, `timestamp_micros(ns div 1000)`
+    * (floor; epoch is positive here) reproduces DuckDB's truncation
+    * exactly; the µs shape passes through untouched.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
 
   /** Exact-decimal view of a double column (see parity rules above). */

@@ -26,20 +26,28 @@ import graft.core.TableStore
   */
 object EventStreams {
 
-  /** Harness `events` schema as stored (ns timestamps arrive as LONG under
-    * `nanosAsLong`; see QueryUtil.events).
+  /** Harness `events` schema as stored. Current datasets ship `ts` as
+    * native µs timestamps (`timestamp[us]`, no UTC adjustment →
+    * TIMESTAMP_NTZ); earlier generations shipped ns timestamps that
+    * arrived as LONG under `nanosAsLong` — [[normalize]] absorbs either
+    * shape, so batch and streaming readers stay generation-portable.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** ns→µs timestamp normalization, shared by batch and streaming paths. */
+  /** Timestamp normalization shared by batch and streaming paths: LONG
+    * (legacy ns) → µs timestamp; native timestamp columns pass through.
+    */
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw
+    }
 
   /** Tumbling event-time window counts with watermark (streaming) —
     * identical expressions work on a batch frame, which is how the oracle
