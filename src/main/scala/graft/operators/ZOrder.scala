@@ -86,8 +86,19 @@ object ZOrder {
       .filter(!(col("x_max") < xLo || col("x_min") > xHi ||
         col("y_max") < yLo || col("y_min") > yHi))
       .select(col("file")).collect().map(_.getString(0))
-    val df = spark.read.parquet(files.toIndexedSeq: _*)
-      .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+    // A selective box can legitimately prune EVERY file — the best case
+    // for the index, and `read.parquet()` with zero paths cannot infer a
+    // schema. Read one (pruned) file under `lit(false)` instead: footer
+    // metadata only, zero rows, correct schema.
+    val df =
+      if (files.nonEmpty)
+        spark.read.parquet(files.toIndexedSeq: _*)
+          .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+      else {
+        val any = stats.select(col("file")).limit(1).collect()
+        require(any.nonEmpty, "file-stats index is empty — nothing was written")
+        spark.read.parquet(any(0).getString(0)).filter(lit(false))
+      }
     (df, files.length)
   }
 

@@ -38,14 +38,19 @@ object QueryUtil {
     * the physical type keeps every event query parity-stable across
     * regenerations: for the LONG shape, `timestamp_micros(ns div 1000)`
     * (floor; epoch is positive here) reproduces DuckDB's truncation
-    * exactly; the µs shape passes through untouched.
+    * exactly; the native shape is cast to TIMESTAMP. The cast matters:
+    * `timestamp[us]` without UTC adjustment infers as TIMESTAMP_NTZ, and
+    * downstream consumers call `unix_micros`, which accepts only
+    * TIMESTAMP. The session timezone is pinned to UTC in Sessions/Verify/
+    * Bench, so NTZ→TIMESTAMP is value-exact and preserves DuckDB parity.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     }
   }
 

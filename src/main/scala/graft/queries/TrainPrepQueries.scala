@@ -244,11 +244,15 @@ object TrainPrepQueries {
           sum(col("x")).cast("bigint").as("sum_x"),
           sum(col("y")).cast("bigint").as("sum_y")).head()
       val (za, fa) = (summarize(zDf), summarize(fDf))
+      // `fFiles == 0` escape: at degenerate SFs the box misses the data's
+      // whole range (sf0.001 suppkey tops out at 10 < 20), both reads
+      // prune to zero files, and "z reads fewer files than flat" is
+      // vacuous — skipping is only claimable when there is data to skip.
       s.range(1).select(
         lit(za.getLong(0)).as("n_rows"),
-        lit(za.getLong(1)).as("sum_x"),
-        lit(za.getLong(2)).as("sum_y"),
-        lit(zFiles < fFiles).as("z_skips_files"),
+        lit(if (za.isNullAt(1)) null else za.getLong(1)).cast("bigint").as("sum_x"),
+        lit(if (za.isNullAt(2)) null else za.getLong(2)).cast("bigint").as("sum_y"),
+        lit(zFiles < fFiles || fFiles == 0).as("z_skips_files"),
         lit(za == fa).as("reads_match"))
     }),
 

@@ -28,9 +28,12 @@ object EventStreams {
 
   /** Harness `events` schema as stored. Current datasets ship `ts` as
     * native µs timestamps (`timestamp[us]`, no UTC adjustment →
-    * TIMESTAMP_NTZ); earlier generations shipped ns timestamps that
-    * arrived as LONG under `nanosAsLong` — [[normalize]] absorbs either
-    * shape, so batch and streaming readers stay generation-portable.
+    * TIMESTAMP_NTZ). NOTE: the STREAMING path supports only this current
+    * µs generation — `readStream.schema` with TimestampNTZType cannot read
+    * the legacy ns-annotated parquet (the vectorized reader refuses
+    * TIMESTAMP(NANOS)→TIMESTAMP_NTZ), so [[normalize]]'s LongType branch
+    * is reachable only from the BATCH path, where schema inference yields
+    * LONG under `nanosAsLong` for legacy files.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -41,12 +44,16 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Timestamp normalization shared by batch and streaming paths: LONG
-    * (legacy ns) → µs timestamp; native timestamp columns pass through.
+    * (legacy ns) → µs timestamp; anything else is cast to TIMESTAMP —
+    * native NTZ columns must not pass through, because downstream
+    * consumers ([[attributionJoin]]'s `unix_micros`) accept only
+    * TIMESTAMP. Session timezone is pinned to UTC, so the cast is
+    * value-exact.
     */
   def normalize(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
 
   /** Tumbling event-time window counts with watermark (streaming) —
@@ -98,6 +105,36 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           / 1000000L).cast("decimal(18,6)").as("gap_seconds"))
+  }
+
+  /** Stream-static enrichment (§2.7 extension): the event stream joined
+    * to a slowly-changing dimension (customer→nation), then windowed per
+    * nation. The dim side is BATCH — Spark re-reads/broadcasts it per
+    * micro-batch (no state, no watermark needed on the static side),
+    * which is exactly how a 100 TB deployment enriches a click stream
+    * with a reference table: the stream shuffles nothing for the join
+    * (broadcast hash), only the windowed agg keeps state, bounded by the
+    * watermark. The identical expressions run on a batch events frame —
+    * the catalog's oracle-checked twin (`st5_stream_static_enrich`).
+    */
+  def nationWindowedActivity(events: DataFrame, customer: DataFrame,
+                             nation: DataFrame,
+                             windowLength: String = "1 day",
+                             watermark: String = "2 hours"): DataFrame = {
+    val dim = customer
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), windowLength), col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_name"),
+        col("n_events"), col("sum_value"))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

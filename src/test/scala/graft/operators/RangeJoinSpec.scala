@@ -12,8 +12,8 @@ class RangeJoinSpec extends SparkSpec {
 
   test("bucketized pairs == naive inequality join on the corpus") {
     val gapS = 21600L // 6h — the harness events are sparse per user
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.streaming.EventStreams.normalize(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .filter($"event_type" === "error")
     val bucketized = RangeJoin.pairsWithinGap(events, "user_id", "event_id",
       "ts", maxGapSeconds = gapS)
