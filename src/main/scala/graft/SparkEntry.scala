@@ -30,7 +30,7 @@ object SparkEntry {
       DataPipelineQueries.queries ++ StreamMiscQueries.queries ++
       FlagshipQueries.queries ++ TrainPrepQueries.queries ++
       CatalogOpsQueries.queries ++ RetrievalQueries.queries ++
-      BpeQueries.queries).map { case (name, q) =>
+      BpeQueries.queries ++ SketchStatQueries.queries).map { case (name, q) =>
       name -> { (s: SparkSession, d: String) =>
         QueryUtil.finalizeDecimals(q(s, d))
       }
@@ -53,5 +53,5 @@ object SparkEntry {
       DataPipelineQueries.oracle ++ StreamMiscQueries.oracle ++
       FlagshipQueries.oracle ++ TrainPrepQueries.oracle ++
       CatalogOpsQueries.oracle ++ RetrievalQueries.oracle ++
-      BpeQueries.oracle
+      BpeQueries.oracle ++ SketchStatQueries.oracle
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Sketch/statistics extensions beyond the reference surface: Count–Min
+  * point-frequency estimation with sketch merge (the frequency complement
+  * to hll1's distinct-count scheme) and distributed PCA (single-pass
+  * covariance → driver eigen-solve → in-plan projection), the embedding
+  * post-processing step of a training-data pipeline.
+  *
+  * Oracle scheme for engine-internal numerics (the ag2/sim2 pattern): the
+  * sketch estimate and the eigenpair are not SQL-reproducible, so the
+  * emitted surface is the mathematical guarantee each must satisfy,
+  * as booleans DuckDB reproduces as literal TRUE, alongside exact
+  * relational columns (counts) both engines compute independently.
+  */
+object SketchStatQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Count–Min sketch: per-event-type sketches (native codegen'd
+    // aggregate, map-side combinable), merged driver-side (KB blobs —
+    // the "per-day sketches, any-range query" pattern), point-queried
+    // for the exact top-5 users. CM guarantees: never underestimates;
+    // overestimates by ≤ ε·N (here deterministic for the fixed seed,
+    // and width 2719 ≫ distinct users, so collisions are rare).
+    "cms1_count_min" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      val sketches = graft.operators.CountMin.groupSketches(
+        e, "event_type", "user_id")
+      val top = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+        .limit(5).collect()
+      val keys = top.map(_.getLong(0)).toIndexedSeq
+      val (est, bound) = graft.operators.CountMin.estimateKeys(
+        s, sketches, keys)
+      top.toIndexedSeq.map { r =>
+        val k = r.getLong(0)
+        val n = r.getLong(1)
+        (k, n, est(k) >= n, est(k) <= n + bound)
+      }.toDF("user_id", "exact_n", "never_under", "within_eps")
+    }),
+
+    // Distributed PCA, dominant component: one aggregator pass builds the
+    // 64×64 covariance (17 KB buffer/task), power iteration solves the
+    // top eigenpair driver-side (corpus-size-independent), and a second
+    // codegen'd pass measures per-vector energy along it. Booleans are
+    // mathematical identities of the same moments (mean ‖x−μ‖² = trace;
+    // mean ((x−μ)·v)² = vᵀΣv = λ̂; λ̂ ≤ λ₁ ≤ trace), so they hold at any
+    // SF up to float noise — 1e-6 relative tolerance vs ~1e-12 observed.
+    "pca1_top_component" -> ((s, d) => {
+      val (en, sum) = graft.operators.Pca.topComponentEnergies(
+        table(s, d, "embeddings"), "vec_id", "embedding", dim = 64)
+      val a = en.agg(avg(col("total")).as("mt"),
+        avg(col("along_top")).as("mtop")).head()
+      val (mt, mtop) = (a.getDouble(0), a.getDouble(1))
+      def close(x: Double, y: Double) =
+        math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y))
+      s.range(1).select(
+        lit(sum.n).as("n_vecs"),
+        lit(close(mt, sum.trace)).as("energy_is_trace"),
+        lit(close(mtop, sum.lambda)).as("top_energy_is_lambda"),
+        lit(sum.lambda >= sum.maxDiag * (1.0 - 1e-6)).as("top_dominates_axes"),
+        lit(sum.lambda > 0.0 && sum.lambda <= sum.trace * (1.0 + 1e-6))
+          .as("var_reduced"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cms1_count_min" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+        | TRUE AS never_under, TRUE AS within_eps
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_n DESC, user_id LIMIT 5""".stripMargin,
+    "pca1_top_component" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        | TRUE AS energy_is_trace, TRUE AS top_energy_is_lambda,
+        | TRUE AS top_dominates_axes, TRUE AS var_reduced
+        |FROM embeddings""".stripMargin
+  )
+}

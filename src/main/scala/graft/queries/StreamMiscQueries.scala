@@ -235,7 +235,37 @@ object StreamMiscQueries {
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("event_type"),
-          col("n")))
+          col("n"))),
+
+    // stream-static enrichment: event stream ⋈ broadcast dim (customer→
+    // nation), daily windows per nation — batch twin of the streaming
+    // plan (EventStreamsSpec runs the identical expressions on a
+    // MemoryStream and asserts equality)
+    "st5_stream_static_enrich" -> ((s, d) =>
+      EventStreams.nationWindowedActivity(events(s, d),
+        table(s, d, "customer"), table(s, d, "nation"))),
+
+    // time-series RESAMPLE with gap fill: each user's event history on a
+    // contiguous daily grid (sequence + explode), missing days zero-
+    // filled — the feature-engineering shape for per-entity activity
+    // series at scale (grid size is bounded by the date span, the
+    // explode is partition-local, and the left join is co-keyed)
+    "ts1_resample_gaps" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).cast("bigint").as("n_events"),
+          coalesce(col("sv"), lit(0).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_value"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -339,6 +369,25 @@ object StreamMiscQueries {
     // s ∈ {floor30(t), floor30(t) − 30min}. floor30 via naive-timestamp
     // arithmetic only — epoch/to_timestamp round-trips shift under a
     // non-UTC DuckDB session timezone.
+    "st5_stream_static_enrich" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, n_name,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "ts1_resample_gaps" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |dly AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sv
+        | FROM e GROUP BY 1, 2)
+        |SELECT g.user_id, g.day,
+        | CAST(COALESCE(dly.n, 0) AS BIGINT) AS n_events,
+        | CAST(CAST(COALESCE(dly.sv, 0) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+        |FROM g LEFT JOIN dly ON g.user_id = dly.user_id AND g.day = dly.day""".stripMargin,
     "st3_sliding_window" ->
       """WITH g AS (SELECT ts, event_type,
         |  date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30

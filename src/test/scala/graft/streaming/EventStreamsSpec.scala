@@ -127,6 +127,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment == batch enrichment (same expressions)") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val batch = EventStreams.nationWindowedActivity(batchEvents,
+      customer, nation).collect().map(_.toSeq).toSet
+
+    val dir = Files.createTempDirectory("graft-enrich-src")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("e.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.normalize(
+      spark.readStream.schema(EventStreams.eventsRawSchema)
+        .parquet(dir.toString))
+    val q = EventStreams.nationWindowedActivity(stream, customer, nation)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming fact ingest dedups duplicate keys exactly-once") {
     val dir = Files.createTempDirectory("graft-stream-src")
     // the same file twice → every key duplicated across micro-batch input
