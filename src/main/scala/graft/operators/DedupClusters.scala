@@ -132,12 +132,22 @@ object DedupClusters {
     require(Set("member_id", "canonical_id").subsetOf(existing.columns.toSet),
       s"existing cluster state needs (member_id, canonical_id), got " +
         existing.columns.mkString(","))
+    if (useReliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "useReliableCheckpoint = true needs " +
+          "sparkContext.setCheckpointDir(<fault-tolerant path>) first")
     require(existing.schema("member_id").dataType == pairs.schema(aCol).dataType,
       s"id type mismatch: state member_id is " +
         s"${existing.schema("member_id").dataType.sql}, " +
         s"batch $aCol is ${pairs.schema(aCol).dataType.sql}")
-    val seeds = pairs.select(col(aCol).as("_ic_id"))
-      .union(pairs.select(col(bCol).as("_ic_id"))).distinct()
+    // The batch pair plan feeds BOTH the seed carve-out and the merged
+    // closure graph; pair generation is typically the expensive upstream
+    // (an LSH band join + exact verify) — materialize it once instead of
+    // twice. Same cut policy as the closure loop.
+    val p0 =
+      if (useReliableCheckpoint) pairs.checkpoint() else pairs.localCheckpoint()
+    val seeds = p0.select(col(aCol).as("_ic_id"))
+      .union(p0.select(col(bCol).as("_ic_id"))).distinct()
     // canonicals of every existing component the batch touches (batch ids
     // outside any existing cluster simply have no row here)
     val touched = existing
@@ -148,7 +158,7 @@ object DedupClusters {
       .filter(col("member_id") =!= col("canonical_id"))
       .select(col("member_id").as("_ic_a"), col("canonical_id").as("_ic_b"))
     val merged = starPairs.unionByName(
-      pairs.select(col(aCol).as("_ic_a"), col(bCol).as("_ic_b")))
+      p0.select(col(aCol).as("_ic_a"), col(bCol).as("_ic_b")))
     val reconverged = canonicalize(merged, "_ic_a", "_ic_b", maxIters,
       pointerJumping = true, useReliableCheckpoint = useReliableCheckpoint)
     existing.join(touched, Seq("canonical_id"), "left_anti")

@@ -310,6 +310,28 @@ object CatalogOpsQueries {
             .as("shard_count_ok"))
     }),
 
+    // ORC sink/source roundtrip — the second columnar format a lakehouse
+    // ingests from (ex2's order-free checksum scheme: sum of per-row
+    // md5-prefix integers is partition- and order-invariant, so the
+    // booleans prove content fidelity without imposing a sort)
+    "s4_orc_roundtrip" -> ((s, d) => {
+      val tmp = QueryUtil.scopedTmp(s, d, "orc")
+      val src = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      src.repartition(4).write.mode("overwrite").orc(tmp)
+      val back = s.read.orc(tmp)
+      def fp(df: org.apache.spark.sql.DataFrame, n: String, c: String) =
+        df.agg(count(lit(1)).cast("bigint").as(n),
+          sum(conv(substring(md5(concat_ws("", col("doc_id"),
+            col("text"), col("lang"), col("source"))), 1, 8), 16, 10)
+            .cast("long")).as(c))
+      fp(src, "n_rows", "_src_sum")
+        .crossJoin(fp(back, "_back_n", "_back_sum"))
+        .select(col("n_rows"),
+          (col("n_rows") === col("_back_n")
+            && col("_src_sum") === col("_back_sum")).as("roundtrip_ok"))
+    }),
+
     // JSONL shard export — the interchange format training runs consume:
     // k writer tasks emit JSON-lines shards, the read-back (explicit
     // schema — JSONL carries none) is checksummed ORDER-FREE against the
@@ -474,6 +496,9 @@ object CatalogOpsQueries {
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
         | TRUE AS files_within_bound, TRUE AS shard_count_ok""".stripMargin,
     "ex2_jsonl_export" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+        | TRUE AS roundtrip_ok""".stripMargin,
+    "s4_orc_roundtrip" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
         | TRUE AS roundtrip_ok""".stripMargin,
     "up2_upsert_partitioned" ->
