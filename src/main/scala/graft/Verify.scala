@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark otherwise rejects;
-      // read as LONG and convert in QueryUtil.events.
+      // legacy events.parquet generations carried TIMESTAMP(NANOS), which
+      // Spark only reads as LONG under this flag; current generations ship
+      // native µs. QueryUtil.events normalizes either shape to TIMESTAMP.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local-mode scan parallelism: harness files are a few MB, so the
       // 128MB default gives single-task scans; clusters keep the default

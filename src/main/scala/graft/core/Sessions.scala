@@ -25,7 +25,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // harness events.parquet carries TIMESTAMP(NANOS); see QueryUtil.events
+      // legacy events.parquet generations carry TIMESTAMP(NANOS) (read as
+      // LONG under this flag); current ones ship native µs — see
+      // QueryUtil.events, which normalizes either shape to TIMESTAMP
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local-mode scan parallelism for few-MB files; clusters keep 128m
       .config("spark.sql.files.maxPartitionBytes", "4m")
