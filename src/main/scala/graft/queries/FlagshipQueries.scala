@@ -11,6 +11,13 @@ import QueryUtil._
   */
 object FlagshipQueries {
 
+  /** Last dataset dir bk1's bucketed tables were built for in THIS JVM
+    * (in-process memo: interleaved SF runs rebuild on switch; a new JVM
+    * always rebuilds — prior-JVM managed-table state is never trusted).
+    */
+  private val bk1Built =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   private val baseQueries: Map[String, Q] = Map(
     // S1 — write with the reference CSV dialect, read back with the
     // explicit-schema reader; values with embedded comma/quote/newline must
@@ -59,17 +66,25 @@ object FlagshipQueries {
 
     // bucketed managed tables: both sides bucketed on the join key land
     // co-located, so the join runs shuffle-free (ScaleSpec asserts the
-    // no-Exchange plan); the result is layout-invariant → plain-join oracle
+    // no-Exchange plan); the result is layout-invariant → plain-join
+    // oracle. Bucketing is the INGEST-time layout (tables are written
+    // bucketed once, joins benefit forever), so the build runs once per
+    // (process, dataset) — the memo rebuilds on dataset switch, and a
+    // fresh JVM always rebuilds (managed-table state from a prior JVM is
+    // dropped, never trusted).
     "bk1_bucketed_join" -> ((s, d) => {
       val store = new graft.core.TableStore(s,
         graft.core.PipelineConfig(schema = "verifybk"))
-      store.drop("dim", "cust_b"); store.drop("fact", "orders_b")
-      store.saveBucketed(table(s, d, "customer")
-        .select(col("c_custkey"), col("c_mktsegment")),
-        "dim", "cust_b", nBuckets = 8, bucketCols = Seq("c_custkey"))
-      store.saveBucketed(table(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        "fact", "orders_b", nBuckets = 8, bucketCols = Seq("o_custkey"))
+      if (bk1Built.get() != d) {
+        store.drop("dim", "cust_b"); store.drop("fact", "orders_b")
+        store.saveBucketed(table(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          "dim", "cust_b", nBuckets = 8, bucketCols = Seq("c_custkey"))
+        store.saveBucketed(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          "fact", "orders_b", nBuckets = 8, bucketCols = Seq("o_custkey"))
+        bk1Built.set(d) // only after a completed build
+      }
       store.load("fact", "orders_b")
         .join(store.load("dim", "cust_b"),
           col("o_custkey") === col("c_custkey"))
