@@ -124,6 +124,77 @@ object Similarity {
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
 
+  /** Exact k-nearest-neighbor GRAPH: every vector's top-k cosine
+    * neighbors — the substrate of graph-based semantic dedup (SemDeDup
+    * prunes within clusters of this graph) and of label propagation over
+    * neighborhoods. Exact all-pairs is O(n²) BY CONTRACT (this is the
+    * verification companion; the scale path for neighbor queries is
+    * [[ivfTopK]]) — but the SHAPE still matters at scale, so the
+    * implementation is the [[cosineNearDupPairs]] triangle block-pair
+    * join with per-node partial top-k INSIDE each join task: candidates
+    * reduce from n² scored pairs to ≤ B·k per node before the global
+    * per-node window (the top-k analogue of map-side combine — a global
+    * winner must win its own task, so the local slice loses nothing).
+    * Join output is co-partitioned by the pair key, so the
+    * (node, pair-key) aggregation completes map-side; only B·k survivors
+    * per node shuffle to the final window.
+    *
+    * Ordering matches [[bruteForceTopK]]: cosine desc on FULL-precision
+    * doubles, neighbor id asc as the tiebreak; output rounds cosine to
+    * DECIMAL(18,4) for engine-stable comparison.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               nBlocks: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(nBlocks > 0 && nBlocks <= 10000,
+      s"nBlocks must be in [1, 10000], got $nBlocks")
+    val c = df.select(col(idCol).cast("long").as("vid"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)).cast("int"))
+    val left = c
+      .withColumn("pk", explode(sequence(
+        col("blk") * nBlocks + col("blk"),
+        col("blk") * nBlocks + lit(nBlocks - 1))))
+      .select(col("vid").as("ida"), col("v").as("va"),
+        col("blk").as("blk_a"), col("pk"))
+    val right = c
+      .withColumn("pk", explode(transform(
+        sequence(lit(0), col("blk")),
+        i => i * nBlocks + col("blk"))))
+      .select(col("vid").as("idb"), col("v").as("vb"),
+        col("blk").as("blk_b"), col("pk"))
+    val edges = left.join(right, Seq("pk"))
+      .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      // each unordered pair once → both directed edges, one evaluation
+      .select(col("pk"), col("cosine"), explode(array(
+        struct(col("ida").as("src"), col("idb").as("dst")),
+        struct(col("idb").as("src"), col("ida").as("dst")))).as("e"))
+      .select(col("pk"), col("e.src").as("src"), col("e.dst").as("dst"),
+        col("cosine"))
+    // partial top-k per (node, join task), as a window over (pk, src):
+    // the join output is already hash-partitioned by pk, which SATISFIES
+    // ClusteredDistribution(pk, src) — so this window adds only a local
+    // sort, no exchange (KnnPlanSpec asserts exactly one exchange beyond
+    // the block join). Null cosines (zero vectors) are dropped so they
+    // can't occupy local slots the final ranking would discard anyway.
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk"), col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val partial = edges
+      .filter(col("cosine").isNotNull)
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= k)
+      .select(col("src"), col("dst"), col("cosine"))
+    partial
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .select(col("src").as("qid"), col("dst").as("neighbor"), col("rank"),
+        col("cosine").cast("decimal(18,4)").as("cosine"))
+  }
+
   /** Sub-quadratic NEAR-DUP pairs: random-hyperplane sign bands prefilter
     * the pair space, the native cosine expression verifies candidates —
     * the scale path for [[cosineNearDupPairs]], whose exact block-pair

@@ -260,6 +260,16 @@ object DataPipelineQueries {
     // recall@5 vs in-plan brute force, nProbe=12 (the ctr2 margin
     // calibration; IvfPersistSpec asserts frame-identity with the
     // in-memory index and re-measures the floor per SF)
+    // exact k-NN GRAPH over the whole corpus (semantic-dedup substrate):
+    // triangle block-pair join with per-node partial top-k inside each
+    // join task (B·k candidates per node reach the final window, not n).
+    // O(n²) by contract — the verification companion; ivfTopK is the
+    // scale path for neighbor queries. Oracle = all-pairs window top-k.
+    "sim5_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(
+        table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3)),
+
     "sim4_ivf_persisted" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
@@ -647,6 +657,16 @@ object DataPipelineQueries {
     "sim4_ivf_persisted" ->
       """SELECT vec_id AS qid, TRUE AS recall_at_5_ok
         |FROM embeddings WHERE vec_id >= 10 AND vec_id < 20""".stripMargin,
+    // sim1's scheme over EVERY vector as the query set
+    "sim5_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |s AS (SELECT q.vec_id qid, e.vec_id neighbor,
+        |        list_cosine_similarity(q.v, e.v) c,
+        |        row_number() OVER (PARTITION BY q.vec_id
+        |          ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) rn
+        |      FROM e q JOIN e ON q.vec_id != e.vec_id)
+        |SELECT qid, neighbor, CAST(rn AS INTEGER) AS rank,
+        | CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS cosine FROM s WHERE rn <= 3""".stripMargin,
     // same scheme for the IVF negative-mining path — one row per anchor
     "ctr2_contrastive_ivf" ->
       """SELECT CAST(vec_id AS BIGINT) AS anchor, TRUE AS neg_recall_at_5_ok

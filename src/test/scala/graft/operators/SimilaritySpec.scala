@@ -36,6 +36,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!topk.filter($"qid" === $"neighbor").head(1).nonEmpty)
   }
 
+  test("knnGraph == bruteForceTopK with the whole corpus as queries") {
+    val k = 3
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k)
+      .select("qid", "rank", "neighbor").as[(Long, Int, Long)]
+      .collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+      .select("qid", "rank", "neighbor").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(g == bf)
+    assert(g.map(_._1).size == emb.count()) // every vector has neighbors
+    // partial top-k never drops a global winner across block boundaries:
+    // exercised with a different block count too
+    val g4 = Similarity.knnGraph(emb, "vec_id", "embedding", k, nBlocks = 4)
+      .select("qid", "rank", "neighbor").as[(Long, Int, Long)].collect().toSet
+    assert(g4 == bf)
+  }
+
   test("IVF top-k achieves high recall vs brute force at nProbe=4/16") {
     val queries = emb.filter($"vec_id" < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
