@@ -43,6 +43,34 @@ object SketchStatQueries {
       }.toDF("user_id", "exact_n", "never_under", "within_eps")
     }),
 
+    // Theta-sketch source overlap: per-event-type sketches of the user
+    // set (one mapPartitions pass, KB blobs), pairwise INTERSECTION
+    // estimates from the stored sketches — the set-algebra question HLL
+    // cannot answer without a join. Exact overlaps ride alongside
+    // relationally (the same inner-join both engines compute); distinct
+    // users ≪ 2^lgK here, so the sketch is in exact mode and the
+    // 5%+2-absolute tolerance is structurally safe.
+    "th1_theta_overlap" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      val du = e.select(col("event_type"), col("user_id")).distinct()
+      val exact = du.as("a")
+        .join(du.as("b"), col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+        .collect() // ≤ C(|event types|, 2) rows — metadata-class
+      val sk = graft.operators.ThetaSketches.groupSketches(
+        e, "event_type", "user_id")
+      exact.toIndexedSeq.map { r =>
+        val (ta, tb, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        val est = graft.operators.ThetaSketches.intersectionEstimate(
+          sk(ta), sk(tb))
+        (ta, tb, n, math.abs(est - n) <= math.max(2.0, 0.05 * n))
+      }.toDF("type_a", "type_b", "exact_overlap", "est_ok")
+    }),
+
     // Distributed PCA, dominant component: one aggregator pass builds the
     // 64×64 covariance (17 KB buffer/task), power iteration solves the
     // top eigenpair driver-side (corpus-size-independent), and a second
@@ -78,6 +106,13 @@ object SketchStatQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
         | TRUE AS energy_is_trace, TRUE AS top_energy_is_lambda,
         | TRUE AS top_dominates_axes, TRUE AS var_reduced
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    "th1_theta_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | CAST(COUNT(*) AS BIGINT) AS exact_overlap, TRUE AS est_ok
+        |FROM du a JOIN du b
+        | ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin
   )
 }
