@@ -245,6 +245,33 @@ object StreamMiscQueries {
       EventStreams.nationWindowedActivity(events(s, d),
         table(s, d, "customer"), table(s, d, "nation"))),
 
+    // relational PIVOT (long → wide): per-user event-type counts as
+    // columns. The value list is EXPLICIT — the implicit form runs a
+    // distinct-scan job just to discover column names, which at 100 TB
+    // is a full extra pass; with the list the pivot is one partial-agg
+    // shuffle, exactly a groupBy with five conditional counts (which is
+    // also the portable oracle formulation).
+    "pv1_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("error").as("n_error"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("view").as("n_view"))),
+
+    // relational UNPIVOT / melt (wide → long): the inverse reshape, via
+    // the native unpivot operator (a Generate, not a self-union — ONE
+    // scan of the wide table regardless of how many columns melt)
+    "pv2_unpivot" -> ((s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "attr", "val")),
+
     // time-series RESAMPLE with gap fill: each user's event history on a
     // contiguous daily grid (sequence + explode), missing days zero-
     // filled — the feature-engineering shape for per-entity activity
@@ -376,6 +403,18 @@ object StreamMiscQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+    "pv1_pivot" ->
+      """SELECT user_id,
+        | CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        | CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        | CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        | CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        | CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "pv2_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part""".stripMargin,
     "ts1_resample_gaps" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
         |b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1),
