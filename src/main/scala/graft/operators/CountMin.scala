@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -23,8 +23,9 @@ import org.apache.spark.util.sketch.CountMinSketch
 object CountMin {
 
   /** Per-group Count–Min sketches over a LONG key column, via the
-    * codegen'd native aggregate. eps/confidence size the array:
-    * width = ⌈e/ε⌉, depth = ⌈ln(1/(1−conf))⌉.
+    * codegen'd native aggregate. eps/confidence size the array (Spark's
+    * CountMinSketchImpl): width = ⌈2/ε⌉ (2000 at ε=0.001),
+    * depth = ⌈log₂(1/(1−conf))⌉ (7 at conf=0.99).
     */
   def groupSketches(df: DataFrame, groupCol: String, keyCol: String,
                     eps: Double = 0.001, confidence: Double = 0.99,
@@ -45,7 +46,7 @@ object CountMin {
     * sketches. Returns (key, estimate) rows plus the sketch's ε·N bound
     * so callers can assert the CM guarantee relationally.
     */
-  def estimateKeys(spark: SparkSession, sketches: DataFrame,
+  def estimateKeys(sketches: DataFrame,
                    keys: Seq[Long]): (Map[Long, Long], Long) = {
     val blobs = sketches.select(col("cms")).collect()
       .map(_.getAs[Array[Byte]](0)).toIndexedSeq

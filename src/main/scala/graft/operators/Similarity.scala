@@ -176,13 +176,14 @@ object Similarity {
     // the join output is already hash-partitioned by pk, which SATISFIES
     // ClusteredDistribution(pk, src) — so this window adds only a local
     // sort, no exchange (KnnPlanSpec asserts exactly one exchange beyond
-    // the block join). Null cosines (zero vectors) are dropped so they
-    // can't occupy local slots the final ranking would discard anyway.
+    // the block join). Null cosines (zero vectors) are KEPT: desc
+    // ordering ranks nulls last in both this local window and the final
+    // one, exactly matching [[bruteForceTopK]]'s contract — filtering
+    // them would silently drop degenerate vectors from the graph.
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pk"), col("src"))
       .orderBy(col("cosine").desc, col("dst"))
     val partial = edges
-      .filter(col("cosine").isNotNull)
       .withColumn("lr", row_number().over(localW))
       .filter(col("lr") <= k)
       .select(col("src"), col("dst"), col("cosine"))

@@ -23,7 +23,7 @@ object SketchStatQueries {
     // the "per-day sketches, any-range query" pattern), point-queried
     // for the exact top-5 users. CM guarantees: never underestimates;
     // overestimates by ≤ ε·N (here deterministic for the fixed seed,
-    // and width 2719 ≫ distinct users, so collisions are rare).
+    // and width 2000 = ⌈2/ε⌉ ≫ distinct users, so collisions are rare).
     "cms1_count_min" -> ((s, d) => {
       import s.implicits._
       val e = events(s, d)
@@ -35,7 +35,7 @@ object SketchStatQueries {
         .limit(5).collect()
       val keys = top.map(_.getLong(0)).toIndexedSeq
       val (est, bound) = graft.operators.CountMin.estimateKeys(
-        s, sketches, keys)
+        sketches, keys)
       top.toIndexedSeq.map { r =>
         val k = r.getLong(0)
         val n = r.getLong(1)

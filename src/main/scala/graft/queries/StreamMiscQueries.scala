@@ -257,7 +257,10 @@ object StreamMiscQueries {
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill scoped to the pivoted counts: an unscoped fill would also
+        // rewrite a NULL user_id group key to 0, diverging from the
+        // oracle's GROUP BY (which preserves NULL keys)
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .select(col("user_id"), col("click").as("n_click"),
           col("error").as("n_error"), col("purchase").as("n_purchase"),
           col("signup").as("n_signup"), col("view").as("n_view"))),

@@ -17,7 +17,7 @@ class CountMinSpec extends SparkSpec {
     val sketches = CountMin.groupSketches(e, "event_type", "user_id")
     val exact = e.groupBy($"user_id").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
-    val (est, bound) = CountMin.estimateKeys(spark, sketches,
+    val (est, bound) = CountMin.estimateKeys(sketches,
       exact.keys.toSeq)
     exact.foreach { case (k, n) =>
       assert(est(k) >= n, s"CM must never underestimate: key $k")
@@ -25,7 +25,7 @@ class CountMinSpec extends SparkSpec {
     }
     // width ≫ distinct keys here, so the estimates should be exact
     assert(exact.forall { case (k, n) => est(k) == n },
-      "sparse key space: no collisions expected at width 2719")
+      "sparse key space: no collisions expected at width 2000")
   }
 
   test("merging group sketches == building one global sketch") {
@@ -46,7 +46,7 @@ class CountMinSpec extends SparkSpec {
   test("absent keys estimate near zero (bounded by ε·N)") {
     val e = spark.read.parquet(s"$sf/events.parquet")
     val sketches = CountMin.groupSketches(e, "event_type", "user_id")
-    val (est, bound) = CountMin.estimateKeys(spark, sketches,
+    val (est, bound) = CountMin.estimateKeys(sketches,
       Seq(999999L, -5L))
     est.values.foreach(v => assert(v <= bound))
   }
