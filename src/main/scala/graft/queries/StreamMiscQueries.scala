@@ -245,6 +245,21 @@ object StreamMiscQueries {
       EventStreams.nationWindowedActivity(events(s, d),
         table(s, d, "customer"), table(s, d, "nation"))),
 
+    // NATIVE session windows (the built-in operator; st2 is the
+    // window-function form, EventStreams.sessionize the stateful
+    // streaming form): per-user gap-separated sessions as first-class
+    // groups. Boundary semantics differ from st2 BY CONTRACT: windows
+    // are [start, last+gap), so an event landing exactly at the gap
+    // STARTS a new session (merge needs overlap, i.e. next < last+gap) —
+    // the oracle mirrors with `>= gap`, where st2's lag form uses `> gap`.
+    "st6_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"))),
+
     // relational PIVOT (long → wide): per-user event-type counts as
     // columns. The value list is EXPLICIT — the implicit form runs a
     // distinct-scan job just to discover column names, which at 100 TB
@@ -406,6 +421,17 @@ object StreamMiscQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+    "st6_session_window" ->
+      """WITH l AS (SELECT user_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        | FROM events),
+        |x AS (SELECT user_id, ts, CASE WHEN prev IS NULL
+        |  OR epoch_us(ts) - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, sid""".stripMargin,
     "pv1_pivot" ->
       """SELECT user_id,
         | CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
