@@ -80,6 +80,44 @@ object Splits {
       .filter(col("sample_rank") <= n)
   }
 
+  /** WEIGHTED sample without replacement, per stratum — the
+    * quality-weighted corpus subsample (keep n docs per source, higher
+    * weight → proportionally likelier), via the Efraimidis–Spirakis
+    * A-Res scheme made deterministic: each row draws its uniform from
+    * the portable md5 bucket space instead of an RNG, u ∈ (0,1) =
+    * (md5_32(id) + 0.5)/2³², and ranks by the A-Res key ln(u)/w
+    * descending — the top-n per stratum are EXACTLY a weight-
+    * proportional sample over the hash-uniforms, reproducible across
+    * engines and runs (the sampling property itself is spec-verified on
+    * planted weights).
+    *
+    * Cross-engine parity: `ln` rides the same empirical libm-agreement
+    * as kl1/dsir1/ppl1, with the key rounded to DECIMAL(18,12) before
+    * ranking (ties then break on id in both engines; a tie at the
+    * rounding boundary needs the double to land exactly on a 5·10⁻¹³
+    * grid point — measure-zero for md5-derived uniforms).
+    *
+    * Shape at scale: zero extra passes — a projection computing (u, key)
+    * plus one per-stratum top-n window; no corpus statistics needed,
+    * unlike [[temperatureMix]].
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weightCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"sample size must be positive: $n")
+    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (u32 + lit(0.5)) / lit(4294967296.0)
+    val key = (log(u) / col(weightCol).cast("double"))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 12))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_ws_key").desc, col(idCol))
+    df.withColumn("_ws_key", key)
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= n)
+      .drop("_ws_key")
+  }
+
   /** TEMPERATURE-SCALED source mixing — the multilingual/source-balance
     * sampling recipe (mT5 / XLM-R style): sample sources proportional to
     * `n_s^α` instead of `n_s`, so with α < 1 head sources are downsampled

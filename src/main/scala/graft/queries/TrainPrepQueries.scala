@@ -197,6 +197,16 @@ object TrainPrepQueries {
         table(s, d, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", n = 50)),
 
+    // weighted sample per source (quality-weighted subsample): A-Res
+    // keys ln(u)/w over md5-derived uniforms — deterministic, RNG-free,
+    // weight-proportional (planted-weight property spec-verified); one
+    // projection + one per-stratum top-n window, no corpus statistics
+    "ws1_weighted_sample" -> ((s, d) =>
+      graft.operators.Splits.weightedSample(
+        table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", "n_chars", n = 10)),
+
     // per-label embedding centroids (class prototypes)
     "cen1_label_centroids" -> ((s, d) =>
       graft.operators.VectorStats.labelCentroids(
@@ -499,6 +509,19 @@ object TrainPrepQueries {
         | FROM t)
         |SELECT doc_id, source, n_tokens,
         | CAST(cum // 2048 AS BIGINT) AS pack_id FROM c""".stripMargin,
+    // A-Res key mirrored exactly: same md5 uniform, same ln/w double
+    // expression, same DECIMAL(18,12) rounding before the rank (ln rides
+    // the kl1/dsir1 libm-agreement precedent)
+    "ws1_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |  CAST(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0) / CAST(n_chars AS DOUBLE) AS DECIMAL(18,12)) AS key
+        | FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) rn
+        | FROM k)
+        |SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS sample_rank
+        |FROM r WHERE rn <= 10""".stripMargin,
     "ss1_stratified_sample" ->
       """WITH b AS (SELECT doc_id, source,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
