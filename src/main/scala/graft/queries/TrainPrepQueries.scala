@@ -197,6 +197,29 @@ object TrainPrepQueries {
         table(s, d, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", n = 50)),
 
+    // FUZZY record linkage: corrupted titles matched back to canonical
+    // docs by edit distance — BLOCKED on an 8-char prefix so the match
+    // is an equi-join over small buckets (~5 rows/block here), never a
+    // cross join; levenshtein is integer-exact in both engines, and the
+    // planted corruption (15th char dropped) sits past the block key, so
+    // every corrupted record finds its canonical at distance ≤ 1. This
+    // is the prefix-blocking shape of record linkage at scale: candidate
+    // volume Σ blocksize², not n².
+    "fz1_fuzzy_match" -> ((s, d) => {
+      val titles = table(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      val batch = titles.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat(substring(col("title"), 1, 14),
+            substring(col("title"), 16, 30)).as("q_title"))
+      batch.join(titles,
+          substring(col("q_title"), 1, 8) === substring(col("title"), 1, 8))
+        .filter(levenshtein(col("q_title"), col("title")) <= 2)
+        .select(col("q_id"), col("doc_id").as("match_id"),
+          levenshtein(col("q_title"), col("title")).cast("int")
+            .as("edit_distance"))
+    }),
+
     // weighted sample per source (quality-weighted subsample): A-Res
     // keys ln(u)/w over md5-derived uniforms — deterministic, RNG-free,
     // weight-proportional (planted-weight property spec-verified); one
@@ -509,6 +532,15 @@ object TrainPrepQueries {
         | FROM t)
         |SELECT doc_id, source, n_tokens,
         | CAST(cum // 2048 AS BIGINT) AS pack_id FROM c""".stripMargin,
+    "fz1_fuzzy_match" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 30) AS title FROM documents),
+        |b AS (SELECT doc_id AS q_id,
+        |  concat(substr(title, 1, 14), substr(title, 16, 30)) AS q_title
+        | FROM t WHERE doc_id % 10 = 0)
+        |SELECT q_id, t.doc_id AS match_id,
+        | CAST(levenshtein(q_title, t.title) AS INTEGER) AS edit_distance
+        |FROM b JOIN t ON substr(q_title, 1, 8) = substr(t.title, 1, 8)
+        |WHERE levenshtein(q_title, t.title) <= 2""".stripMargin,
     // A-Res key mirrored exactly: same md5 uniform, same ln/w double
     // expression, same DECIMAL(18,12) rounding before the rank (ln rides
     // the kl1/dsir1 libm-agreement precedent)
