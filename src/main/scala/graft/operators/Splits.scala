@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   /** Stable bucket in [0, 100) from the row id. */
+  /** Portable 32-bit hash: first 8 hex chars of md5(id) as an integer —
+    * the ONE definition of the engine-portable uniform driving every
+    * sampling/split decision ([[bucket]], [[weightedSample]]).
+    */
+  def md5_32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+
   def bucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    md5_32(id).cast("long") % 100
 
   /** Add a `split` column: `train` / `validation` / `test` with the given
     * percentages (test gets the remainder).
@@ -92,10 +99,18 @@ object Splits {
     * planted weights).
     *
     * Cross-engine parity: `ln` rides the same empirical libm-agreement
-    * as kl1/dsir1/ppl1, with the key rounded to DECIMAL(18,12) before
+    * as kl1/dsir1/ppl1, with the key rounded to DECIMAL(28,12) before
     * ranking (ties then break on id in both engines; a tie at the
     * rounding boundary needs the double to land exactly on a 5·10⁻¹³
-    * grid point — measure-zero for md5-derived uniforms).
+    * grid point — measure-zero for md5-derived uniforms). Width 28
+    * leaves 10¹⁶ of integer headroom: |ln u| ≤ ~22, so even weights of
+    * 10⁻¹⁴ can't overflow the cast (at (18,12), weights under ~2.3·10⁻⁵
+    * overflowed — Spark nulled silently where DuckDB threw).
+    *
+    * WEIGHTS MUST BE POSITIVE to mean anything: a negative weight flips
+    * the key's sign and would rank FIRST. Non-positive weights get a
+    * null key — desc ordering ranks them last, i.e. "never preferred",
+    * never silently first.
     *
     * Shape at scale: zero extra passes — a projection computing (u, key)
     * plus one per-stratum top-n window; no corpus statistics needed,
@@ -105,11 +120,10 @@ object Splits {
                      weightCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, s"sample size must be positive: $n")
-    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double")
-    val u = (u32 + lit(0.5)) / lit(4294967296.0)
-    val key = (log(u) / col(weightCol).cast("double"))
-      .cast(org.apache.spark.sql.types.DecimalType(18, 12))
+    val w0 = col(weightCol).cast("double")
+    val u = (md5_32(col(idCol)).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = when(w0 > 0.0, (log(u) / w0)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("_ws_key").desc, col(idCol))
     df.withColumn("_ws_key", key)

@@ -248,10 +248,11 @@ object StreamMiscQueries {
     // NATIVE session windows (the built-in operator; st2 is the
     // window-function form, EventStreams.sessionize the stateful
     // streaming form): per-user gap-separated sessions as first-class
-    // groups. Boundary semantics differ from st2 BY CONTRACT: windows
-    // are [start, last+gap), so an event landing exactly at the gap
-    // STARTS a new session (merge needs overlap, i.e. next < last+gap) —
-    // the oracle mirrors with `>= gap`, where st2's lag form uses `> gap`.
+    // groups. Boundary semantics MATCH st2: Spark merges sessions when
+    // sessionStart <= currentSessionEnd (verified against 4.1.2's
+    // UpdatingSessionsIterator and a live run), so an event landing
+    // EXACTLY at the gap still merges — a new session needs diff > gap,
+    // and the oracle's lag rule mirrors with `> gap`.
     "st6_session_window" -> ((s, d) =>
       events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -426,7 +427,7 @@ object StreamMiscQueries {
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         | FROM events),
         |x AS (SELECT user_id, ts, CASE WHEN prev IS NULL
-        |  OR epoch_us(ts) - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |  OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
         |y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id
         |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
         |SELECT user_id, MIN(ts) AS session_start,

@@ -214,10 +214,14 @@ object TrainPrepQueries {
             substring(col("title"), 16, 30)).as("q_title"))
       batch.join(titles,
           substring(col("q_title"), 1, 8) === substring(col("title"), 1, 8))
-        .filter(levenshtein(col("q_title"), col("title")) <= 2)
+        // computed ONCE in a projection then filtered — the edit distance
+        // is the dominant per-pair cost, and Spark does not CSE a filter
+        // expression with a later select's copy
+        .withColumn("edit_distance",
+          levenshtein(col("q_title"), col("title")).cast("int"))
+        .filter(col("edit_distance") <= 2)
         .select(col("q_id"), col("doc_id").as("match_id"),
-          levenshtein(col("q_title"), col("title")).cast("int")
-            .as("edit_distance"))
+          col("edit_distance"))
     }),
 
     // weighted sample per source (quality-weighted subsample): A-Res
@@ -536,18 +540,19 @@ object TrainPrepQueries {
       """WITH t AS (SELECT doc_id, substr(text, 1, 30) AS title FROM documents),
         |b AS (SELECT doc_id AS q_id,
         |  concat(substr(title, 1, 14), substr(title, 16, 30)) AS q_title
-        | FROM t WHERE doc_id % 10 = 0)
-        |SELECT q_id, t.doc_id AS match_id,
-        | CAST(levenshtein(q_title, t.title) AS INTEGER) AS edit_distance
-        |FROM b JOIN t ON substr(q_title, 1, 8) = substr(t.title, 1, 8)
-        |WHERE levenshtein(q_title, t.title) <= 2""".stripMargin,
+        | FROM t WHERE doc_id % 10 = 0),
+        |c AS (SELECT q_id, t.doc_id AS match_id,
+        |  CAST(levenshtein(q_title, t.title) AS INTEGER) AS edit_distance
+        | FROM b JOIN t ON substr(q_title, 1, 8) = substr(t.title, 1, 8))
+        |SELECT q_id, match_id, edit_distance FROM c
+        |WHERE edit_distance <= 2""".stripMargin,
     // A-Res key mirrored exactly: same md5 uniform, same ln/w double
     // expression, same DECIMAL(18,12) rounding before the rank (ln rides
     // the kl1/dsir1 libm-agreement precedent)
     "ws1_weighted_sample" ->
       """WITH k AS (SELECT doc_id, source, n_chars,
         |  CAST(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-        |    / 4294967296.0) / CAST(n_chars AS DOUBLE) AS DECIMAL(18,12)) AS key
+        |    / 4294967296.0) / CAST(n_chars AS DOUBLE) AS DECIMAL(28,12)) AS key
         | FROM documents),
         |r AS (SELECT doc_id, source, n_chars,
         |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) rn

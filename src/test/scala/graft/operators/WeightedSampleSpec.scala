@@ -25,6 +25,27 @@ class WeightedSampleSpec extends SparkSpec {
       "sample must be independent of partitioning")
   }
 
+  test("non-positive weights are never preferred (null key ranks last)") {
+    // a negative weight would flip ln(u)/w positive and rank FIRST if
+    // passed through raw — the guard nulls it, so it fills only when
+    // positive-weight rows run out
+    val df = Seq((1L, "s", 5.0), (2L, "s", -3.0), (3L, "s", 0.0))
+      .toDF("id", "stratum", "w")
+    val one = Splits.weightedSample(df, "stratum", "id", "w", 1)
+      .select($"id").as[Long].collect()
+    assert(one.toSeq == Seq(1L), s"positive-weight row must win: ${one.toSeq}")
+    val all = Splits.weightedSample(df, "stratum", "id", "w", 3)
+      .orderBy($"sample_rank").select($"id").as[Long].collect()
+    assert(all.head == 1L && all.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("tiny weights don't overflow the decimal key (28,12 headroom)") {
+    val df = Seq((1L, "s", 1e-6), (2L, "s", 1e-6), (3L, "s", 2e-6))
+      .toDF("id", "stratum", "w")
+    val out = Splits.weightedSample(df, "stratum", "id", "w", 3)
+    assert(out.count() == 3) // at (18,12) these keys overflowed to null
+  }
+
   test("weight-proportionality: heavy items dominate planted strata") {
     // 100 strata; in each, item 0 has weight 1000, items 1-9 weight 1.
     // A-Res: P(item 0 wins | n=1) = 1000/1009 ≈ 0.991 per stratum, so

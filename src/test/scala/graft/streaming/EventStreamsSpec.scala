@@ -127,6 +127,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges events EXACTLY one gap apart (st6 contract)") {
+    // Spark's merge rule is sessionStart <= currentSessionEnd: an event
+    // landing exactly at last+gap still merges. The st6 oracle's lag
+    // reconstruction must therefore use `> gap`, not `>= gap`.
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")), // == gap
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:01"))  // > gap
+    ).toDF("user_id", "ts")
+    val sessions = df
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start", $"n")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(sessions(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) == 2L,
+      "exactly-gap event must merge into the first session")
+    assert(sessions(java.sql.Timestamp.valueOf("2024-01-01 01:00:01")) == 1L)
+  }
+
   test("stream-static enrichment == batch enrichment (same expressions)") {
     val customer = spark.read.parquet(s"$sf/customer.parquet")
     val nation = spark.read.parquet(s"$sf/nation.parquet")
