@@ -429,6 +429,60 @@ object Similarity {
       .select(col("qid"), col("vid").as("neighbor"), col("rank"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
 
+  /** APPROXIMATE k-NN graph — the scale path for [[knnGraph]], whose
+    * exact triangle join is O(n²) by contract. Semantics: every corpus
+    * vector is a query into the IVF index ([[ivfTopK]] with
+    * queries = corpus), so per-node results are frame-identical to what
+    * `ivfTopK(index, corpus, …)` would return — but the SHAPE differs
+    * where it matters at 100 TB: `ivfTopK` BROADCASTS its query side
+    * (right for a bounded query slice, fatal when the query side is the
+    * corpus itself), while the graph build is an EQUI-JOIN on the
+    * centroid id — each vector's `nProbe` probe memberships against each
+    * vector's single home bucket. Both sides shuffle once on a small int
+    * key; nothing is collected or broadcast beyond the centroid matrix
+    * (KB-class, in the assign-UDF closure).
+    *
+    * Candidate volume is Σ_c |probe-members(c)|·|home(c)| ≈
+    * n²·nProbe/C for C centroids — sub-quadratic by the C knob: size
+    * C ≈ √n (standard IVF practice) and candidates ≈ n^1.5·nProbe.
+    * Cost/recall trade is [[ivfTopK]]'s: recall governed by nProbe, per
+    * the sim2 calibration.
+    *
+    * Two-stage top-k (the [[knnGraph]] scheme): the join output is
+    * hash-partitioned by the probe/centroid key, which satisfies
+    * ClusteredDistribution(probe, qid) — so the per-(bucket, node)
+    * partial top-k window adds only a local sort, no exchange; a global
+    * winner must win its own bucket, so the slice loses nothing. Only
+    * ≤ nProbe·k survivors per node shuffle to the final per-node window.
+    * Ordering matches [[ivfTopK]]: full-precision cosine desc, neighbor
+    * id asc tie-break; DECIMAL(18,4) on output only.
+    */
+  def knnGraphApprox(index: IvfIndex, k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(nProbe >= 1, s"nProbe must be positive: $nProbe")
+    val q = assign(index.vectors.select(col("vid"), col("v"), col("nrm")),
+      index.centroids, nProbe)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
+          .as("probe"))
+    val scored = index.vectors
+      .select(col("vid"), col("v"), col("centroid"))
+      .join(q, col("centroid") === col("probe") && col("vid") =!= col("qid"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe"), col("qid"))
+      .orderBy(col("cosine").desc, col("vid"))
+    scored
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid").as("neighbor"), col("rank"),
+        col("cosine").cast("decimal(18,4)").as("cosine"))
+  }
+
   // ---------------------------------------------------------------------
   // Persisted IVF index (the mh1 sketch-as-data pattern for ANN): the
   // centroid matrix and the assigned corpus are exactly as persistable as

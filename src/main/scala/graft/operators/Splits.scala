@@ -16,7 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Stable bucket in [0, 100) from the row id. */
   /** Portable 32-bit hash: first 8 hex chars of md5(id) as an integer —
     * the ONE definition of the engine-portable uniform driving every
     * sampling/split decision ([[bucket]], [[weightedSample]]).
@@ -24,6 +23,7 @@ object Splits {
   def md5_32(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
 
+  /** Stable bucket in [0, 100) from the row id. */
   def bucket(id: Column): Column =
     md5_32(id).cast("long") % 100
 

@@ -33,9 +33,15 @@ object ThetaSketches {
     require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
     val sp = df.sparkSession
     import sp.implicits._
+    // Null policy: a null key carries no identity, so it cannot count as a
+    // distinct element — drop it before the Dataset decoder (which would
+    // crash unboxing null into a primitive Long). Null GROUP values are
+    // fine: the String side of the tuple decoder is nullable, and they
+    // sketch under the null group like any other.
     val partial: Array[(String, Array[Byte])] = df
       .select(org.apache.spark.sql.functions.col(groupCol).cast("string"),
         org.apache.spark.sql.functions.col(keyCol).cast("long"))
+      .filter(org.apache.spark.sql.functions.col(keyCol).isNotNull)
       .as[(String, Long)]
       .mapPartitions { it =>
         val acc = scala.collection.mutable.Map.empty[String, UpdateSketch]

@@ -75,15 +75,21 @@ object FlagshipQueries {
     "bk1_bucketed_join" -> ((s, d) => {
       val store = new graft.core.TableStore(s,
         graft.core.PipelineConfig(schema = "verifybk"))
-      if (bk1Built.get() != d) {
-        store.drop("dim", "cust_b"); store.drop("fact", "orders_b")
-        store.saveBucketed(table(s, d, "customer")
-          .select(col("c_custkey"), col("c_mktsegment")),
-          "dim", "cust_b", nBuckets = 8, bucketCols = Seq("c_custkey"))
-        store.saveBucketed(table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-          "fact", "orders_b", nBuckets = 8, bucketCols = Seq("o_custkey"))
-        bk1Built.set(d) // only after a completed build
+      // Synchronized check-then-build: two concurrent executions in one
+      // JVM would otherwise both see a stale memo and collide mid-build
+      // on the shared `verifybk` tables. The lock only guards the
+      // once-per-(JVM, dataset) layout build, never the join below.
+      bk1Built.synchronized {
+        if (bk1Built.get() != d) {
+          store.drop("dim", "cust_b"); store.drop("fact", "orders_b")
+          store.saveBucketed(table(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            "dim", "cust_b", nBuckets = 8, bucketCols = Seq("c_custkey"))
+          store.saveBucketed(table(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+            "fact", "orders_b", nBuckets = 8, bucketCols = Seq("o_custkey"))
+          bk1Built.set(d) // only after a completed build
+        }
       }
       store.load("fact", "orders_b")
         .join(store.load("dim", "cust_b"),

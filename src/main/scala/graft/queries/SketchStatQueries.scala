@@ -26,7 +26,11 @@ object SketchStatQueries {
     // and width 2000 = ⌈2/ε⌉ ≫ distinct users, so collisions are rare).
     "cms1_count_min" -> ((s, d) => {
       import s.implicits._
-      val e = events(s, d)
+      // Null policy mirrors ThetaSketches.groupSketches: a null user_id
+      // carries no identity to count, and would NPE the getLong unbox
+      // below — exclude it from both the sketch and the exact top-5
+      // (the oracle filters identically).
+      val e = events(s, d).filter(col("user_id").isNotNull)
       val sketches = graft.operators.CountMin.groupSketches(
         e, "event_type", "user_id")
       val top = e.groupBy(col("user_id"))
@@ -49,7 +53,11 @@ object SketchStatQueries {
     // cannot answer without a join. Exact overlaps ride alongside
     // relationally (the same inner-join both engines compute); distinct
     // users ≪ 2^lgK here, so the sketch is in exact mode and the
-    // 5%+2-absolute tolerance is structurally safe.
+    // 5%+2-absolute tolerance is structurally safe. lgK=16 keeps exact
+    // mode through ~65k distinct users/type (covers sf1's ~15k; at sf0.1
+    // it's ~1.5k) — beyond that the sketch estimates, where small-overlap
+    // intersection error can exceed this bound; compact sketches size by
+    // RETAINED entries, so the larger capacity costs nothing here.
     "th1_theta_overlap" -> ((s, d) => {
       import s.implicits._
       val e = events(s, d)
@@ -62,7 +70,7 @@ object SketchStatQueries {
         .agg(count(lit(1)).as("exact_overlap"))
         .collect() // ≤ C(|event types|, 2) rows — metadata-class
       val sk = graft.operators.ThetaSketches.groupSketches(
-        e, "event_type", "user_id")
+        e, "event_type", "user_id", lgK = 16)
       exact.toIndexedSeq.map { r =>
         val (ta, tb, n) = (r.getString(0), r.getString(1), r.getLong(2))
         val est = graft.operators.ThetaSketches.intersectionEstimate(
@@ -100,7 +108,7 @@ object SketchStatQueries {
     "cms1_count_min" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
         | TRUE AS never_under, TRUE AS within_eps
-        |FROM events GROUP BY user_id
+        |FROM events WHERE user_id IS NOT NULL GROUP BY user_id
         |ORDER BY exact_n DESC, user_id LIMIT 5""".stripMargin,
     "pca1_top_component" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,

@@ -547,7 +547,7 @@ object TrainPrepQueries {
         |SELECT q_id, match_id, edit_distance FROM c
         |WHERE edit_distance <= 2""".stripMargin,
     // A-Res key mirrored exactly: same md5 uniform, same ln/w double
-    // expression, same DECIMAL(18,12) rounding before the rank (ln rides
+    // expression, same DECIMAL(28,12) rounding before the rank (ln rides
     // the kl1/dsir1 libm-agreement precedent)
     "ws1_weighted_sample" ->
       """WITH k AS (SELECT doc_id, source, n_chars,
