@@ -96,9 +96,22 @@ object Compaction {
     *
     * `beforeSwap` is a test seam: runs after staging, before the swap —
     * the window where a concurrent write must trip the abort guard.
+    *
+    * `serializeWriters = true` takes the per-table [[WriterLease]] (the
+    * same marker upsert contends on) for the stage+swap, so a cooperating
+    * upsert or second compaction queues instead of tripping the guard.
     */
   def compactTable(spark: SparkSession, fqn: String, targetRows: Long,
-                   beforeSwap: () => Unit = () => ()): (Int, Int) = {
+                   beforeSwap: () => Unit = () => (),
+                   serializeWriters: Boolean = false): (Int, Int) =
+    if (serializeWriters)
+      WriterLease.withLock(spark, fqn)(
+        compactTableImpl(spark, fqn, targetRows, beforeSwap))
+    else compactTableImpl(spark, fqn, targetRows, beforeSwap)
+
+  private def compactTableImpl(spark: SparkSession, fqn: String,
+                               targetRows: Long,
+                               beforeSwap: () => Unit): (Int, Int) = {
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
     val old = s"${fqn}__old"
     val tmp = s"${fqn}__compact"

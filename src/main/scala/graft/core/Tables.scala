@@ -38,6 +38,15 @@ final case class PipelineConfig(
   * database; on a Unity-style multi-catalog deployment the same fqn string
   * resolves against the configured catalog.
   */
+object TableStore {
+  /** Ceiling for [[TableStore.upsert]]'s unpartitioned full-table rewrite
+    * (64 GiB): generous for dims and bounded state — the only tables with
+    * a reason to be unpartitioned — and far below any fact table where an
+    * O(table) per-batch rewrite would be the real cost.
+    */
+  val DefaultMaxFullRewriteBytes: Long = 64L << 30
+}
+
 final class TableStore(spark: SparkSession, config: PipelineConfig) {
 
   /** Name parts are interpolated into DDL (CREATE/DROP DATABASE), so a
@@ -193,10 +202,34 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * compaction. The incoming plan is evaluated more than once (merge +
     * guards) — it must be deterministic, which the replay contract already
     * requires.
+    *
+    * SCALE GUARD: the plain-table path rewrites the WHOLE table per batch
+    * — O(table) I/O however small the batch. That is the right cost for
+    * dims and bounded state, and a silent catastrophe for a 100 TB fact
+    * (every daily batch would rewrite 100 TB). Targets larger than
+    * `maxFullRewriteBytes` (default 64 GiB — comfortably above any table
+    * that has a reason to be unpartitioned) are refused loudly with the
+    * partitioned posture as the prescribed fix; callers that genuinely
+    * want a huge full rewrite opt out with `Long.MaxValue`.
+    *
+    * `serializeWriters = true` takes the [[WriterLease]] for the whole
+    * merge+publish: cooperating concurrent batch writers QUEUE instead of
+    * tripping each other's race guard (which stays on regardless — a
+    * non-cooperating writer is still detected and aborted).
     */
   def upsert(df: DataFrame, layer: String, table: String,
              keyCols: Seq[String],
-             beforeSwap: () => Unit = () => ()): Unit = {
+             beforeSwap: () => Unit = () => (),
+             maxFullRewriteBytes: Long = TableStore.DefaultMaxFullRewriteBytes,
+             serializeWriters: Boolean = false): Unit =
+    if (serializeWriters)
+      WriterLease.withLock(spark, fqn(layer, table))(
+        upsertImpl(df, layer, table, keyCols, beforeSwap, maxFullRewriteBytes))
+    else upsertImpl(df, layer, table, keyCols, beforeSwap, maxFullRewriteBytes)
+
+  private def upsertImpl(df: DataFrame, layer: String, table: String,
+                         keyCols: Seq[String], beforeSwap: () => Unit,
+                         maxFullRewriteBytes: Long): Unit = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val name = fqn(layer, table)
@@ -246,6 +279,18 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
         "use a layout-preserving rewrite (saveBucketed the merge)")
     val partCols = layoutCols.filter(_.isPartition).map(_.name).toSeq
     if (partCols.nonEmpty) { upsertPartitioned(df, name, keyCols, partCols); return }
+    // O(table) rewrite ahead — refuse above the threshold (see Scaladoc).
+    // sizeInBytes comes from the file-listing stats of the scan, so the
+    // check costs no extra job.
+    val targetBytes = spark.table(name)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    require(targetBytes <= maxFullRewriteBytes,
+      s"upsert into unpartitioned '$name' rewrites the whole table " +
+        s"(~$targetBytes bytes > maxFullRewriteBytes=$maxFullRewriteBytes) " +
+        "for every batch. Publish the table partitioned " +
+        "(savePartitioned) so upserts rewrite only touched partitions, " +
+        "or pass maxFullRewriteBytes=Long.MaxValue to accept the " +
+        "full rewrite")
     // Writer-race guard (detection, not a lock — see Compaction): summarize
     // the target before the merge reads it; a write landing any time up to
     // the swap flips the summary of the renamed original and aborts.

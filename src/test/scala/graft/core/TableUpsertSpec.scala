@@ -113,6 +113,24 @@ class TableUpsertSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${fqn}__old"))
   }
 
+  test("oversized unpartitioned targets are refused with the partitioned fix") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upbig_${System.nanoTime()}"))
+    store.save(spark.range(1000).select($"id", $"id".as("v")), "dim", "t")
+    // any real table exceeds a 1-byte ceiling — the guard must fire before
+    // the O(table) merge is staged
+    val ex = intercept[IllegalArgumentException] {
+      store.upsert(spark.range(2).select($"id", lit(0L).as("v")),
+        "dim", "t", Seq("id"), maxFullRewriteBytes = 1L)
+    }
+    assert(ex.getMessage.contains("savePartitioned"))
+    // content untouched; the explicit opt-out accepts the full rewrite
+    assert(store.load("dim", "t").count() == 1000)
+    store.upsert(spark.range(2).select($"id", lit(-1L).as("v")),
+      "dim", "t", Seq("id"), maxFullRewriteBytes = Long.MaxValue)
+    assert(store.load("dim", "t").filter($"v" === -1L).count() == 2)
+  }
+
   test("bucketed targets are refused, not silently flattened") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc", schema = s"upbkt_${System.nanoTime()}"))

@@ -1,0 +1,78 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WriterLease: concurrent cooperating writers serialize and ALL complete
+  * (the detect-and-abort guards alone make one of them lose), stale leases
+  * are stolen, and a lost lease fails loudly at release.
+  */
+class WriterLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two concurrent upserts with serializeWriters both complete") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"lease_${System.nanoTime()}"))
+    store.save(spark.range(10).select($"id", $"id".as("v")), "dim", "t")
+    // Each writer stalls in its beforeSwap seam long enough to overlap the
+    // other's merge window — without the lease one would read a target the
+    // other is about to swap and trip the quiesce guard.
+    def writer(lo: Long, hi: Long): Thread = {
+      val t = new Thread(() =>
+        store.upsert(
+          spark.range(lo, hi).select($"id", lit(-lo).as("v")),
+          "dim", "t", Seq("id"),
+          beforeSwap = () => Thread.sleep(300),
+          serializeWriters = true))
+      t.start(); t
+    }
+    val (w1, w2) = (writer(100, 105), writer(200, 205))
+    w1.join(120000); w2.join(120000)
+    assert(!w1.isAlive && !w2.isAlive, "writers must finish")
+    val got = store.load("dim", "t").as[(Long, Long)].collect().toMap
+    val expected = (0L until 10L).map(i => i -> i).toMap ++
+      (100L until 105L).map(i => i -> -100L).toMap ++
+      (200L until 205L).map(i => i -> -200L).toMap
+    assert(got == expected, "both batches must be published")
+  }
+
+  test("upsert and compaction queue on the same per-table lock") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"leasec_${System.nanoTime()}"))
+    store.save(spark.range(20).select($"id", $"id".as("v"))
+      .repartition(8), "dim", "t")
+    val fqn = store.fqn("dim", "t")
+    val c = new Thread(() => Compaction.compactTable(spark, fqn,
+      targetRows = 100, beforeSwap = () => Thread.sleep(300),
+      serializeWriters = true))
+    c.start()
+    Thread.sleep(50) // let compaction take the lease first
+    store.upsert(spark.range(20, 22).select($"id", lit(99L).as("v")),
+      "dim", "t", Seq("id"), serializeWriters = true)
+    c.join(120000)
+    assert(!c.isAlive, "compaction must finish")
+    assert(store.load("dim", "t").count() == 22)
+    assert(store.load("dim", "t").filter($"v" === 99L).count() == 2)
+  }
+
+  test("a stale lease is stolen; a live one times out") {
+    val name = s"lease_unit_${System.nanoTime()}"
+    val path = WriterLease.lockPath(spark, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, false)
+    out.write("dead-holder".getBytes("UTF-8")); out.close()
+    // live lease: a waiter with waitMs=0 gives up loudly
+    val ex = intercept[IllegalStateException] {
+      WriterLease.withLock(spark, name, leaseMs = 60000L, waitMs = 0L)(())
+    }
+    assert(ex.getMessage.contains("timed out"))
+    // age the marker past the lease: the next contender steals and runs
+    fs.setTimes(path, System.currentTimeMillis() - 10000L, -1)
+    var ran = false
+    WriterLease.withLock(spark, name, leaseMs = 1000L, waitMs = 5000L) {
+      ran = true
+    }
+    assert(ran && !fs.exists(path), "steal must run f and clear the marker")
+  }
+}
