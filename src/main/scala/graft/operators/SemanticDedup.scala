@@ -93,10 +93,81 @@ object SemanticDedup {
     // memberships (code-review finding, closed)
     val (index, corpusMembers) = Similarity.ivfIndexAndMembers(corpus, idCol,
       vecCol, nClusters, probes = assignProbes, seed = seed)
+    crossPairs(
+      Similarity.clusterAssignments(index, batch, idCol, vecCol, assignProbes),
+      corpusMembers, threshold)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted semantic index (the sim4/mh1 sketch-as-data pattern): an
+  // append-only ingest loop pays the corpus k-means + membership shuffle
+  // ONCE at build time; every increment then assigns only the batch
+  // (O(batch·nClusters·dim) flops) and joins the STORED memberships of
+  // its probed cells — O(batch + touched cells), never O(corpus). This
+  // is the production form of [[incrementalPairs]], which trains
+  // in-query and is the right call only when corpus and batch arrive
+  // together.
+  // ---------------------------------------------------------------------
+
+  /** Build and persist the semantic index under `path` as two parquet
+    * tables: `centroids` (centroid_id, centroid) and `members`
+    * (vid, v, nrm, cluster — the corpus's `assignProbes`-way overlapping
+    * memberships). Layout mirrors [[Similarity.saveIvfIndex]]; the
+    * members table is written LAST, so its `_SUCCESS` marker implies a
+    * complete index.
+    */
+  def saveSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        nClusters: Int, assignProbes: Int, path: String,
+                        seed: Long = 42L): Unit = {
+    require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    val (index, members) = Similarity.ivfIndexAndMembers(corpus, idCol,
+      vecCol, nClusters, probes = assignProbes, seed = seed)
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    index.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/centroids")
+    members.write.mode("overwrite").parquet(path + "/members")
+  }
+
+  /** [[incrementalPairs]] over the persisted tables — the increment's
+    * entry point. By construction this path CANNOT train or score the
+    * corpus: it reads the stored centroid matrix (nClusters driver rows,
+    * validated like [[Similarity.loadIvfIndex]]) and the stored
+    * memberships; only the BATCH is assigned in-plan. The batch's probe
+    * count is fixed at build time on the corpus side; `assignProbes`
+    * here governs the batch side and should match the build for the
+    * documented recall.
+    */
+  def incrementalPairsFromIndex(centroidsDf: DataFrame, membersDf: DataFrame,
+                                batch: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                assignProbes: Int = 2): DataFrame = {
+    require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    val mCols = membersDf.columns.toSet
+    require(Set("vid", "v", "nrm", "cluster").subsetOf(mCols),
+      s"semantic members table needs (vid, v, nrm, cluster), got " +
+        mCols.mkString(","))
+    // reuse loadIvfIndex's centroid validation by presenting the members
+    // table in its vectors shape (cluster ≙ centroid)
+    val index = Similarity.loadIvfIndex(centroidsDf,
+      membersDf.select(col("vid"), col("v"), col("nrm"),
+        col("cluster").as("centroid")))
+    crossPairs(
+      Similarity.clusterAssignments(index, batch, idCol, vecCol, assignProbes),
+      membersDf, threshold)
+  }
+
+  /** Shared verify core: batch memberships × corpus memberships on the
+    * cluster id, exact cosine, threshold, self-pair guard, overlap dedup.
+    */
+  private def crossPairs(batchMembers: DataFrame, corpusMembers: DataFrame,
+                         threshold: Double): DataFrame = {
     val corpusM = corpusMembers
       .select(col("cluster"), col("vid").as("_sd_cid"), col("v").as("_sd_cv"))
-    val batchM = Similarity.clusterAssignments(index, batch, idCol, vecCol,
-      assignProbes)
+    val batchM = batchMembers
       .select(col("cluster"), col("vid").as("_sd_bid"), col("v").as("_sd_bv"))
     batchM.join(corpusM, Seq("cluster"))
       .filter(col("_sd_bid") =!= col("_sd_cid"))

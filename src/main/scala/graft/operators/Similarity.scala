@@ -593,6 +593,11 @@ object Similarity {
         ivfScored(index, anchors, idCol, vecCol, nProbe)
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
+      case NegativesFromIndex(centroidsDf, vectorsDf, nProbe) =>
+        ivfScored(loadIvfIndex(centroidsDf, vectorsDf), anchors, idCol,
+          vecCol, nProbe)
+          .select(col("qid").as("anchor"), col("vid"),
+            col("cosine").as("_cp_cos"))
     }
     val neg = scored
       // null cosine = zero-norm vector (see d5 note): excluded, as is
@@ -620,9 +625,25 @@ case object NegativesBruteForce extends NegativeMining
   * scans only its `nProbe` nearest of `nCentroids` buckets — the scale
   * shape for large anchor sets, with [[Similarity.ivfTopK]]'s recall
   * characteristics.
+  *
+  * COST MODEL: the index trains IN-QUERY. That is the intended cost when
+  * pair mining is what it usually is — a one-shot assembly job per corpus
+  * snapshot, where the single build amortizes across every anchor of the
+  * job and persisting it would only add I/O. A mining loop that re-runs
+  * against a stable corpus should build once ([[Similarity.saveIvfIndex]])
+  * and mine with [[NegativesFromIndex]], which cannot train by
+  * construction.
   */
 final case class NegativesIvf(nCentroids: Int, nProbe: Int,
                               seed: Long = 42L) extends NegativeMining
+
+/** Probe a PERSISTED IVF index (the [[Similarity.saveIvfIndex]] layout):
+  * the repeated-mining form of [[NegativesIvf]] — reads the stored
+  * centroid matrix and assignments, trains nothing.
+  */
+final case class NegativesFromIndex(centroidsDf: DataFrame,
+                                    vectorsDf: DataFrame,
+                                    nProbe: Int) extends NegativeMining
 
 /** Vectors tagged with their centroid partition + the centroid matrix. */
 final case class IvfIndex(vectors: DataFrame, centroids: Array[Array[Double]])

@@ -91,12 +91,22 @@ object RetrievalQueries {
     // the embedding grain), self-verifying like semd1: the emitted
     // surface is every exact batch×corpus pair ≥0.9 (brute-force in-plan,
     // batch broadcast — the sim1 posture) with the boolean "the
-    // cell-local incremental path found it"
+    // cell-local incremental path found it". The corpus index build
+    // (k-means + membership shuffle — O(corpus)) is ingest-time state,
+    // compute-if-absent like dc2/sim4: repeated runs time the INCREMENT
+    // riding the persisted centroids/members tables (members/ is written
+    // last, so its _SUCCESS marker implies a complete index).
     "semd2_incremental_semantic" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val batch = nearDupCopies(emb)
-      val inc = SemanticDedup.incrementalPairs(emb, batch, "vec_id",
-        "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
+      val base = QueryUtil.scopedTmp(s, d, "semd2-index")
+      val done = new org.apache.hadoop.fs.Path(base + "/members/_SUCCESS")
+      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+        SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
+          nClusters = 16, assignProbes = 2, base)
+      val inc = SemanticDedup.incrementalPairsFromIndex(
+        s.read.parquet(base + "/centroids"), s.read.parquet(base + "/members"),
+        batch, "vec_id", "embedding", threshold = 0.9, assignProbes = 2)
       val b = batch.select(col("vec_id").as("new_id"),
         Similarity.toDouble(col("embedding")).as("_bv"))
       val exact = emb

@@ -26,14 +26,15 @@ import graft.core.TableStore
   */
 object EventStreams {
 
-  /** Harness `events` schema as stored. Current datasets ship `ts` as
+  /** Harness `events` schema as stored by the CURRENT generation: `ts` as
     * native µs timestamps (`timestamp[us]`, no UTC adjustment →
-    * TIMESTAMP_NTZ). NOTE: the STREAMING path supports only this current
-    * µs generation — `readStream.schema` with TimestampNTZType cannot read
-    * the legacy ns-annotated parquet (the vectorized reader refuses
-    * TIMESTAMP(NANOS)→TIMESTAMP_NTZ), so [[normalize]]'s LongType branch
-    * is reachable only from the BATCH path, where schema inference yields
-    * LONG under `nanosAsLong` for legacy files.
+    * TIMESTAMP_NTZ). Legacy datasets annotated `ts` as TIMESTAMP(NANOS),
+    * which Spark surfaces as LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and which
+    * `readStream.schema` with TimestampNTZType CANNOT read (the
+    * vectorized reader refuses TIMESTAMP(NANOS)→TIMESTAMP_NTZ). The
+    * streaming entry points therefore probe the actual files first
+    * ([[probeEventsSchema]]) instead of assuming this constant.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -42,6 +43,27 @@ object EventStreams {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** [[eventsRawSchema]] with the `ts` type the files ACTUALLY carry —
+    * one driver-side batch inference (a single parquet footer read)
+    * before the stream starts, so both dataset generations stream:
+    * legacy ns files probe to LONG (under the session's `nanosAsLong`),
+    * current files to TIMESTAMP_NTZ, and [[normalize]] converges both to
+    * µs TIMESTAMP. Falls back to [[eventsRawSchema]] when the source dir
+    * has no files yet (nothing to probe — the first micro-batch of a
+    * brand-new landing zone; files of BOTH generations arriving later
+    * into one dir is not a supported layout, matching the batch path).
+    */
+  def probeEventsSchema(spark: SparkSession, sourceDir: String): StructType = {
+    val probed =
+      try Some(spark.read.parquet(sourceDir).schema("ts").dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    probed match {
+      case Some(t) => StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = t) else f))
+      case None => eventsRawSchema
+    }
+  }
 
   /** Timestamp normalization shared by batch and streaming paths: LONG
     * (legacy ns) → µs timestamp; anything else is cast to TIMESTAMP —
@@ -211,7 +233,8 @@ object EventStreams {
 
     def start(): org.apache.spark.sql.streaming.StreamingQuery = {
       val src = normalize(
-        spark.readStream.schema(eventsRawSchema).parquet(sourceDir))
+        spark.readStream.schema(probeEventsSchema(spark, sourceDir))
+          .parquet(sourceDir))
       val deduped = src
         .withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCol)

@@ -65,6 +65,45 @@ class SemanticDedupSpec extends SparkSpec {
     assert(inc.subsetOf(planted), s"extra pairs: ${inc -- planted}")
   }
 
+  test("persisted-index increment is frame-identical to the in-query form") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val batch = graft.queries.QueryUtil.nearDupCopies(emb)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semd-index").toString
+    SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
+      nClusters = 16, assignProbes = 2, dir)
+    val fromIndex = SemanticDedup.incrementalPairsFromIndex(
+      spark.read.parquet(dir + "/centroids"),
+      spark.read.parquet(dir + "/members"),
+      batch, "vec_id", "embedding", threshold = 0.9, assignProbes = 2)
+    val inQuery = SemanticDedup.incrementalPairs(emb, batch, "vec_id",
+      "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)
+    assert(fromIndex.exceptAll(inQuery).isEmpty &&
+      inQuery.exceptAll(fromIndex).isEmpty,
+      "stored-index increment must equal the train-in-query result")
+  }
+
+  test("NegativesFromIndex mines the same negatives as in-query NegativesIvf") {
+    val anchors = universe.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ctr-index").toString
+    // same corpus, same seed → the persisted index IS the in-query one
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(universe, "vec_id", "embedding", nCentroids = 16),
+      dir)
+    def neg(via: NegativeMining) =
+      Similarity.contrastivePairs(universe, "vec_id", "embedding", anchors,
+        k = 5, threshold = 0.9, dim = 64, negativesVia = via)
+        .filter($"pair_type" === "negative")
+    val a = neg(NegativesIvf(nCentroids = 16, nProbe = 12))
+    val b = neg(NegativesFromIndex(
+      spark.read.parquet(dir + "/centroids"),
+      spark.read.parquet(dir + "/vectors"), nProbe = 12))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "persisted-index mining must equal train-in-query mining")
+  }
+
   test("two runs produce identical output (seeded determinism)") {
     def run() = SemanticDedup.semanticDupPairs(universe, "vec_id",
       "embedding", nClusters = 16, threshold = 0.9, assignProbes = 2)

@@ -169,6 +169,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("both ts generations stream through the probed schema + normalize") {
+    // Current generation: native µs NTZ — probe must return NTZ.
+    val cur = EventStreams.probeEventsSchema(spark, s"$sf/events.parquet")
+    assert(cur("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+
+    // Legacy generation: TIMESTAMP(NANOS) files surface as LONG under the
+    // session's nanosAsLong flag — Spark cannot WRITE ns timestamps, so
+    // the fixture stores the ns count as a plain LONG column, which reads
+    // through the exact same probed-LONG + normalize path.
+    val legacyDir = Files.createTempDirectory("graft-legacy-src")
+    batchEvents
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .coalesce(1).write.mode("overwrite").parquet(legacyDir.toString)
+    val legacy = EventStreams.probeEventsSchema(spark, legacyDir.toString)
+    assert(legacy("ts").dataType == org.apache.spark.sql.types.LongType)
+
+    val config = PipelineConfig(catalog =
+      "lg" + java.util.UUID.randomUUID().toString.replace("-", "").take(8))
+    val store = new TableStore(spark, config)
+    try {
+      val ckpt = Files.createTempDirectory("graft-legacy-ckpt").toString
+      new EventStreams.StreamingFactIngest(spark, store, legacyDir.toString,
+        keyCol = "event_id", tsCol = "ts", checkpointDir = ckpt,
+        watermark = "100 days").start().awaitTermination()
+      val got = store.load("fact", "events")
+      // normalized to µs TIMESTAMP, value-equal to the current generation
+      assert(got.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val want = batchEvents.select($"event_id", $"ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      val streamed = got.select($"event_id", $"ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      assert(streamed == want)
+    } finally store.dropAll()
+
+    // empty landing zone: probe falls back to the current-generation schema
+    val empty = Files.createTempDirectory("graft-empty-src")
+    assert(EventStreams.probeEventsSchema(spark, empty.toString) ==
+      EventStreams.eventsRawSchema)
+  }
+
   test("streaming fact ingest dedups duplicate keys exactly-once") {
     val dir = Files.createTempDirectory("graft-stream-src")
     // the same file twice → every key duplicated across micro-batch input
