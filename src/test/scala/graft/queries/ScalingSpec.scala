@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** CI assertion form of [[ScalingAudit]]: the families with a history of
+  * (or structural risk for) superlinear growth must stay ~linear between
+  * sf0.01 and sf0.1. Bounds are calibrated per TABLE FAMILY because the
+  * SFs scale the tables differently — documents/orders grow 10× (a
+  * quadratic there shows 50-90×: dc2 pre-fix, the exact pair join's
+  * 89×) but embeddings grow only 4× (500 → 2000 rows — the quadratic
+  * reference `sim5` measures 6.9-8.6× under fixed overhead). Measured
+  * r10 ratios for everything asserted here: 0.9-1.6×, so the bounds
+  * (4× embedding-family, 10× document-family) carry 2.5-6× headroom
+  * while sitting well under their family's quadratic signature. sim5
+  * and up1 are deliberately EXCLUDED: both are exact-by-contract
+  * companions whose documented cost IS superlinear (their scale twins
+  * sim5b / up2 are in the list).
+  */
+class ScalingSpec extends SparkSpec {
+
+  // (query, bound): 4× for embedding-grain entries, 10× for
+  // document/text-grain entries — see the calibration note above
+  private val risky = Seq(
+    "dc2_incremental_clusters" -> 10.0, // r8's 14 s regression
+    "il1_incremental_lsh" -> 10.0, // increment vs stored MinHash index
+    "fz1_fuzzy_match" -> 10.0, // prefix-blocked, not cross join
+    "semd2_incremental_semantic" -> 4.0, // r10: rides the persisted index
+    "d5b_banded_near_dup" -> 4.0, // banded prefilter must not degenerate
+    "sim5b_knn_graph_approx" -> 4.0) // centroid equi-join, not all-pairs
+
+  test("known-linear families stay under their family's growth bound") {
+    val rows = ScalingAudit.sweep(spark, risky.map(_._1),
+      "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val bounds = risky.toMap
+    val bad = rows.filter(m => m.suspect(bounds(m.name)))
+    assert(bad.isEmpty, "suspected superlinear paths:\n" + bad.map(m =>
+      f"  ${m.name}: ${m.lo}%.3f s -> ${m.hi}%.3f s (${m.ratio}%.1fx, " +
+        f"bound ${bounds(m.name)}%.0fx)").mkString("\n"))
+  }
+}
