@@ -289,7 +289,12 @@ object DataPipelineQueries {
     // fixed data; re-measured by KnnGraphApproxSpec): mean recall@3 at
     // nProbe=8/16 is 0.82-0.85 across sf0.001/0.01/0.1; asserted floor
     // 0.7, while broken bucket routing collapses to the by-chance
-    // nProbe/C = 0.5.
+    // nProbe/C = 0.5. COST MODEL (the ctr2 position): a k-NN graph
+    // build is a one-shot job per corpus snapshot — the in-query index
+    // build amortizes across ALL n nodes of that job (unlike sim4's
+    // repeated-query regime, where the index persists and increments
+    // ride it); a loop re-deriving the graph against a stable corpus
+    // would load the sim4-layout tables instead.
     "sim5b_knn_graph_approx" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",

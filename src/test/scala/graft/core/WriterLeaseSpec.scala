@@ -55,6 +55,26 @@ class WriterLeaseSpec extends SparkSpec {
     assert(store.load("dim", "t").filter($"v" === 99L).count() == 2)
   }
 
+  test("a lease lost mid-operation fails loudly at release") {
+    val name = s"lease_lost_${System.nanoTime()}"
+    val ex = intercept[IllegalStateException] {
+      WriterLease.withLock(spark, name, leaseMs = 200L, waitMs = 0L) {
+        // simulate expiry mid-operation: age the marker past the lease and
+        // let a contender steal it (and finish, clearing the marker)
+        val path = WriterLease.lockPath(spark, name)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.setTimes(path, System.currentTimeMillis() - 1000L, -1)
+        val thief = new Thread(() =>
+          WriterLease.withLock(spark, name, leaseMs = 200L,
+            waitMs = 10000L)(()))
+        thief.start(); thief.join(30000)
+        assert(!thief.isAlive)
+      }
+    }
+    assert(ex.getMessage.contains("lost"),
+      s"release after a stolen lease must fail loudly, got: ${ex.getMessage}")
+  }
+
   test("a stale lease is stolen; a live one times out") {
     val name = s"lease_unit_${System.nanoTime()}"
     val path = WriterLease.lockPath(spark, name)
