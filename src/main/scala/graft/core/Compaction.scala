@@ -212,7 +212,23 @@ object Compaction {
     */
   def compactPartitions(spark: SparkSession, fqn: String,
                         partitionPredicate: String, targetRows: Long,
-                        afterStage: () => Unit = () => ()): (Int, Int) = {
+                        afterStage: () => Unit = () => (),
+                        serializeWriters: Boolean = false): (Int, Int) =
+    if (serializeWriters)
+      // same per-table marker as compactTable/upsert: the lock is
+      // table-coarse (not per-partition) — partition-disjoint compactions
+      // COULD run concurrently, but the shared __compact staging table
+      // name serializes them anyway, so the coarse lease loses nothing
+      WriterLease.withLock(spark, fqn)(
+        compactPartitionsImpl(spark, fqn, partitionPredicate, targetRows,
+          afterStage))
+    else compactPartitionsImpl(spark, fqn, partitionPredicate, targetRows,
+      afterStage)
+
+  private def compactPartitionsImpl(spark: SparkSession, fqn: String,
+                                    partitionPredicate: String,
+                                    targetRows: Long,
+                                    afterStage: () => Unit): (Int, Int) = {
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
     val tmp = s"${fqn}__compact"
     val (qFqn, qTmp) = (quoted(fqn), quoted(tmp))

@@ -55,6 +55,29 @@ class WriterLeaseSpec extends SparkSpec {
     assert(store.load("dim", "t").filter($"v" === 99L).count() == 2)
   }
 
+  test("two partition compactions with serializeWriters both complete") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"leasep_${System.nanoTime()}"))
+    store.savePartitioned(spark.range(40)
+      .select($"id", ($"id" * 10).as("v"), ($"id" % 2).as("p"))
+      .repartition(8), "fact", "t", Seq("p"))
+    val fqn = store.fqn("fact", "t")
+    // disjoint slices, but both stage into the shared __compact name —
+    // unserialized they can clobber each other's stage; leased they queue
+    def compactor(pred: String): Thread = {
+      val t = new Thread(() => Compaction.compactPartitions(spark, fqn,
+        pred, targetRows = 100, afterStage = () => Thread.sleep(300),
+        serializeWriters = true))
+      t.start(); t
+    }
+    val (c0, c1) = (compactor("p = 0"), compactor("p = 1"))
+    c0.join(120000); c1.join(120000)
+    assert(!c0.isAlive && !c1.isAlive, "both compactions must finish")
+    assert(store.load("fact", "t").count() == 40)
+    assert(spark.table(fqn).inputFiles.count(_.contains("p=0")) == 1)
+    assert(spark.table(fqn).inputFiles.count(_.contains("p=1")) == 1)
+  }
+
   test("a lease lost mid-operation fails loudly at release") {
     val name = s"lease_lost_${System.nanoTime()}"
     val ex = intercept[IllegalStateException] {
