@@ -9,8 +9,7 @@ import org.apache.spark.sql.SparkSession
   * with the lease, cooperating batch writers queue on a marker file and
   * all complete.
   *
-  * Mechanics (portable to any Hadoop FileSystem — no rename-into-place or
-  * append tricks, just create-if-absent and delete):
+  * Mechanics:
   *  - The lock is ONE marker file under `<warehouse>/_locks/<name>.lock`,
   *    holding the holder's random token. Acquisition is
   *    `create(overwrite = false)` — atomic arbitration on HDFS-like
@@ -26,6 +25,19 @@ import org.apache.spark.sql.SparkSession
   *    another writer took over — release then throws, because mutual
   *    exclusion was already violated and the table needs a look; size
   *    `leaseMs` well above the longest expected mutation.
+  *
+  * FILESYSTEM CONTRACT: correctness of the arbitration rests on atomic
+  * `create(overwrite=false)` and atomic `rename` — true on HDFS-like
+  * stores (HDFS, local FS within one JVM via the process monitor). On
+  * object stores whose Hadoop connector emulates these (S3A: check-then-
+  * put create, copy+delete rename) two contenders can both "win"; there,
+  * use a real coordination service or a transaction-log table format
+  * instead — this lease does not pretend to close that gap. Known
+  * residual window even on conforming stores: release's token-check and
+  * delete are two calls, so a lease that expires in the instant between
+  * them can delete a thief's fresh marker instead of throwing; `leaseMs`
+  * far above the operation duration is the actual safety margin, the
+  * loud-failure release is the backstop for gross overruns.
   *
   * This is an ADVISORY lock for cooperating writers (all participants
   * must opt in); the detect-and-abort guards stay on regardless, so a
@@ -80,11 +92,21 @@ object WriterLease {
 
   private def tryAcquire(fs: FileSystem, path: Path,
                          token: String): Boolean = jvmGate.synchronized {
+    var created = false
     try {
       val out = fs.create(path, false)
+      created = true
       try out.write(token.getBytes("UTF-8")) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: java.io.IOException =>
+        // if WE created the marker but failed to stamp the token, remove
+        // it (best-effort) — an orphaned tokenless marker would block
+        // every writer until the lease expires
+        if (created) try fs.delete(path, false)
+        catch { case _: java.io.IOException => () }
+        false
+    }
   }
 
   private def stealIfStale(fs: FileSystem, path: Path, leaseMs: Long,

@@ -124,6 +124,13 @@ object SemanticDedup {
       vecCol, nClusters, probes = assignProbes, seed = seed)
     val sp = corpus.sparkSession
     import sp.implicits._
+    // REBUILD ordering: the completeness marker must be invalidated FIRST
+    // — overwriting centroids while a PRIOR build's members/_SUCCESS
+    // survives would let a crash-between-writes leave a marker-valid
+    // index whose two tables come from different builds.
+    val membersPath = new org.apache.hadoop.fs.Path(path + "/members")
+    val fs = membersPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(membersPath)) fs.delete(membersPath, true)
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("centroid_id", "centroid")

@@ -499,6 +499,13 @@ object Similarity {
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     val sp = index.vectors.sparkSession
     import sp.implicits._
+    // REBUILD ordering: invalidate the completeness marker (vectors/,
+    // written last) BEFORE overwriting centroids — else a crash between
+    // the two writes leaves a prior build's vectors/_SUCCESS validating
+    // an index whose tables come from different builds.
+    val vectorsPath = new org.apache.hadoop.fs.Path(path + "/vectors")
+    val fs = vectorsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(vectorsPath)) fs.delete(vectorsPath, true)
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("centroid_id", "centroid")

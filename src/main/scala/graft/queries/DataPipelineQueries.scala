@@ -159,14 +159,16 @@ object DataPipelineQueries {
       val base = QueryUtil.scopedTmp(s, d, "dc2-state")
       val done = new org.apache.hadoop.fs.Path(base + "/clusters/_SUCCESS")
       val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done)) {
-        TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
-          .write.mode("overwrite").parquet(base + "/sigs")
-        TextDedup.shingleSets(corpus, "doc_id", "text", 5)
-          .write.mode("overwrite").parquet(base + "/sets")
-        graft.operators.DedupClusters.canonicalize(
-          TextDedup.jaccardPairs(corpus, "doc_id", "text"), "doc_a", "doc_b")
-          .write.mode("overwrite").parquet(base + "/clusters")
+      QueryUtil.stateBuildGate.synchronized {
+        if (!fs.exists(done)) {
+          TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
+            .write.mode("overwrite").parquet(base + "/sigs")
+          TextDedup.shingleSets(corpus, "doc_id", "text", 5)
+            .write.mode("overwrite").parquet(base + "/sets")
+          graft.operators.DedupClusters.canonicalize(
+            TextDedup.jaccardPairs(corpus, "doc_id", "text"), "doc_a", "doc_b")
+            .write.mode("overwrite").parquet(base + "/clusters")
+        }
       }
       val newPairs = TextDedup.crossLshPairsFromIndex(
         s.read.parquet(base + "/sigs"), s.read.parquet(base + "/sets"),
@@ -322,10 +324,12 @@ object DataPipelineQueries {
       // the vectors/ marker implies a complete index.
       val base = QueryUtil.scopedTmp(s, d, "sim4-index")
       val done = new org.apache.hadoop.fs.Path(base + "/vectors/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-        Similarity.saveIvfIndex(
-          Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16),
-          base)
+      QueryUtil.stateBuildGate.synchronized {
+        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+          Similarity.saveIvfIndex(
+            Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16),
+            base)
+      }
       val ivf = Similarity.ivfTopKFromIndex(
         s.read.parquet(base + "/centroids"), s.read.parquet(base + "/vectors"),
         qs, "vec_id", "embedding", k = 5, nProbe = 12)
@@ -472,11 +476,13 @@ object DataPipelineQueries {
       // presence implies sigs/ is complete.
       val base = QueryUtil.scopedTmp(s, d, "mh1-index")
       val done = new org.apache.hadoop.fs.Path(base + "/sets/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
-        TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
-          .write.mode("overwrite").parquet(base + "/sigs")
-        TextDedup.shingleSets(corpus, "doc_id", "text", 5)
-          .write.mode("overwrite").parquet(base + "/sets")
+      QueryUtil.stateBuildGate.synchronized {
+        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+          TextDedup.minHashSignatures(corpus, "doc_id", "text", 5, 32)
+            .write.mode("overwrite").parquet(base + "/sigs")
+          TextDedup.shingleSets(corpus, "doc_id", "text", 5)
+            .write.mode("overwrite").parquet(base + "/sets")
+        }
       }
       TextDedup.crossLshPairsFromIndex(
         s.read.parquet(base + "/sigs"), s.read.parquet(base + "/sets"),

@@ -79,6 +79,11 @@ object FlagshipQueries {
       // JVM would otherwise both see a stale memo and collide mid-build
       // on the shared `verifybk` tables. The lock only guards the
       // once-per-(JVM, dataset) layout build, never the join below.
+      // Residual contract: a rebuild for a DIFFERENT dataset while
+      // another thread's returned frame still scans these tables is
+      // inherently unsafe (shared mutable layout) — interleaved-SF runs
+      // must not overlap execution, which the harness's sequential
+      // query protocol guarantees.
       bk1Built.synchronized {
         if (bk1Built.get() != d) {
           store.drop("dim", "cust_b"); store.drop("fact", "orders_b")

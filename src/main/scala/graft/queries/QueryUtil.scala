@@ -64,6 +64,17 @@ object QueryUtil {
     * runs against the same dataset (e.g. driver verify racing a local
     * bench) from clobbering each other's overwrite.
     */
+  /** JVM-wide gate serializing compute-if-absent STATE BUILDS (the
+    * marker check-then-write in dc2/mh1/sim4/zo2/semd2): two concurrent
+    * executions of one entry in the same JVM would otherwise both see
+    * the marker absent and overwrite each other's staging mid-write
+    * (the bk1/m8 memo race, path-marker form). Coarse by design — a
+    * build runs once per (dataset, app) and the gate never wraps the
+    * timed query itself; cross-JVM runs are already isolated by
+    * [[scopedTmp]]'s application-id suffix.
+    */
+  val stateBuildGate = new Object
+
   def scopedTmp(spark: SparkSession, dir: String, tag: String): String =
     System.getProperty("java.io.tmpdir") + s"/graft-$tag-" +
       dir.replaceAll("[^a-z0-9.]", "_") + "-" + spark.sparkContext.applicationId

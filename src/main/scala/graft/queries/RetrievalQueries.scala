@@ -101,9 +101,11 @@ object RetrievalQueries {
       val batch = nearDupCopies(emb)
       val base = QueryUtil.scopedTmp(s, d, "semd2-index")
       val done = new org.apache.hadoop.fs.Path(base + "/members/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-        SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
-          nClusters = 16, assignProbes = 2, base)
+      QueryUtil.stateBuildGate.synchronized {
+        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+          SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
+            nClusters = 16, assignProbes = 2, base)
+      }
       val inc = SemanticDedup.incrementalPairsFromIndex(
         s.read.parquet(base + "/centroids"), s.read.parquet(base + "/members"),
         batch, "vec_id", "embedding", threshold = 0.9, assignProbes = 2)

@@ -181,7 +181,10 @@ object SemanticQueries {
     * already-published star. Interleaved SF runs rebuild on switch; a
     * fresh JVM always rebuilds (prior-JVM managed-table state is never
     * trusted). Synchronized: concurrent first calls would collide
-    * mid-publish on the shared m8_star schema.
+    * mid-publish on the shared m8_star schema. Residual contract (as
+    * with bk1): a rebuild for a DIFFERENT dataset while another
+    * thread's frame still scans the star is unsafe — interleaved-SF
+    * runs must not overlap execution (the harness is sequential).
     */
   private val m8StarBuilt =
     new java.util.concurrent.atomic.AtomicReference[String]()

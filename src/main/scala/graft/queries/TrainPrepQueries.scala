@@ -277,10 +277,12 @@ object TrainPrepQueries {
       val df = table(s, d, "lineitem")
         .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
       val done = new org.apache.hadoop.fs.Path(s"$base/flat/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
-        ZOrder.cluster(df, "x", "y", numFiles = 16)
-          .write.mode("overwrite").parquet(s"$base/z")
-        df.repartition(16).write.mode("overwrite").parquet(s"$base/flat")
+      QueryUtil.stateBuildGate.synchronized {
+        if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+          ZOrder.cluster(df, "x", "y", numFiles = 16)
+            .write.mode("overwrite").parquet(s"$base/z")
+          df.repartition(16).write.mode("overwrite").parquet(s"$base/flat")
+        }
       }
       val zStats = ZOrder.fileStats(s, s"$base/z", "x", "y")
       val flatStats = ZOrder.fileStats(s, s"$base/flat", "x", "y")

@@ -49,19 +49,24 @@ object EventStreams {
     * before the stream starts, so both dataset generations stream:
     * legacy ns files probe to LONG (under the session's `nanosAsLong`),
     * current files to TIMESTAMP_NTZ, and [[normalize]] converges both to
-    * µs TIMESTAMP. Falls back to [[eventsRawSchema]] when the source dir
-    * has no files yet (nothing to probe — the first micro-batch of a
-    * brand-new landing zone; files of BOTH generations arriving later
-    * into one dir is not a supported layout, matching the batch path).
+    * µs TIMESTAMP. When the source dir has no files yet (nothing to
+    * probe — a brand-new landing zone) the fallback is `emptyDirSchema`,
+    * default [[eventsRawSchema]]: a LEGACY-generation pipeline whose
+    * zone may be empty at stream start must pass its ns-shaped schema
+    * here explicitly (the probe cannot know the generation of files
+    * that don't exist). Files of BOTH generations in one dir is not a
+    * supported layout, matching the batch path.
     */
-  def probeEventsSchema(spark: SparkSession, sourceDir: String): StructType = {
+  def probeEventsSchema(spark: SparkSession, sourceDir: String,
+                        emptyDirSchema: StructType = eventsRawSchema)
+      : StructType = {
     val probed =
       try Some(spark.read.parquet(sourceDir).schema("ts").dataType)
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     probed match {
       case Some(t) => StructType(eventsRawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = t) else f))
-      case None => eventsRawSchema
+      case None => emptyDirSchema
     }
   }
 

@@ -73,6 +73,11 @@ class SemanticDedupSpec extends SparkSpec {
       .createTempDirectory("graft-semd-index").toString
     SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
       nClusters = 16, assignProbes = 2, dir)
+    // REBUILD over an existing index must converge too (the marker is
+    // invalidated before centroids are overwritten — a crash between the
+    // writes can no longer leave a marker-valid mixed-build index)
+    SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
+      nClusters = 16, assignProbes = 2, dir)
     val fromIndex = SemanticDedup.incrementalPairsFromIndex(
       spark.read.parquet(dir + "/centroids"),
       spark.read.parquet(dir + "/members"),

@@ -10,23 +10,25 @@ import graft.SparkSpec
   * 89×) but embeddings grow only 4× (500 → 2000 rows — the quadratic
   * reference `sim5` measures 6.9-8.6× under fixed overhead). Measured
   * r10 ratios for everything asserted here: 0.9-1.6×, so the bounds
-  * (4× embedding-family, 10× document-family) carry 2.5-6× headroom
-  * while sitting well under their family's quadratic signature. sim5
-  * and up1 are deliberately EXCLUDED: both are exact-by-contract
-  * companions whose documented cost IS superlinear (their scale twins
-  * sim5b / up2 are in the list).
+  * (5× embedding-family, 10× document-family) carry 3-6× headroom
+  * while sitting under their family's quadratic signature — wide enough
+  * that one slow rep on a loaded CI host (min-of-2 strips only one)
+  * doesn't flake the suite. sim5 and up1 are deliberately EXCLUDED:
+  * both are exact-by-contract companions whose documented cost IS
+  * superlinear (their scale twins sim5b / up2 are asserted here).
   */
 class ScalingSpec extends SparkSpec {
 
-  // (query, bound): 4× for embedding-grain entries, 10× for
-  // document/text-grain entries — see the calibration note above
+  // (query, bound): 5× for embedding-grain entries, 10× for
+  // document/orders-grain entries — see the calibration note above
   private val risky = Seq(
     "dc2_incremental_clusters" -> 10.0, // r8's 14 s regression
     "il1_incremental_lsh" -> 10.0, // increment vs stored MinHash index
     "fz1_fuzzy_match" -> 10.0, // prefix-blocked, not cross join
-    "semd2_incremental_semantic" -> 4.0, // r10: rides the persisted index
-    "d5b_banded_near_dup" -> 4.0, // banded prefilter must not degenerate
-    "sim5b_knn_graph_approx" -> 4.0) // centroid equi-join, not all-pairs
+    "up2_upsert_partitioned" -> 10.0, // touched partitions only, not O(table)
+    "semd2_incremental_semantic" -> 5.0, // r10: rides the persisted index
+    "d5b_banded_near_dup" -> 5.0, // banded prefilter must not degenerate
+    "sim5b_knn_graph_approx" -> 5.0) // centroid equi-join, not all-pairs
 
   test("known-linear families stay under their family's growth bound") {
     val rows = ScalingAudit.sweep(spark, risky.map(_._1),
