@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   * rendered compactly (ms precision), and if the full per-query map would
   * overflow the tail buffer the FASTEST queries are dropped first
   * (`"dropped":N` records how many) — the slow ones are the signal.
+  * The COMPLETE map is additionally written to `bench_full.json`
+  * (override via SPARK_GRAFT_BENCH_FULL) so nothing is lost to the drop
+  * rule and round-over-round comparison can cover every query.
   */
 object Bench {
 
@@ -33,6 +36,20 @@ object Bench {
       val p = if (v < 10) "%.3f" else if (v < 100) "%.2f" else "%.1f"
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
+
+  /** Render the COMPLETE per-query map as JSON — no length cap, nothing
+    * dropped. Written to a repo artifact (`bench_full.json`) every run so
+    * round-over-round comparison covers every query: the stdout line's
+    * drop rule keeps only the ~68 slowest, and a regression in a fast
+    * query is invisible there until it gets slow enough to be reported.
+    */
+  def renderFull(results: Seq[(String, Double)], sf: String,
+                 extra: String = ""): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sf"}"""
+  }
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
     * dropping the fastest queries from the map (total always reflects all).
@@ -84,11 +101,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // NonFatal only: a query failure becomes the never-dropped -1 marker
+    // (with the cause on stderr, which the harness doesn't parse); an OOM
+    // or interrupt propagates rather than silently zeroing one entry.
     def materialize(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name @ $dir FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -124,6 +148,18 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]"""
     val out = renderLine(results, sfName, extra = extra)
+    // Full-map artifact: every query's timing survives even though the
+    // stdout line drops the fastest entries to fit the harness tail
+    // buffer. Best-effort — the stdout contract must not break if the
+    // cwd is read-only.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullPath),
+      renderFull(results, sfName, extra = extra) + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] full-map artifact write failed: $e")
+    }
     spark.stop()
     println(out) // LAST line of output — the harness parses exactly this
   }

@@ -99,13 +99,15 @@ object Compaction {
     *
     * `serializeWriters = true` takes the per-table [[WriterLease]] (the
     * same marker upsert contends on) for the stage+swap, so a cooperating
-    * upsert or second compaction queues instead of tripping the guard.
+    * upsert or second compaction queues instead of tripping the guard;
+    * `lease` tunes the 60 s default queue bound for slow compactions.
     */
   def compactTable(spark: SparkSession, fqn: String, targetRows: Long,
                    beforeSwap: () => Unit = () => (),
-                   serializeWriters: Boolean = false): (Int, Int) =
+                   serializeWriters: Boolean = false,
+                   lease: WriterLease.Lease = WriterLease.Lease()): (Int, Int) =
     if (serializeWriters)
-      WriterLease.withLock(spark, fqn)(
+      WriterLease.withLock(spark, fqn, lease)(
         compactTableImpl(spark, fqn, targetRows, beforeSwap))
     else compactTableImpl(spark, fqn, targetRows, beforeSwap)
 
@@ -213,13 +215,14 @@ object Compaction {
   def compactPartitions(spark: SparkSession, fqn: String,
                         partitionPredicate: String, targetRows: Long,
                         afterStage: () => Unit = () => (),
-                        serializeWriters: Boolean = false): (Int, Int) =
+                        serializeWriters: Boolean = false,
+                        lease: WriterLease.Lease = WriterLease.Lease()): (Int, Int) =
     if (serializeWriters)
       // same per-table marker as compactTable/upsert: the lock is
       // table-coarse (not per-partition) — partition-disjoint compactions
       // COULD run concurrently, but the shared __compact staging table
       // name serializes them anyway, so the coarse lease loses nothing
-      WriterLease.withLock(spark, fqn)(
+      WriterLease.withLock(spark, fqn, lease)(
         compactPartitionsImpl(spark, fqn, partitionPredicate, targetRows,
           afterStage))
     else compactPartitionsImpl(spark, fqn, partitionPredicate, targetRows,

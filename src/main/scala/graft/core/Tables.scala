@@ -215,15 +215,20 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * `serializeWriters = true` takes the [[WriterLease]] for the whole
     * merge+publish: cooperating concurrent batch writers QUEUE instead of
     * tripping each other's race guard (which stays on regardless — a
-    * non-cooperating writer is still detected and aborted).
+    * non-cooperating writer is still detected and aborted). `lease`
+    * tunes the queue bound: the default waits 60 s for the holder, so a
+    * writer queued behind a merge slower than that times out — raise
+    * `lease.waitMs` (and `leaseMs`, the safety margin) for slow
+    * mutations.
     */
   def upsert(df: DataFrame, layer: String, table: String,
              keyCols: Seq[String],
              beforeSwap: () => Unit = () => (),
              maxFullRewriteBytes: Long = TableStore.DefaultMaxFullRewriteBytes,
-             serializeWriters: Boolean = false): Unit =
+             serializeWriters: Boolean = false,
+             lease: WriterLease.Lease = WriterLease.Lease()): Unit =
     if (serializeWriters)
-      WriterLease.withLock(spark, fqn(layer, table))(
+      WriterLease.withLock(spark, fqn(layer, table), lease)(
         upsertImpl(df, layer, table, keyCols, beforeSwap, maxFullRewriteBytes))
     else upsertImpl(df, layer, table, keyCols, beforeSwap, maxFullRewriteBytes)
 

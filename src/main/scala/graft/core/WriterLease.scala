@@ -28,7 +28,10 @@ import org.apache.spark.sql.SparkSession
   *
   * FILESYSTEM CONTRACT: correctness of the arbitration rests on atomic
   * `create(overwrite=false)` and atomic `rename` — true on HDFS-like
-  * stores (HDFS, local FS within one JVM via the process monitor). On
+  * stores (HDFS server-side; the `file:` scheme via an O_EXCL
+  * `CREATE_NEW` NIO create, atomic across PROCESSES at the kernel — the
+  * driver-verify-racing-a-local-bench case — not just across threads of
+  * one JVM). On
   * object stores whose Hadoop connector emulates these (S3A: check-then-
   * put create, copy+delete rename) two contenders can both "win"; there,
   * use a real coordination service or a transaction-log table format
@@ -45,6 +48,16 @@ import org.apache.spark.sql.SparkSession
   */
 object WriterLease {
 
+  /** Tunables for lease-serialized writers. `leaseMs` must sit well above
+    * the longest expected mutation (it is the mutual-exclusion safety
+    * margin); `waitMs` bounds how long a queued writer polls before
+    * giving up loudly — a cooperating writer queued behind an operation
+    * longer than `waitMs` throws a timeout, so raise BOTH for slow
+    * mutations.
+    */
+  final case class Lease(leaseMs: Long = 10 * 60 * 1000L,
+                         waitMs: Long = 60 * 1000L)
+
   /** Lock marker path for a table name (warehouse-level `_locks/` dir, so
     * upsert and compaction contend on the same file per table without any
     * catalog metadata lookup).
@@ -58,6 +71,13 @@ object WriterLease {
   /** Run `f` holding the named lock. Waits up to `waitMs` (polling) for a
     * live holder to release; steals leases older than `leaseMs`.
     */
+  /** [[Lease]]-typed overload — the form the `serializeWriters` entry
+    * points ([[TableStore.upsert]], [[Compaction]]) plumb through.
+    */
+  def withLock[T](spark: SparkSession, name: String, lease: Lease)
+                 (f: => T): T =
+    withLock(spark, name, lease.leaseMs, lease.waitMs)(f)
+
   def withLock[T](spark: SparkSession, name: String,
                   leaseMs: Long = 10 * 60 * 1000L,
                   waitMs: Long = 60 * 1000L)(f: => T): T = {
@@ -81,29 +101,77 @@ object WriterLease {
     runHolding(fs, path, token, f)
   }
 
+  // If f itself threw, a release failure (lease stolen mid-operation, or
+  // marker vanished) must not REPLACE f's exception — that would hide the
+  // root cause of the aborted write. Attach it as suppressed instead; a
+  // release failure after a SUCCESSFUL f still throws (mutual exclusion
+  // was violated and the caller must know).
   private def runHolding[T](fs: FileSystem, path: Path, token: String,
-                            f: => T): T =
-    try f finally release(fs, path, token)
+                            f: => T): T = {
+    var failure: Throwable = null
+    try f
+    catch { case t: Throwable => failure = t; throw t }
+    finally {
+      try release(fs, path, token)
+      catch {
+        case r: IllegalStateException =>
+          if (failure != null) failure.addSuppressed(r) else throw r
+      }
+    }
+  }
 
   // Process-wide monitor: FileSystem.create(overwrite=false) on the LOCAL
   // fs is check-then-create, so two threads of one JVM could both win;
-  // HDFS-like stores arbitrate atomically server-side and don't need this.
+  // HDFS-like stores arbitrate atomically server-side and don't need
+  // this. The `file:` scheme doesn't go through the Hadoop create at all
+  // (see tryAcquireLocal), but the gate is kept for it too — cheap, and
+  // it keeps intra-JVM contention off the filesystem entirely.
   private val jvmGate = new Object
 
   private def tryAcquire(fs: FileSystem, path: Path,
                          token: String): Boolean = jvmGate.synchronized {
+    if (fs.getScheme == "file") tryAcquireLocal(path, token)
+    else {
+      var created = false
+      try {
+        val out = fs.create(path, false)
+        created = true
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException =>
+          // if WE created the marker but failed to stamp the token, remove
+          // it (best-effort) — an orphaned tokenless marker would block
+          // every writer until the lease expires
+          if (created) try fs.delete(path, false)
+          catch { case _: java.io.IOException => () }
+          false
+      }
+    }
+  }
+
+  // Local scheme: O_EXCL via NIO CREATE_NEW — kernel-atomic arbitration
+  // ACROSS PROCESSES (two local JVMs sharing a warehouse — e.g. a verify
+  // run racing a bench run — truly serialize, where Hadoop's
+  // RawLocalFileSystem create(overwrite=false) is check-then-create and
+  // both could "win"). Token readback/delete still go through the Hadoop
+  // FS, which reads NIO-written files fine (a missing .crc is tolerated).
+  private def tryAcquireLocal(path: Path, token: String): Boolean = {
+    val p = java.nio.file.Paths.get(path.toUri.getPath)
     var created = false
     try {
-      val out = fs.create(path, false)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val ch = java.nio.file.Files.newByteChannel(p,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       created = true
-      try out.write(token.getBytes("UTF-8")) finally out.close()
+      try ch.write(java.nio.ByteBuffer.wrap(token.getBytes("UTF-8")))
+      finally ch.close()
       true
     } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
       case _: java.io.IOException =>
-        // if WE created the marker but failed to stamp the token, remove
-        // it (best-effort) — an orphaned tokenless marker would block
-        // every writer until the lease expires
-        if (created) try fs.delete(path, false)
+        if (created) try java.nio.file.Files.deleteIfExists(p)
         catch { case _: java.io.IOException => () }
         false
     }

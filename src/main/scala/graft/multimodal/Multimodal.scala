@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side — schema, partition-preserving `mapPartitions`, batched
   * iteration shape, deterministic outputs — is real and tested. The codec
-  * step itself is a clearly marked STUB (this container has no image/audio
-  * libraries): `StubCodec` derives deterministic fake dimensions/features
-  * from the MD5 digest of the content bytes, so every pipeline stage
-  * downstream of decode exercises the true data flow AND every emitted
-  * value is relationally recomputable (an external SQL engine can rebuild
-  * width/height/features/frame digests from `md5(content)` + byte
-  * arithmetic — this is what makes mm2/mm3 oracle-checkable). Swapping in
-  * a real codec changes only `StubCodec`.
+  * step is split honestly:
+  *
+  *  - [[Multimodal.ImageIoCodec]] is a REAL decode for formats the JDK
+  *    ships codecs for (PNG/JPEG/GIF/BMP via `javax.imageio`, zero extra
+  *    jars): magic-sniff, decode to pixels, per-strip mean-luma features.
+  *  - [[Multimodal.StubCodec]] covers everything else (audio/video and
+  *    the synthetic md5 fixtures — no ffmpeg-class libraries in this
+  *    container): deterministic fake dimensions/features from the MD5
+  *    digest of the content bytes, so every pipeline stage downstream of
+  *    decode exercises the true data flow AND every emitted value is
+  *    relationally recomputable (an external SQL engine can rebuild
+  *    width/height/features/frame digests from `md5(content)` + byte
+  *    arithmetic — this is what makes mm2/mm3 oracle-checkable).
   */
 object Multimodal {
 
@@ -84,20 +89,91 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's own codecs (`javax.imageio` — PNG,
+    * JPEG, GIF, BMP; zero extra jars): magic-byte sniff, decode to
+    * pixels, features = per-vertical-strip mean luminance in [0, 1]
+    * (deterministic given the decoded pixels). Content that doesn't
+    * sniff as a supported image (the synthetic fixtures, video, exotic
+    * formats) returns None and the pipeline falls back to [[StubCodec]]
+    * — the honest split: real decode where the JDK has a codec, labeled
+    * stub where it doesn't.
+    */
+  object ImageIoCodec {
+
+    /** Magic-byte sniff — cheaper than an ImageIO reader probe, and it
+      * keeps "not an image" off the exception path.
+      */
+    def sniff(content: Array[Byte]): Option[String] = {
+      def at(i: Int) = if (i < content.length) content(i) & 0xFF else -1
+      if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+        Some("png")
+      else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF)
+        Some("jpeg")
+      else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+        Some("gif")
+      else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+      else None
+    }
+
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (sniff(content).isEmpty) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+
+    /** (width, height, features): `dims` vertical strips, each the mean
+      * ITU-R 601 luma of its pixels scaled to [0, 1].
+      */
+    def decodeFeatures(content: Array[Byte],
+                       dims: Int = 8): Option[(Int, Int, Array[Float])] =
+      decode(content).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Double](dims)
+        val counts = new Array[Long](dims)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val strip = math.min(x * dims / w, dims - 1)
+            sums(strip) += lum / 255.0
+            counts(strip) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, Array.tabulate(dims)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat))
+      }
+  }
+
   /** Decode + feature-extract, batched via `mapPartitions`: each task pulls
     * rows in `batchSize` groups (the shape a vectorized codec / model-server
     * client needs), emits fixed-width feature rows. Partitioning of the
     * input is preserved — no shuffle.
+    *
+    * `realDecode = true` routes content that sniffs as a JDK-decodable
+    * image through [[ImageIoCodec]] (actual pixels); everything else —
+    * and the default, which the md5-recomputable mm* oracles rely on —
+    * uses [[StubCodec]].
     */
-  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64)
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64,
+                      realDecode: Boolean = false)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real codec would decode `batch` in one vectorized call here
+        // a vectorized codec would decode `batch` in one call here
         batch.map { r =>
-          val (w, h) = StubCodec.decodeDims(r.content)
-          MediaFeatures(r.media_id, w, h, StubCodec.features(r.content))
+          val real =
+            if (realDecode) ImageIoCodec.decodeFeatures(r.content) else None
+          real match {
+            case Some((w, h, f)) => MediaFeatures(r.media_id, w, h, f)
+            case None =>
+              val (w, h) = StubCodec.decodeDims(r.content)
+              MediaFeatures(r.media_id, w, h, StubCodec.features(r.content))
+          }
         }
       }
     }

@@ -1,8 +1,16 @@
 package graft.operators
 
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, UpdateSketch}
-import org.apache.spark.sql.DataFrame
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Theta sketches for SET-EXPRESSION cardinality estimation — the
   * capability HLL lacks: HLL unions, but only theta (KMV-style: keep the
@@ -11,12 +19,14 @@ import org.apache.spark.sql.DataFrame
   * planning ("what fraction of the crawl is already ingested?"), or
   * audience-overlap questions — without a pairwise join.
   *
-  * Scale shape: one `mapPartitions` pass builds a (group, sketch) per
-  * partition (each sketch is ≤ 8·2^lgK bytes; lgK=12 → ≤ 32 KB), the
-  * driver unions per group — blobs-per-group × partitions of KB-class
-  * data, the same metadata-class collect as [[CountMin]]. Set algebra on
-  * the compact sketches is then driver-side arithmetic, zero further
-  * scans: any pair/triple overlap of G groups from G stored sketches.
+  * Scale shape: the sketch build is a native typed-imperative AGGREGATE
+  * ([[ThetaSketchAgg]]) — map-side partials union inside the exchange
+  * (each task emits one compact sketch of ≤ 8·2^lgK bytes per group it
+  * saw; lgK=12 → ≤ 32 KB), and the driver collects only the G FINAL
+  * per-group blobs, the same metadata-class collect as [[CountMin]]'s
+  * native `count_min_sketch`. Set algebra on the compact sketches is
+  * then driver-side arithmetic, zero further scans: any pair/triple
+  * overlap of G groups from G stored sketches.
   *
   * Determinism: the retained set is the k smallest murmur hashes under
   * the fixed default seed — independent of row order, partitioning, and
@@ -27,40 +37,42 @@ import org.apache.spark.sql.DataFrame
   */
 object ThetaSketches {
 
-  /** One compact theta sketch of `keyCol` (LONG) per `groupCol` value. */
-  def groupSketches(df: DataFrame, groupCol: String, keyCol: String,
-                    lgK: Int = 12): Map[String, CompactSketch] = {
+  /** Column surface: one compact theta sketch blob of the LONG `key`
+    * column per group (use under `groupBy(...).agg(...)`). Partial
+    * merge happens in-plan (ObjectHashAggregate), so the aggregate's
+    * output — and anything that collects it — is G-bounded.
+    */
+  def thetaSketch(key: Column, lgK: Int = 12): Column =
+    Bridge.column(
+      ThetaSketchAgg(Bridge.expression(key), lgK).toAggregateExpression())
+
+  /** Per-group sketch blobs as a DataFrame `(grp STRING, theta BINARY)` —
+    * the persistable "sketch as data" form (store per-day, union any
+    * range later without a rescan).
+    *
+    * Null policy: a null key carries no identity, so it cannot count as
+    * a distinct element — [[ThetaSketchAgg.update]] skips it. Null GROUP
+    * values sketch under the null group like any other.
+    */
+  def groupSketchFrame(df: DataFrame, groupCol: String, keyCol: String,
+                       lgK: Int = 12): DataFrame = {
     require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
-    val sp = df.sparkSession
-    import sp.implicits._
-    // Null policy: a null key carries no identity, so it cannot count as a
-    // distinct element — drop it before the Dataset decoder (which would
-    // crash unboxing null into a primitive Long). Null GROUP values are
-    // fine: the String side of the tuple decoder is nullable, and they
-    // sketch under the null group like any other.
-    val partial: Array[(String, Array[Byte])] = df
-      .select(org.apache.spark.sql.functions.col(groupCol).cast("string"),
-        org.apache.spark.sql.functions.col(keyCol).cast("long"))
-      .filter(org.apache.spark.sql.functions.col(keyCol).isNotNull)
-      .as[(String, Long)]
-      .mapPartitions { it =>
-        val acc = scala.collection.mutable.Map.empty[String, UpdateSketch]
-        it.foreach { case (g, k) =>
-          acc.getOrElseUpdate(g, UpdateSketch.builder()
-            .setLogNominalEntries(lgK).build()).update(k)
-        }
-        acc.iterator.map { case (g, s) =>
-          (g, s.compact(true, null).toByteArray)
-        }
-      }.collect()
-    partial.groupBy(_._1).map { case (g, blobs) =>
-      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-      blobs.foreach { case (_, b) =>
-        u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
-      }
-      g -> u.getResult
-    }
+    df.select(col(groupCol).cast("string").as("grp"),
+        col(keyCol).cast("long").as("k"))
+      .groupBy(col("grp"))
+      .agg(thetaSketch(col("k"), lgK).as("theta"))
   }
+
+  /** One compact theta sketch of `keyCol` (LONG) per `groupCol` value.
+    * Collects exactly G final blobs (one row per group) from the in-plan
+    * aggregate — never partition partials.
+    */
+  def groupSketches(df: DataFrame, groupCol: String, keyCol: String,
+                    lgK: Int = 12): Map[String, CompactSketch] =
+    groupSketchFrame(df, groupCol, keyCol, lgK).collect().map { r =>
+      r.getString(0) -> Sketches.wrapCompactSketch(
+        Memory.wrap(r.getAs[Array[Byte]](1)))
+    }.toMap
 
   /** |A ∩ B| estimate from two compact sketches (driver arithmetic). */
   def intersectionEstimate(a: CompactSketch, b: CompactSketch): Double = {
@@ -78,4 +90,70 @@ object ThetaSketches {
     u.union(b)
     u.getResult.getEstimate
   }
+}
+
+/** Native theta-sketch aggregate: buffer is a datasketches theta `Union`,
+  * updated with raw LONG keys map-side and unioned across partials inside
+  * the exchange (the `count_min_sketch` posture — the driver never sees
+  * per-partition sketches). Serialized form between partial and final is
+  * the ordered compact sketch, so buffer bytes are canonical and
+  * merge-order-independent.
+  *
+  * Runs under ObjectHashAggregate (TypedImperativeAggregate), outside
+  * whole-stage codegen by design — the per-row work is one murmur hash
+  * into a native sketch, and the alternative (driver-side union of G×P
+  * partition partials) is the scale defect this class exists to avoid.
+  */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
+
+  override def prettyName: String = "theta_sketch_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"theta_sketch_agg requires a bigint key, got $other")
+    }
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = serialize(buffer)
+
+  /** Ordered compact form — canonical bytes for a given retained set. */
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -45,6 +45,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(s""""$slowest":"""))
   }
 
+  test("renderFull keeps every query, parses as JSON-shaped, matches line total") {
+    val results = realisticResults
+    val full = Bench.renderFull(results, "sf0.1")
+    results.foreach { case (n, _) =>
+      assert(full.contains(s""""$n":"""), s"$n missing from full map")
+    }
+    assert(full.startsWith("""{"metric":"total","value":"""))
+    assert(full.endsWith(""","sf":"sf0.1"}"""))
+    // same total as the capped stdout line — one source of truth
+    val line = Bench.renderLine(results, "sf0.1")
+    val totalOf = (s: String) => s.split(""""value":""")(1).split(",")(0)
+    assert(totalOf(full) == totalOf(line))
+  }
+
   test("fmt keeps ms precision under 10s and stays short above") {
     assert(Bench.fmt(0.123456) == "0.123")
     assert(Bench.fmt(12.3456) == "12.35")

@@ -98,6 +98,57 @@ class WriterLeaseSpec extends SparkSpec {
       s"release after a stolen lease must fail loudly, got: ${ex.getMessage}")
   }
 
+  test("N contenders on a stale lease: exactly one wins the steal") {
+    val name = s"lease_race_${System.nanoTime()}"
+    val path = WriterLease.lockPath(spark, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, false)
+    out.write("dead-holder".getBytes("UTF-8")); out.close()
+    fs.setTimes(path, System.currentTimeMillis() - 60000L, -1) // abandoned
+    // 8 contenders, zero queue patience: the tombstone rename hands the
+    // steal to exactly one; everyone re-races the create, exactly one
+    // acquires (kernel O_EXCL on the local scheme) and holds until
+    // released below — the other 7 hit their waitMs=0 deadline and throw.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val losses = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 8).map { _ =>
+      val t = new Thread(() =>
+        try WriterLease.withLock(spark, name, leaseMs = 60000L,
+          waitMs = 0L) { wins.incrementAndGet(); gate.await() }
+        catch { case _: IllegalStateException => losses.incrementAndGet() })
+      t.start(); t
+    }
+    val deadline = System.currentTimeMillis() + 30000L
+    while (wins.get + losses.get < 8 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(wins.get == 1, s"exactly one steal winner, got ${wins.get}")
+    assert(losses.get == 7, s"7 losers, got ${losses.get}")
+    gate.countDown()
+    threads.foreach(_.join(30000))
+    assert(threads.forall(!_.isAlive))
+    assert(!fs.exists(path), "winner's release must clear the marker")
+  }
+
+  test("release failure after f threw is suppressed, not a replacement") {
+    val name = s"lease_supp_${System.nanoTime()}"
+    val path = WriterLease.lockPath(spark, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[RuntimeException] {
+      WriterLease.withLock(spark, name, leaseMs = 60000L, waitMs = 0L) {
+        fs.delete(path, false) // simulate the marker vanishing mid-op
+        throw new RuntimeException("the operation's own failure")
+      }
+    }
+    // the root cause survives; the lost-lease release failure rides along
+    assert(ex.getMessage == "the operation's own failure")
+    assert(ex.getSuppressed.exists(s =>
+      s.isInstanceOf[IllegalStateException] &&
+        s.getMessage.contains("lost")),
+      s"release failure must be suppressed, got ${ex.getSuppressed.toSeq}")
+  }
+
   test("a stale lease is stolen; a live one times out") {
     val name = s"lease_unit_${System.nanoTime()}"
     val path = WriterLease.lockPath(spark, name)

@@ -55,6 +55,59 @@ class MultimodalSpec extends SparkSpec {
     assert(fs(7) == Integer.parseInt(h.substring(28, 32), 16) / 65536.0f)
   }
 
+  // --- real JDK image decode (ImageIoCodec) ---
+
+  /** A real PNG: `w`×`h`, left half black, right half white. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes a real PNG: true dims, strip-luma features") {
+    val bytes = pngBytes(64, 32)
+    assert(Multimodal.ImageIoCodec.sniff(bytes).contains("png"))
+    val Some((w, h, f)) = Multimodal.ImageIoCodec.decodeFeatures(bytes)
+    assert(w == 64 && h == 32)
+    assert(f.length == 8)
+    // left 4 strips are black (luma 0), right 4 white (luma 1)
+    f.take(4).foreach(v => assert(v == 0f, s"black strip: $v"))
+    f.drop(4).foreach(v => assert(v == 1f, s"white strip: $v"))
+  }
+
+  test("extractFeatures(realDecode): real images get real dims, " +
+    "non-images fall back to the stub — in one distributed pass") {
+    val png = pngBytes(100, 40)
+    val text = "not an image at all".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "image/stub", text)).toDS()
+    val got = Multimodal.extractFeatures(rows, realDecode = true)
+      .collect().sortBy(_.media_id)
+    assert(got(0).width == 100 && got(0).height == 40)
+    // the non-image row must carry the md5-stub values, bit-for-bit
+    val (sw, sh) = Multimodal.StubCodec.decodeDims(text)
+    assert(got(1).width == sw && got(1).height == sh)
+    assert(got(1).features.toSeq ==
+      Multimodal.StubCodec.features(text).toSeq)
+    // and the default path is unchanged (the mm* oracle contract)
+    val stubbed = Multimodal.extractFeatures(rows).collect()
+      .sortBy(_.media_id)
+    val (pw, ph) = Multimodal.StubCodec.decodeDims(png)
+    assert(stubbed(0).width == pw && stubbed(0).height == ph)
+  }
+
+  test("sniff rejects non-image bytes and truncated magics") {
+    assert(Multimodal.ImageIoCodec.sniff("hello".getBytes).isEmpty)
+    assert(Multimodal.ImageIoCodec.sniff(Array[Byte]()).isEmpty)
+    assert(Multimodal.ImageIoCodec.sniff(Array(0x89.toByte)).isEmpty)
+    assert(Multimodal.ImageIoCodec.decodeFeatures("x".getBytes).isEmpty)
+  }
+
   test("frame sampling emits ≤ n deterministic frames with exact byte offsets") {
     val frames = Multimodal.sampleFrames(media, nFrames = 4).collect()
     val lens = media.collect().map(r => r.media_id -> r.content.length.toLong).toMap

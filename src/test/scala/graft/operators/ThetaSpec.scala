@@ -4,10 +4,27 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Theta sketches: partition-merge invariance, exact-mode equality with
-  * true counts, and intersection/union correctness on planted sets.
+  * true counts, intersection/union correctness on planted sets, and the
+  * scale-shape contract — the sketch build is an IN-PLAN aggregate, so
+  * driver materialization is G-bounded (final blobs, not G×P partials).
   */
 class ThetaSpec extends SparkSpec {
   import spark.implicits._
+
+  test("sketch build is in-plan: ObjectHashAggregate partial+final, " +
+    "driver sees exactly G rows") {
+    val df = ((0L until 500L).map(("a", _)) ++
+      (0L until 300L).map(("b", _))).toDF("grp", "k").repartition(8)
+    val frame = ThetaSketches.groupSketchFrame(df, "grp", "k")
+    val plan = frame.queryExecution.executedPlan.toString
+    // the aggregate (with its partial-merge) lives in the plan …
+    assert(plan.contains("theta_sketch_agg"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // … so what reaches the driver is one FINAL blob per group, however
+    // many partitions fed it
+    val rows = frame.collect()
+    assert(rows.length == 2, "G groups -> G rows, independent of P=8")
+  }
 
   test("planted sets: intersection and union estimates are exact below 2^lgK") {
     // A = [0, 1000), B = [600, 1600) → |A∩B| = 400, |A∪B| = 1600
@@ -28,6 +45,30 @@ class ThetaSpec extends SparkSpec {
       .getEstimate
     assert(e1 == e32)
     assert(e1 == 3000.0) // still in exact mode at lgK=12
+  }
+
+  test("estimation mode (beyond 2^lgK retained): th1's 5% tolerance holds") {
+    // th1's lgK=16 ceiling note reasons about the regime PAST ~65k
+    // distinct/group, where the sketch estimates instead of counting.
+    // Plant it directly: two 1M-key sets overlapping in 300k. All values
+    // are deterministic (fixed murmur seed), so the asserts can be tight:
+    // RSE at lgK=16 is ~0.4%, the asserted 2% (marginals/union) and 5%
+    // (intersection — error concentrates there at small overlap
+    // fractions) are the documented th1 tolerances with headroom.
+    val df = spark.range(1000000L).selectExpr("'a' AS grp", "id AS k")
+      .union(spark.range(700000L, 1700000L)
+        .selectExpr("'b' AS grp", "id AS k"))
+    val sk = ThetaSketches.groupSketches(df, "grp", "k", lgK = 16)
+    assert(sk("a").isEstimationMode && sk("b").isEstimationMode,
+      "1M distinct at lgK=16 must be past exact mode")
+    assert(math.abs(sk("a").getEstimate - 1e6) <= 0.02 * 1e6)
+    assert(math.abs(sk("b").getEstimate - 1e6) <= 0.02 * 1e6)
+    val inter = ThetaSketches.intersectionEstimate(sk("a"), sk("b"))
+    assert(math.abs(inter - 300000.0) <= 0.05 * 300000.0,
+      s"intersection estimate $inter vs 300000")
+    val uni = ThetaSketches.unionEstimate(sk("a"), sk("b"), lgK = 16)
+    assert(math.abs(uni - 1700000.0) <= 0.02 * 1700000.0,
+      s"union estimate $uni vs 1700000")
   }
 
   test("harness events: sketch overlap == exact overlap in exact mode") {

@@ -33,14 +33,23 @@ object ScalingAudit {
       ratio.isNaN || ratio >= threshold
   }
 
-  /** Best-of-`reps` noop materialization, -1 on failure. */
+  /** Best-of-`reps` noop materialization, -1 on failure. NonFatal only —
+    * an OOM or interrupt must propagate, not masquerade as a NaN-ratio
+    * "suspect" row; and the message is recorded so a crashing query is
+    * diagnosable from the CI log rather than indistinguishable from a
+    * scaling regression.
+    */
   def time(spark: org.apache.spark.sql.SparkSession, name: String,
            dir: String, reps: Int = 2): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scaling] $name @ $dir FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val ts = Seq.fill(reps)(once())
@@ -48,9 +57,10 @@ object ScalingAudit {
   }
 
   def sweep(spark: org.apache.spark.sql.SparkSession, names: Seq[String],
-            loDir: String, hiDir: String): Seq[Measure] =
+            loDir: String, hiDir: String, reps: Int = 2): Seq[Measure] =
     names.map { n =>
-      val m = Measure(n, time(spark, n, loDir), time(spark, n, hiDir))
+      val m = Measure(n, time(spark, n, loDir, reps),
+        time(spark, n, hiDir, reps))
       spark.catalog.clearCache()
       System.gc()
       m

@@ -31,8 +31,10 @@ class ScalingSpec extends SparkSpec {
     "sim5b_knn_graph_approx" -> 5.0) // centroid equi-join, not all-pairs
 
   test("known-linear families stay under their family's growth bound") {
+    // best-of-3 (vs the report's 2): one slow rep on a loaded CI host
+    // can't flake the asserted subset
     val rows = ScalingAudit.sweep(spark, risky.map(_._1),
-      "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      "/root/testdata/sf0.01", "/root/testdata/sf0.1", reps = 3)
     val bounds = risky.toMap
     val bad = rows.filter(m => m.suspect(bounds(m.name)))
     assert(bad.isEmpty, "suspected superlinear paths:\n" + bad.map(m =>
