@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{BigramStats, BpeStats, CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
+import graft.operators.ThetaSketchAgg
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -46,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeStats].getName, "bpe_stats"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BpeStats.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaSketchAgg.build(exprs)))
   }
 }

@@ -157,3 +157,28 @@ case class ThetaSketchAgg(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object ThetaSketchAgg {
+
+  /** SQL builder: `theta_sketch_agg(key[, lgK])` — lgK must be an integer
+    * literal (it sizes every buffer). The analyzer wraps the returned
+    * AggregateFunction in an AggregateExpression, so the SQL surface
+    * composes with GROUP BY like any native aggregate.
+    */
+  private[graft] def build(exprs: Seq[Expression]): ThetaSketchAgg = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"theta_sketch_agg expects (key[, lgK]), got ${exprs.length} args")
+    val lgK = if (exprs.length == 2) {
+      val e = exprs(1)
+      require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+        "theta_sketch_agg: lgK must be an integer literal")
+      e.eval().asInstanceOf[Int]
+    } else 12
+    ThetaSketchAgg(exprs.head, lgK)
+  }
+
+  /** SQL surface registration (`SELECT grp, theta_sketch_agg(k) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch_agg", build, "built-in")
+}

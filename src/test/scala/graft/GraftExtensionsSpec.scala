@@ -56,6 +56,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("lowercase"), e2.getMessage)
   }
 
+  test("theta_sketch_agg resolves in SQL, composes with GROUP BY, " +
+    "and its blobs round-trip through the sketch algebra") {
+    graft.operators.ThetaSketchAgg.register(spark)
+    import spark.implicits._
+    ((0L until 1000L).map(("a", _)) ++ (600L until 1600L).map(("b", _)))
+      .toDF("grp", "k").createOrReplaceTempView("theta_sql_in")
+    val rows = spark.sql(
+      "SELECT grp, theta_sketch_agg(k) AS theta FROM theta_sql_in GROUP BY grp")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    def sk(b: Array[Byte]) =
+      org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(b))
+    assert(sk(rows("a")).getEstimate == 1000.0)
+    assert(graft.operators.ThetaSketches.intersectionEstimate(
+      sk(rows("a")), sk(rows("b"))) == 400.0)
+    // lgK must be a literal — a column reference is rejected loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT theta_sketch_agg(k, CAST(k AS INT)) FROM theta_sql_in"))
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("cosine_sim wrong arity raises a clear error; length mismatch → null") {
     graft.functions.CosineSimilarity.register(spark)
     val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))"))

@@ -20,7 +20,9 @@ package graft.queries
   * so embedding-family regressions are judged against the tighter
   * per-family bounds in [[ScalingSpec]], not this report's flag line.
   *
-  * Run: `sbt "Test/runMain graft.queries.ScalingAudit [only,names]"`.
+  * Run: `sbt "Test/runMain graft.queries.ScalingAudit [only,names] [loDir hiDir]"`
+  * — dirs default to sf0.01/sf0.1; pass the TestDataGen-generated
+  * `local-data/sf1` as hiDir for the sf0.1→sf1 tier (SCALE.md §sf1).
   * [[ScalingSpec]] asserts the bound in CI for a bounded set of
   * historically-risky families; this main is the full-catalog report.
   */
@@ -70,14 +72,17 @@ object ScalingAudit {
     val spark = graft.core.Sessions.local(cores = 8,
       appName = "graft-scaling-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    val only = args.headOption
+    val only = args.headOption.filter(_ != "-")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val loDir = if (args.length > 2) args(1) else "/root/testdata/sf0.01"
+    val hiDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val rows = sweep(spark, names, "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+    val rows = sweep(spark, names, loDir, hiDir)
     val threshold = 30.0
-    println(f"${"query"}%-32s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"ratio"}%7s")
+    val (loName, hiName) =
+      (new java.io.File(loDir).getName, new java.io.File(hiDir).getName)
+    println(f"${"query"}%-32s $loName%8s $hiName%8s ${"ratio"}%7s")
     rows.sortBy(m => -(if (m.ratio.isNaN) Double.MaxValue else m.ratio))
       .foreach { m =>
         val mark = if (m.suspect(threshold)) "  <-- SUSPECT O(n^2)/O(corpus)"
