@@ -214,7 +214,14 @@ object Similarity {
     * (empirically: 4-bit bands timed out at 20k vectors where the exact
     * join takes 79 s). The defaults (64 bits, 4 bands × 16 bits) give 65k
     * buckets per band: candidates stay ~linear for hash-spread
-    * signatures, recall ≈ 99.8% at cosine 0.999 (true duplicates),
+    * signatures. CLUSTERED corpora crowd buckets (similar vectors agree
+    * on whole bands by design), so candidate volume grows ~n^1.3 there
+    * (sf1 sweep: 5.9× at 4× vectors — below the ~16× quadratic
+    * signature, but real); widening bands (more bits per band) trades
+    * recall for candidate volume, and for heavily clustered data at
+    * scale the IVF family ([[ivfTopK]] / [[knnGraphApprox]]) is the
+    * better-behaved path. Recall ≈ 99.8% at cosine 0.999 (true
+    * duplicates),
     * ≈ 93% at 0.99, ≈ 30% at τ=0.9, ~0 at τ=0.45. This operator is for DEDUP of
     * true near-duplicates; for low-threshold similarity search use
     * [[ivfTopK]] — sign-LSH cannot cheaply recall low-similarity pairs.

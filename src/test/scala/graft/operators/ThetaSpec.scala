@@ -26,6 +26,19 @@ class ThetaSpec extends SparkSpec {
     assert(rows.length == 2, "G groups -> G rows, independent of P=8")
   }
 
+  test("edge shapes: empty input -> no groups; null keys don't count; " +
+    "null group sketches like any other") {
+    val empty = spark.range(0).selectExpr("'g' AS grp", "id AS k")
+    assert(ThetaSketches.groupSketches(empty, "grp", "k").isEmpty)
+    // 3 real keys + nulls in both positions
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      (null.asInstanceOf[String], Some(7L)), (null, Some(8L)))
+      .toDF("grp", "k")
+    val sk = ThetaSketches.groupSketches(df, "grp", "k")
+    assert(sk("a").getEstimate == 2.0, "null key must not count")
+    assert(sk(null).getEstimate == 2.0, "null group must sketch normally")
+  }
+
   test("planted sets: intersection and union estimates are exact below 2^lgK") {
     // A = [0, 1000), B = [600, 1600) → |A∩B| = 400, |A∪B| = 1600
     val df = ((0L until 1000L).map(("a", _)) ++
