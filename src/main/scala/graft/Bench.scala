@@ -37,6 +37,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
 
+  /** One rendering for both report forms: `kept` is the subset whose
+    * per-query entries appear; `total` always reflects ALL results. The
+    * single body keeps the stdout line and the bench_full.json artifact
+    * from ever drifting on total/marker policy.
+    */
+  private def render(all: Seq[(String, Double)], kept: Seq[(String, Double)],
+                     dropped: Int, sf: String, extra: String): String = {
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val qs = kept.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$drop$extra,"sf":"$sf"}"""
+  }
+
   /** Render the COMPLETE per-query map as JSON — no length cap, nothing
     * dropped. Written to a repo artifact (`bench_full.json`) every run so
     * round-over-round comparison covers every query: the stdout line's
@@ -44,12 +58,8 @@ object Bench {
     * query is invisible there until it gets slow enough to be reported.
     */
   def renderFull(results: Seq[(String, Double)], sf: String,
-                 extra: String = ""): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
-      .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":"$sf"}"""
-  }
+                 extra: String = ""): String =
+    render(results, results, 0, sf, extra)
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
     * dropping the fastest queries from the map (total always reflects all).
@@ -62,12 +72,6 @@ object Bench {
     */
   def renderLine(results: Seq[(String, Double)], sf: String,
                  maxLen: Int = 1900, extra: String = ""): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum
-    def line(kept: Seq[(String, Double)], dropped: Int): String = {
-      val qs = kept.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-      val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$drop$extra,"sf":"$sf"}"""
-    }
     // Drop fastest-first until the rendered line fits. Failed queries
     // (v<0) sort as if infinitely slow: a failure marker is the one entry
     // that must never be dropped from the report.
@@ -75,11 +79,12 @@ object Bench {
       -(if (v < 0) Double.MaxValue else v)
     }
     var keep = results.length
-    var out = line(results, 0)
+    var out = render(results, results, 0, sf, extra)
     while (out.length > maxLen && keep > 1) {
       keep -= 1
       val keptNames = byTime.take(keep).map(_._1).toSet
-      out = line(results.filter(r => keptNames(r._1)), results.length - keep)
+      out = render(results, results.filter(r => keptNames(r._1)),
+        results.length - keep, sf, extra)
     }
     out
   }
@@ -154,10 +159,13 @@ object Bench {
     // cwd is read-only.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
+    // NonFatal, not just IOException: a malformed override path throws
+    // InvalidPathException (a RuntimeException) from Paths.get, and
+    // nothing may break the stdout contract below
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath),
       renderFull(results, sfName, extra = extra) + "\n")
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] full-map artifact write failed: $e")
     }
     spark.stop()

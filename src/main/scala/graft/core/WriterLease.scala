@@ -79,6 +79,14 @@ object WriterLease {
     def rename(key: String, toKey: String): Boolean
     /** Best-effort delete (idempotent). */
     def delete(key: String): Unit
+    /** Conditional delete: remove the marker iff it still holds `token`,
+      * returning whether it did — the release primitive. Must be atomic
+      * wherever the backend can provide it (a CAS/conditional-put store
+      * makes it one operation; the Hadoop store closes the intra-JVM
+      * check-then-delete window under its process gate, and documents
+      * the residual cross-process instant).
+      */
+    def deleteIfToken(key: String, token: String): Boolean
   }
 
   /** Lock marker path for a table name (warehouse-level `_locks/` dir, so
@@ -131,11 +139,12 @@ object WriterLease {
     runHolding(store, key, token, f)
   }
 
-  // If f itself threw, a release failure (lease stolen mid-operation, or
-  // marker vanished) must not REPLACE f's exception — that would hide the
-  // root cause of the aborted write. Attach it as suppressed instead; a
-  // release failure after a SUCCESSFUL f still throws (mutual exclusion
-  // was violated and the caller must know).
+  // If f itself threw, a release failure — lost lease, or a pluggable
+  // store's own error (connection loss, SDK exception) — must not REPLACE
+  // f's exception: that would hide the root cause of the aborted write.
+  // Attach ANY non-fatal release failure as suppressed instead; a release
+  // failure after a SUCCESSFUL f still throws (mutual exclusion was
+  // violated, or the backend is broken, and the caller must know).
   private def runHolding[T](store: LeaseStore, key: String, token: String,
                             f: => T): T = {
     var failure: Throwable = null
@@ -144,7 +153,7 @@ object WriterLease {
     finally {
       try release(store, key, token)
       catch {
-        case r: IllegalStateException =>
+        case scala.util.control.NonFatal(r) =>
           if (failure != null) failure.addSuppressed(r) else throw r
       }
     }
@@ -162,12 +171,12 @@ object WriterLease {
 
   private def release(store: LeaseStore, key: String,
                       token: String): Unit =
-    if (store.readToken(key).contains(token)) store.delete(key)
-    else throw new IllegalStateException(
-      s"writer lease '$key' was lost during the operation (lease " +
-        "expired and another writer took over) — mutual exclusion was " +
-        "violated; verify the target table and raise leaseMs above the " +
-        "operation's duration")
+    if (!store.deleteIfToken(key, token))
+      throw new IllegalStateException(
+        s"writer lease '$key' was lost during the operation (lease " +
+          "expired and another writer took over) — mutual exclusion was " +
+          "violated; verify the target table and raise leaseMs above the " +
+          "operation's duration")
 }
 
 /** Default [[WriterLease.LeaseStore]]: marker files through a Hadoop
@@ -252,6 +261,19 @@ class HadoopLeaseStore(fs: FileSystem, locksDir: Path)
     HadoopLeaseStore.jvmGate.synchronized {
       try fs.delete(new Path(key), false)
       catch { case _: java.io.IOException => () }
+    }
+
+  // check+delete under the process gate: same-JVM contenders cannot
+  // interleave a steal between the token check and the delete (the old
+  // fully-synchronized release guarantee); the cross-process instant
+  // remains, as documented in WriterLease's backend contract.
+  override def deleteIfToken(key: String, token: String): Boolean =
+    HadoopLeaseStore.jvmGate.synchronized {
+      if (readToken(key).contains(token)) {
+        try fs.delete(new Path(key), false)
+        catch { case _: java.io.IOException => () }
+        true
+      } else false
     }
 }
 

@@ -35,6 +35,10 @@ class LeaseStoreSpec extends AnyFunSuite {
       }
     }
     def delete(key: String): Unit = synchronized(rows.remove(key))
+    def deleteIfToken(key: String, token: String): Boolean = synchronized {
+      if (rows.get(key).exists(_._1 == token)) { rows.remove(key); true }
+      else false
+    }
     def ageMarker(key: String, byMs: Long): Unit = synchronized {
       rows.get(key).foreach { case (t, m) => rows(key) = (t, m - byMs) }
     }

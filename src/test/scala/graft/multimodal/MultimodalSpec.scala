@@ -108,6 +108,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.decodeFeatures("x".getBytes).isEmpty)
   }
 
+  test("corrupt-but-sniffable content falls back to the stub instead of " +
+    "killing the task") {
+    // valid JPEG magic, garbage body — one bad crawl file must not abort
+    // a 100 TB job
+    val corrupt = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++
+      "definitely not huffman tables".getBytes("UTF-8")
+    assert(Multimodal.ImageIoCodec.sniff(corrupt).contains("jpeg"))
+    assert(Multimodal.ImageIoCodec.decodeFeatures(corrupt).isEmpty)
+    // truncated real PNG (half the bytes): sniffs, must still fall back
+    val truncated = pngBytes(32, 32).take(40)
+    assert(Multimodal.ImageIoCodec.sniff(truncated).contains("png"))
+    assert(Multimodal.ImageIoCodec.decodeFeatures(truncated).isEmpty)
+    val rows = Seq(Multimodal.MediaRow(9L, "image/jpeg", corrupt)).toDS()
+    val got = Multimodal.extractFeatures(rows, realDecode = true).collect()
+    val (sw, sh) = Multimodal.StubCodec.decodeDims(corrupt)
+    assert(got.head.width == sw && got.head.height == sh,
+      "corrupt image must take the stub path end to end")
+  }
+
   test("frame sampling emits ≤ n deterministic frames with exact byte offsets") {
     val frames = Multimodal.sampleFrames(media, nFrames = 4).collect()
     val lens = media.collect().map(r => r.media_id -> r.content.length.toLong).toMap

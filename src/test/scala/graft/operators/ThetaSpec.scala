@@ -84,6 +84,26 @@ class ThetaSpec extends SparkSpec {
       s"union estimate $uni vs 1700000")
   }
 
+  test("sketch-as-data: per-group blobs persist to parquet and reload " +
+    "into the same algebra (any-range overlap without a rescan)") {
+    // the hll1/cms1 pattern for theta: store per-scope sketches once,
+    // answer later set questions from the stored table
+    val df = ((0L until 1000L).map(("a", _)) ++
+      (600L until 1600L).map(("b", _))).toDF("grp", "k")
+    val dir = s"/tmp/graft-theta-store-${System.nanoTime()}"
+    ThetaSketches.groupSketchFrame(df, "grp", "k").write.parquet(dir)
+    val loaded = spark.read.parquet(dir).collect().map { r =>
+      r.getString(0) -> org.apache.datasketches.theta.Sketches
+        .wrapCompactSketch(org.apache.datasketches.memory.Memory.wrap(
+          r.getAs[Array[Byte]](1)))
+    }.toMap
+    assert(ThetaSketches.intersectionEstimate(loaded("a"), loaded("b")) == 400.0)
+    assert(ThetaSketches.unionEstimate(loaded("a"), loaded("b")) == 1600.0)
+    // blobs are canonical (ordered compact form): reload == fresh build
+    val fresh = ThetaSketches.groupSketches(df, "grp", "k")
+    assert(loaded("a").toByteArray.toSeq == fresh("a").toByteArray.toSeq)
+  }
+
   test("harness events: sketch overlap == exact overlap in exact mode") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sk = ThetaSketches.groupSketches(e, "event_type", "user_id")

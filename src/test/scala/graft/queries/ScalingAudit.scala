@@ -21,8 +21,11 @@ package graft.queries
   * per-family bounds in [[ScalingSpec]], not this report's flag line.
   *
   * Run: `sbt "Test/runMain graft.queries.ScalingAudit [only,names] [loDir hiDir]"`
-  * — dirs default to sf0.01/sf0.1; pass the TestDataGen-generated
-  * `local-data/sf1` as hiDir for the sf0.1→sf1 tier (SCALE.md §sf1).
+  * — dirs default to sf0.01/sf0.1. Two args are read as (loDir, hiDir)
+  * with no filter (`-` also stands for "no filter" in the 3-arg form);
+  * e.g. pass `local-data/sf1` (TestDataGen) as hiDir for the sf0.1→sf1
+  * tier (SCALE_SF1.md). A filter that matches no catalog query fails
+  * loudly rather than printing an empty report.
   * [[ScalingSpec]] asserts the bound in CI for a bounded set of
   * historically-risky families; this main is the full-catalog report.
   */
@@ -72,12 +75,24 @@ object ScalingAudit {
     val spark = graft.core.Sessions.local(cores = 8,
       appName = "graft-scaling-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    val only = args.headOption.filter(_ != "-")
+    // 0 args: full catalog, default dirs. 1: filter. 2: (loDir, hiDir).
+    // 3: filter + dirs ('-' = no filter).
+    val (filterArg, dirArgs) = args.length match {
+      case 2 => (None, Some((args(0), args(1))))
+      case n if n >= 3 => (Some(args(0)), Some((args(1), args(2))))
+      case _ => (args.headOption, None)
+    }
+    val only = filterArg.filter(_ != "-")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val loDir = if (args.length > 2) args(1) else "/root/testdata/sf0.01"
-    val hiDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val (loDir, hiDir) = dirArgs.getOrElse(
+      ("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    only.foreach { o =>
+      val unknown = o -- names.toSet
+      require(unknown.isEmpty,
+        s"filter names match no catalog query: ${unknown.mkString(", ")}")
+    }
     val rows = sweep(spark, names, loDir, hiDir)
     val threshold = 30.0
     val (loName, hiName) =

@@ -28,13 +28,20 @@ class ScalingSpecSf1 extends SparkSpec {
     "th1_theta_overlap" -> 20.0, // measured 1.7× (in-plan aggregate)
     "semd2_incremental_semantic" -> 8.0, // measured 1.2×
     "d5b_banded_near_dup" -> 8.0, // measured 1.3×
-    "sim5b_knn_graph_approx" -> 8.0) // measured 1.4×
+    "sim5b_knn_graph_approx" -> 8.0, // measured 1.4×
+    // d5's sign-LSH crowds buckets on clustered vectors — measured 5.9×
+    // (n^1.3, documented in its scaladoc). The 12× bound is NOT linear
+    // headroom; it distinguishes that contract from a regression to the
+    // ~16× quadratic signature.
+    "d5_cosine_near_dup" -> 12.0)
 
   test("risky families stay inside their bounds at the sf1 tier") {
     assume(new java.io.File(sf1).isDirectory,
       s"sf1 tier not generated (sbt 'Test/runMain graft.TestDataGen $sf1 10')")
+    // best-of-3, as in ScalingSpec: the sf1 reps are longer and so more
+    // exposed to one slow rep on a loaded host
     val rows = ScalingAudit.sweep(spark, risky.map(_._1),
-      "/root/testdata/sf0.1", sf1)
+      "/root/testdata/sf0.1", sf1, reps = 3)
     val bounds = risky.toMap
     val bad = rows.filter(m => m.suspect(bounds(m.name)))
     assert(bad.isEmpty, "suspected superlinear paths at sf1:\n" + bad.map(m =>
