@@ -45,7 +45,7 @@ object TestDataGen {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("local-data/sf1")
-    val scale = if (args.length > 1) args(1).toInt else 10
+    val scale = if (args.length > 1) args(1).toDouble else 10.0
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-testdata-gen")
@@ -59,16 +59,20 @@ object TestDataGen {
     println(s"sf1-class tier written to $outDir")
   }
 
-  def generate(spark: SparkSession, outDir: String, scale: Int): Unit = {
-    val nCustomer = 15000L * scale
-    val nSupplier = 1000L * scale
-    val nPart = 20000L * scale
-    val nOrders = 150000L * scale
-    val nEvents = 100000L * scale
-    val nUsers = 1500L * scale
-    val nDocs = 5000L * scale
+  /** `scale` is relative to sf0.1 (10 → sf1); fractional scales give
+    * proportionally tiny tiers for fast spec runs.
+    */
+  def generate(spark: SparkSession, outDir: String, scale: Double): Unit = {
+    def n(base: Long): Long = math.max(1L, math.round(base * scale))
+    val nCustomer = n(15000L)
+    val nSupplier = n(1000L)
+    val nPart = n(20000L)
+    val nOrders = n(150000L)
+    val nEvents = n(100000L)
+    val nUsers = n(1500L)
+    val nDocs = n(5000L)
     // embeddings grow 4× per tier (500 → 2000 → 8000), not 10×
-    val nVecs = 2000L * (if (scale == 10) 4 else scale)
+    val nVecs = if (scale == 10.0) 8000L else n(2000L)
 
     def save(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
@@ -121,7 +125,8 @@ object TestDataGen {
       round2(u(col("id"), 43) * 498991.27 + 1001.91).as("o_totalprice"),
       // uniform over 1995-01-01 .. 2001-08-01 (2404 days), date-rounded
       timestamp_seconds(lit(788918400L) +
-        uLong(col("id"), 44, 2404L) * 86400L).as("o_orderdate"),
+        uLong(col("id"), 44, 2404L) * 86400L)
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick(col("id"), 45, Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
         "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
     save(orders, "orders", 8)
@@ -146,16 +151,18 @@ object TestDataGen {
         pick(col("lid"), 58, Seq("A", "N", "R")).as("l_returnflag"),
         pick(col("lid"), 59, Seq("O", "F")).as("l_linestatus"),
         timestamp_seconds(unix_timestamp(col("o_orderdate")) +
-          (uLong(col("lid"), 60, 95L) + 1) * 86400L).as("l_shipdate")),
+          (uLong(col("lid"), 60, 95L) + 1) * 86400L)
+          .cast("timestamp_ntz").as("l_shipdate")),
       "lineitem", 8)
 
     // events: ts increases with event_id (~26 s mean gap over 30 days)
     val spanSec = 30L * 86400L
     save(spark.range(nEvents).select(
       col("id").as("event_id"),
+      // driver parquet carries timestamp[us] WITHOUT timezone -> NTZ
       timestamp_seconds(lit(1704067200L) +
         col("id") * spanSec / nEvents +
-        uLong(col("id"), 61, 30L)).as("ts"),
+        uLong(col("id"), 61, 30L)).cast("timestamp_ntz").as("ts"),
       uLong(col("id"), 62, nUsers).as("user_id"),
       pick(col("id"), 63, Seq("view", "click", "purchase", "signup",
         "error")).as("event_type"),
