@@ -42,16 +42,23 @@ object SemanticDedup {
     * min-id survivor convention, duplicates from overlapping memberships
     * collapsed. Feed into [[DedupClusters.canonicalize]] when transitive
     * closure (cluster-level survivors) is wanted.
+    *
+    * `nClusters <= 0` auto-sizes by the C ≈ √n rule
+    * ([[Similarity.ivfSizing]], one `count()`): the production setting —
+    * a hard-coded cell count keeps E|cell| growing with the corpus and
+    * within-cell pair work quadratic-with-n/C, which is exactly how a
+    * "sub-quadratic" dedup silently degrades as data grows 100×.
     */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
                        nClusters: Int, threshold: Double,
                        assignProbes: Int = 1, seed: Long = 42L): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    val c = if (nClusters > 0) nClusters else Similarity.ivfSizing(df.count())
     // one assignment pass yields both the index and the memberships —
     // assigning twice would pay the O(n·k·dim) centroid scoring per
     // consumer (code-review finding, closed)
     val (_, members) = Similarity.ivfIndexAndMembers(df, idCol, vecCol,
-      nClusters, probes = assignProbes, seed = seed)
+      c, probes = assignProbes, seed = seed)
     val a = members.select(col("cluster"), col("vid").as("_sd_ida"),
       col("v").as("_sd_va"))
     val b = members.select(col("cluster"), col("vid").as("_sd_idb"),
@@ -120,8 +127,11 @@ object SemanticDedup {
                         nClusters: Int, assignProbes: Int, path: String,
                         seed: Long = 42L): Unit = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    // nClusters <= 0: C ≈ √corpus (the semanticDupPairs auto-size rule)
+    val c = if (nClusters > 0) nClusters
+            else Similarity.ivfSizing(corpus.count())
     val (index, members) = Similarity.ivfIndexAndMembers(corpus, idCol,
-      vecCol, nClusters, probes = assignProbes, seed = seed)
+      vecCol, c, probes = assignProbes, seed = seed)
     val sp = corpus.sparkSession
     import sp.implicits._
     // REBUILD ordering: the completeness marker must be invalidated FIRST

@@ -280,6 +280,20 @@ object Similarity {
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
 
+  /** The C ≈ √n IVF sizing rule as a named function: with C = √n cells,
+    * E|cell| = √n, so within-cell pairwise work is Σ|cell|² ≈ n·√n
+    * (sub-quadratic) and a probe scan touches ~nProbe·√n vectors. This
+    * is the "nClusters ∝ corpus size" lever the [[SemanticDedup]] and
+    * [[knnGraphApprox]] scaladocs reason about, made callable so
+    * production jobs size from a cheap `count()` instead of hard-coding
+    * a cell count that silently re-creates the quadratic as the corpus
+    * grows. Floor 16 keeps tiny corpora from degenerate 1-2 cell
+    * layouts; k-means training cost is bounded by the sample size
+    * either way.
+    */
+  def ivfSizing(corpusRows: Long): Int =
+    math.max(16, math.ceil(math.sqrt(corpusRows.toDouble)).toInt)
+
   /** IVF index: assign every vector to its nearest of `nCentroids` k-means
     * centroids (trained with a fixed seed on a bounded sample — driver holds
     * only the centroid matrix, never the corpus).

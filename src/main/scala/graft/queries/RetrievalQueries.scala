@@ -45,6 +45,10 @@ object RetrievalQueries {
     "semd1_semantic_dedup" -> ((s, d) => {
       val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val uni = plantNearDups(emb)
+      // nClusters PINNED (not the production auto-size 0 → C≈√n): the
+      // oracle's total-recall claim is calibrated at this cell count
+      // across SFs; SemanticDedupSpec covers the auto-sized path, and
+      // production corpora should size by Similarity.ivfSizing
       val semd = SemanticDedup.semanticDupPairs(uni, "vec_id", "embedding",
         nClusters = 16, threshold = 0.9, assignProbes = 2)
       val exact = Similarity.cosineNearDupPairs(uni, "vec_id", "embedding",

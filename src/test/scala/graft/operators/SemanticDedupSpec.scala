@@ -44,6 +44,23 @@ class SemanticDedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"planted pairs missed: $missed")
   }
 
+  test("nClusters <= 0 auto-sizes by the sqrt rule and still recalls " +
+    "every planted pair") {
+    // the production setting: C from the corpus, not hard-coded
+    assert(Similarity.ivfSizing(100) == 16) // floor
+    assert(Similarity.ivfSizing(10000) == 100)
+    assert(Similarity.ivfSizing(1000000) == 1000)
+    val auto = pairsOf(SemanticDedup.semanticDupPairs(universe, "vec_id",
+      "embedding", nClusters = 0, threshold = 0.9, assignProbes = 2))
+    val explicit = pairsOf(SemanticDedup.semanticDupPairs(universe, "vec_id",
+      "embedding", nClusters = Similarity.ivfSizing(universe.count()),
+      threshold = 0.9, assignProbes = 2))
+    assert(auto == explicit, "sentinel must equal the explicit sqrt size")
+    val planted = (0L until 50L).map(i => (i, i + 1000000L)).toSet
+    assert((planted -- auto).isEmpty,
+      s"auto-sized run missed planted pairs: ${planted -- auto}")
+  }
+
   test("probes=1 finds a subset of probes=2 (overlap only adds candidates)") {
     def run(p: Int) = pairsOf(SemanticDedup.semanticDupPairs(universe,
       "vec_id", "embedding", nClusters = 16, threshold = 0.9, assignProbes = p))
