@@ -33,6 +33,20 @@ object ScanPruning {
         .map(_.getName).getOrElse("?")
       s.requiredSchema.fieldNames.filter(heavyColumns).map(c => s"$c@$src")
     }.distinct.sorted
+
+  /** Shuffle-exchange count of the (initial, pre-AQE) physical plan,
+    * recursing through AQE wrappers and subqueries. Broadcast exchanges
+    * are NOT counted — a broadcast is the cheap alternative a shuffle
+    * budget exists to protect.
+    */
+  def shuffleCount(p: SparkPlan): Int =
+    p.collectWithSubqueries {
+      // collect recurses into matched nodes' children, so each exchange
+      // contributes exactly 1; AQE wrappers are leaves whose inner plan
+      // must be walked explicitly
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      case a: AdaptiveSparkPlanExec => shuffleCount(a.executedPlan)
+    }.sum
 }
 
 /** One-off audit: print, for every catalog query, which heavy columns its
