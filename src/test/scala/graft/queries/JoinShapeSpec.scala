@@ -17,8 +17,6 @@ import graft.SparkSpec
   */
 class JoinShapeSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
-
   /** Entries whose BNLJ side is bounded by construction: single-row or
     * few-row scalar statistics broadcast to every row (corpus totals,
     * divergence denominators, histogram bounds), or ≤ tens-of-rows query
@@ -36,9 +34,9 @@ class JoinShapeSpec extends SparkSpec {
     "sim4_ivf_persisted", "sim5b_knn_graph_approx", "tf1_tfidf_topterms")
 
   test("catalog-wide: no cartesian; BNLJ only where broadcast-bounded") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, q) =>
-        val p = q(spark, sf).queryExecution.executedPlan.toString
+    val offenders = CatalogPlans.executedPlans
+      .flatMap { case (name, plan) =>
+        val p = plan.toString
         val cart = p.contains("CartesianProduct")
         val bnlj = p.contains("BroadcastNestedLoopJoin") &&
           !boundedBnlj(name)

@@ -23,8 +23,6 @@ import graft.SparkSpec
   */
 class ScanPruningSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
-
   /** query -> heavy columns its scans may read (audited consumers). */
   private val allowed: Map[String, Set[String]] = {
     val text = Set("text"); val emb = Set("embedding"); val props = Set("props")
@@ -74,10 +72,9 @@ class ScanPruningSpec extends SparkSpec {
   }
 
   test("catalog-wide: heavy columns read only by audited consumers") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, q) =>
-        val reads = ScanPruning
-          .heavyReads(q(spark, sf).queryExecution.executedPlan)
+    val offenders = CatalogPlans.executedPlans
+      .flatMap { case (name, plan) =>
+        val reads = ScanPruning.heavyReads(plan)
           .map(_.takeWhile(_ != '@')).toSet
         val extra = reads -- allowed.getOrElse(name, Set.empty)
         if (extra.nonEmpty)

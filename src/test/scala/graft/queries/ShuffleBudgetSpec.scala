@@ -22,8 +22,6 @@ import graft.SparkSpec
   */
 class ShuffleBudgetSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
-
   private val budget: Map[String, Int] = Map(
     "a1_group_agg" -> 1,
     "a5_median" -> 1,
@@ -199,10 +197,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   )
 
   test("catalog-wide: no query exceeds its audited shuffle budget") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, q) =>
-        val n = ScanPruning
-          .shuffleCount(q(spark, sf).queryExecution.executedPlan)
+    val offenders = CatalogPlans.executedPlans
+      .flatMap { case (name, plan) =>
+        val n = ScanPruning.shuffleCount(plan)
         budget.get(name) match {
           case None => Some(s"$name: no audited budget (new query?)")
           case Some(b) if n > b => Some(s"$name: $n shuffles > budget $b")

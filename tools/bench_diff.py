@@ -34,12 +34,13 @@ def main(old_path, new_path, threshold=1.25):
     moved = []
     for k in both:
         a, b = oq[k], nq[k]
-        if a <= 0 or b <= 0:
-            moved.append((float("inf"), k, a, b))  # failure marker
+        if b <= 0:
+            moved.append((float("inf"), "FAIL ", k, a, b))  # newly failing
+        elif a <= 0:
+            moved.append((float("inf"), "FIXED", k, a, b))  # recovered
         elif max(a, b) >= 0.2 and (b / a > threshold or a / b > threshold):
-            moved.append((b / a, k, a, b))
-    for r, k, a, b in sorted(moved, key=lambda t: -t[0]):
-        tag = "FAIL" if r == float("inf") else f"{r:5.2f}x"
+            moved.append((b / a, f"{b / a:5.2f}x", k, a, b))
+    for _, tag, k, a, b in sorted(moved, key=lambda t: -t[0]):
         print(f"  {tag}  {k}: {a} -> {b}")
     if not moved:
         print(f"  no query moved more than {threshold}x (>=0.2s)")
