@@ -238,17 +238,19 @@ object DataPipelineQueries {
     // trained centroids themselves are not SQL-reproducible; the checkable
     // consequence is. Bound calibration: the harness embeddings are
     // near-random (max pairwise cosine ~0.6), so true neighbors straddle
-    // centroid boundaries — per-query recall at nProbe=8/16 measured a
-    // floor of 0.6 at every SF (0.001/0.01/0.1); the asserted bound is the
-    // spec floor 0.5, which a correctly-probing index clears everywhere
-    // while a broken one (wrong bucket routing) collapses to ~nProbe/16
-    // overlap by chance and fails.
+    // centroid boundaries — per-query recall at nProbe=12/16 (the sim4 /
+    // NegativesIvf setting; 8 was this entry's original pin, but the sf1
+    // tier measured it at 0.2 worst-query — Sim2Probe sweeps the matrix)
+    // measures a floor of 0.8 at every tier sf0.01/sf0.1/sf1; the
+    // asserted bound is the spec floor 0.5, which a correctly-probing
+    // index clears everywhere while a broken one (wrong bucket routing)
+    // collapses to ~nProbe/16 overlap by chance and fails.
     "sim2_ivf_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
       val ivf = Similarity.ivfTopK(idx, qs, "vec_id", "embedding",
-        k = 5, nProbe = 8)
+        k = 5, nProbe = 12)
       val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
       bf.select(col("qid"), col("neighbor"))
         .join(ivf.select(col("qid"), col("neighbor"), lit(1).as("hit")),

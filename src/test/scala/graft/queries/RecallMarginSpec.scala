@@ -37,6 +37,10 @@ class RecallMarginSpec extends SparkSpec {
       Seq("sf0.01", "sf0.1")),
     ("sim4_ivf_persisted", "recall_at_5_ok",
       "persisted IVF nCentroids=16 nProbe=12 (per-query floor 0.5)",
+      Seq("sf0.001", "sf0.01", "sf0.1")),
+    ("sim2_ivf_topk", "recall_at_5_ok",
+      "in-query IVF nCentroids=16 nProbe=12 (per-query floor 0.5; " +
+        "Sim2Probe sweeps the calibration matrix incl. the sf1 tier)",
       Seq("sf0.001", "sf0.01", "sf0.1")))
 
   for ((name, flag, constants, sfs) <- cases;

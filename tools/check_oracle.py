@@ -35,7 +35,12 @@ def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (the locally
+            # generated sf1 tier) — DuckDB needs the glob form. Driver
+            # tiers are single files and take the plain path.
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
