@@ -34,4 +34,27 @@ object Packing {
       .withColumn("pack_id", expr(s"cum_before div ${capacity}L").cast("bigint"))
       .drop("cum_before")
   }
+
+  /** [[packContiguous]] with the running total computed by
+    * [[Prefix.runningSum]] — bit-identical pack ids (integer arithmetic
+    * throughout; the prefix decomposition is exact — see [[Prefix]]),
+    * but each task sorts ~|group|/bands rows instead of a whole group.
+    * The scale posture when groups are source-grain: [[packContiguous]]'s
+    * own scaladoc steers large groups to "a coarse range bucket of the
+    * id" — this IS that bucketing, made automatic (percentile cuts adapt
+    * to the id distribution) and exact, instead of hand-chosen.
+    */
+  def packScaled(df: DataFrame, groupCol: String, idCol: String,
+                 tokenCol: String, capacity: Long,
+                 bands: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    Prefix.runningSum(df, groupCol, idCol, tokenCol, "_pk_run", bands)
+      // exclusive total = inclusive minus own tokens; coalesce keeps a
+      // null-token row at its predecessors' total (sum() skips nulls),
+      // matching the generic window's 1-PRECEDING frame exactly
+      .withColumn("cum_before",
+        (col("_pk_run") - coalesce(col(tokenCol), lit(0L))).cast("bigint"))
+      .withColumn("pack_id", expr(s"cum_before div ${capacity}L").cast("bigint"))
+      .drop("cum_before", "_pk_run")
+  }
 }

@@ -41,7 +41,10 @@ object BpeQueries {
         bpe.getField("n_bpe").as("n_bpe"))),
 
     // tb1 at model-token grain: fill each source's budget best-docs-first,
-    // measured in BPE tokens (the number a trainer actually consumes)
+    // measured in BPE tokens (the number a trainer actually consumes).
+    // Generic window form; the histogram-pruned scale posture is proven
+    // on tb1b (same operator — the grain of the token column doesn't
+    // change the prune)
     "tb2_bpe_token_budget" -> ((s, d) => {
       val docs = table(s, d, "documents").select(
         col("doc_id"), col("source"),

@@ -82,7 +82,23 @@ object TrainPrepQueries {
         table(s, d, "documents").select(col("doc_id"), col("source"),
           graft.functions.TextAnalysis.estimatedBpeTokens(col("text"))
             .as("n_tokens")),
-        "source", "doc_id", "n_tokens", capacity = 2048L)),
+        "source", "doc_id", "n_tokens", capacity = 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"))),
+
+    // pk1's SCALE TWIN: the running token total computed by the
+    // two-level distributed prefix sum (Prefix.runningSum) — bit-equal
+    // pack ids (PrefixSpec), but each task sorts ~|source|/bands rows
+    // instead of a whole source; oracle is pk1's verbatim because
+    // identical results ARE the contract (the tb1b posture)
+    "pk1b_packing_prefix" -> ((s, d) =>
+      graft.operators.Packing.packScaled(
+        table(s, d, "documents").select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.estimatedBpeTokens(col("text"))
+            .as("n_tokens")),
+        "source", "doc_id", "n_tokens", capacity = 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"))),
 
     // column profiler: per-column row/null/distinct counts in one pass —
     // the ingest data-quality dashboard (exact distincts here for the
@@ -179,7 +195,9 @@ object TrainPrepQueries {
     // per-source token-budget fill: best docs first (quality desc, id
     // tie-break — the same engine-stable ordering qk1 proves) until the
     // running BPE total passes 1000 tokens; the training-mix assembly
-    // step between scoring and packing
+    // step between scoring and packing. Generic single-window form —
+    // right while every group fits one task's sort; its scale twin is
+    // tb1b below
     "tb1_token_budget" -> ((s, d) => {
       val docs = table(s, d, "documents").select(
         col("doc_id"), col("source"),
@@ -188,6 +206,27 @@ object TrainPrepQueries {
           .as("n_tokens"))
       graft.operators.CorpusBudget.budgetFill(docs, "source", "n_tokens",
         budget = 1000L, orderBy = Seq(col("q").desc, col("doc_id")))
+        .select(col("source"), col("doc_id"), col("cum_tokens"))
+    }),
+
+    // tb1's SCALE TWIN (the sim5/sim5b posture): histogram-pruned
+    // budget fill — per-source score bands bound the contending head, so
+    // the exact window sorts ~budget-sized survivors instead of a whole
+    // source in one task (one CommonCrawl-sized source is the normal
+    // 100 TB case). Results are provably identical for any cut vector
+    // (CorpusBudgetSpec asserts equality on adversarial data), so the
+    // oracle is tb1's verbatim; the cost is three extra compact-key
+    // jobs — constant overhead here, the difference between feasible
+    // and impossible at source-grain skew
+    "tb1b_token_budget_pruned" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("q"),
+        graft.functions.TextAnalysis.estimatedBpeTokens(col("text"))
+          .as("n_tokens"))
+      graft.operators.CorpusBudget.budgetFillByScore(docs, "source",
+        "n_tokens", budget = 1000L, score = col("q"),
+        tieBreak = Seq(col("doc_id")))
         .select(col("source"), col("doc_id"), col("cum_tokens"))
     }),
 
@@ -487,7 +526,7 @@ object TrainPrepQueries {
       NgramStats.meanTokenFrequency(table(s, d, "documents"), "doc_id", "text"))
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "pii1_redaction" ->
       s"""WITH s AS (SELECT doc_id, $piiSynthSql AS t FROM documents),
         |r AS (SELECT doc_id,
@@ -945,4 +984,13 @@ object TrainPrepQueries {
         | CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq
         |FROM j GROUP BY 1""".stripMargin
   )
+
+  // tb1b's / pk1b's results are PROVABLY identical to tb1's / pk1's (the
+  // histogram prune and the two-level prefix sum are lossless for any cut
+  // vector — CorpusBudget/Prefix scaladocs carry the arguments,
+  // CorpusBudgetSpec/PrefixSpec the adversarial equalities), so each
+  // oracle is its twin's verbatim: sharing the string IS the contract
+  val oracle: Map[String, String] = oracleBase +
+    ("tb1b_token_budget_pruned" -> oracleBase("tb1_token_budget")) +
+    ("pk1b_packing_prefix" -> oracleBase("pk1_sequence_packing"))
 }

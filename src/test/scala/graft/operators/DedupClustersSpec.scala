@@ -212,5 +212,82 @@ class CorpusBudgetSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains(r))
     }
+    Seq("_bf_score", "_bf_band", "_bf_cuts", "_bf_minb").foreach { r =>
+      val ex = intercept[IllegalArgumentException] {
+        CorpusBudget.budgetFillByScore(base.withColumn(r, lit(0L)),
+          "source", "n_tokens", 100L, col("doc_id"), Seq(col("doc_id")))
+      }
+      assert(ex.getMessage.contains(r))
+    }
+  }
+
+  // deterministic adversarial corpus for the pruned path: skewed group
+  // sizes, tied scores, null scores, zero-token rows, and a first doc
+  // that alone overshoots — every edge the equality proof reasons about
+  private def adversarialDocs = {
+    val rows = for {
+      g <- 0 until 5
+      i <- 0 until (if (g == 0) 3000 else 40 * (g + 1))
+    } yield {
+      val h = ((i * 2654435761L + g * 40503L) & 0x7fffffffL)
+      val q: java.lang.Double =
+        if (h % 11 == 0) null                      // null scores rank last
+        else Double.box((h % 97).toDouble / 97.0)  // ~97 values → many ties
+      val t = if (h % 7 == 0) 0L                   // zero-token rows
+              else if (g == 3 && i == 0) 50000L    // lone overshooter
+              else (h % 50) + 1L
+      (s"s$g", g * 100000L + i, q, t)
+    }
+    rows.toDF("source", "doc_id", "q", "n_tokens")
+  }
+
+  test("pruned fill equals the generic window fill on adversarial data") {
+    val df = adversarialDocs
+    for (budget <- Seq(1L, 300L, 5000L); buckets <- Seq(2, 16, 64)) {
+      val generic = CorpusBudget.budgetFill(df, "source", "n_tokens",
+        budget, Seq(col("q").desc, col("doc_id")))
+        .select("source", "doc_id", "cum_tokens")
+        .as[(String, Long, Long)].collect().toSet
+      val pruned = CorpusBudget.budgetFillByScore(df, "source", "n_tokens",
+        budget, col("q"), Seq(col("doc_id")), buckets)
+        .select("source", "doc_id", "cum_tokens")
+        .as[(String, Long, Long)].collect().toSet
+      assert(pruned == generic,
+        s"budget=$budget buckets=$buckets: " +
+          s"only-pruned=${(pruned -- generic).take(5)} " +
+          s"only-generic=${(generic -- pruned).take(5)}")
+    }
+  }
+
+  test("pruned fill degrades gracefully: all-equal and all-null score groups") {
+    val flat = (0L until 200L).map(i => ("s", i, 1.0, 10L))
+      .toDF("source", "doc_id", "q", "n_tokens")
+    val a = CorpusBudget.budgetFillByScore(flat, "source", "n_tokens", 250L,
+      col("q"), Seq(col("doc_id"))).select("doc_id").as[Long].collect().toSet
+    assert(a == (0L until 25L).toSet) // one band; id order decides, exactly
+    val nulls = (0L until 50L)
+      .map(i => ("s", i, null.asInstanceOf[java.lang.Double], 100L))
+      .toDF("source", "doc_id", "q", "n_tokens")
+    val b = CorpusBudget.budgetFillByScore(nulls, "source", "n_tokens", 250L,
+      col("q"), Seq(col("doc_id"))).select("doc_id").as[Long].collect().toSet
+    assert(b == Set(0L, 1L)) // null cuts → band 0 for all → generic result
+  }
+
+  test("the prune is a lossless SUBSET: admitted rows survive, bulk does not") {
+    // one heavily skewed group: 3000 docs, budget admits ~30 — the exact
+    // window must see a ~budget-sized head, not the whole group
+    val df = adversarialDocs.filter(col("source") === "s0")
+    val survivors = CorpusBudget.pruneByScore(df, "source", "n_tokens",
+      300L, col("q"), buckets = 64)
+    val n = survivors.count()
+    val admitted = CorpusBudget.budgetFill(df, "source", "n_tokens", 300L,
+      Seq(col("q").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    val surv = survivors.select("doc_id").as[Long].collect().toSet
+    assert(admitted.subsetOf(surv),
+      s"prune dropped admitted rows: ${(admitted -- surv).take(5)}")
+    // 3000 rows, 64 bands ≈ 47/band; admitted head + one band of slack
+    // stays far under the group size (the point of the prune)
+    assert(n < 300, s"prune kept $n of 3000 rows — not pruning")
   }
 }

@@ -48,13 +48,15 @@ class ScanPruningSpec extends SparkSpec {
       "mm1_media_meta" -> text, "mm2_media_features" -> text,
       "mm3_frame_sample" -> text, "mrr1_retrieval_eval" -> text,
       "pii1_redaction" -> text, "pk1_sequence_packing" -> text,
+      "pk1b_packing_prefix" -> text,
       "pk2_bpe_packing" -> text, "pmi1_collocations" -> text,
       "ppl1_lm_perplexity" -> text, "pr1_profile" -> text,
       "qb1_quality_quartile" -> text, "qk1_top_quality_docs" -> text,
       "s4_orc_roundtrip" -> text, "t1_token_stats" -> text,
       "t2_quality_score" -> text, "t3_langid" -> text,
       "t4_fingerprint" -> text, "t6_normalize" -> text,
-      "tb1_token_budget" -> text, "tb2_bpe_token_budget" -> text,
+      "tb1_token_budget" -> text, "tb1b_token_budget_pruned" -> text,
+      "tb2_bpe_token_budget" -> text,
       "tf1_tfidf_topterms" -> text, "u1_sentiment_udf" -> text,
       "x1_adhoc_sample" -> text,
       // embedding consumers: vector math end-to-end

@@ -125,6 +125,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "pca1_top_component" -> 0,
     "pii1_redaction" -> 0,
     "pk1_sequence_packing" -> 1,
+    // pk1b (round 11): Prefix.runningSum trades pk1's single exchange —
+    // whose window sorts an entire source in one task — for four extra
+    // compact-key exchanges (order-cut agg, band agg, G×B boundary
+    // window, band-local window) so each task sorts ~|source|/bands
+    // rows. Reviewed as intrinsic: the tb1b argument, for a projection.
+    "pk1b_packing_prefix" -> 5,
     "pk2_bpe_packing" -> 1,
     "pmi1_collocations" -> 4,
     "ppl1_lm_perplexity" -> 5,
@@ -176,6 +182,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "t5_regex_tokens" -> 0,
     "t6_normalize" -> 0,
     "tb1_token_budget" -> 1,
+    // tb1b (round 11): the histogram-pruned budgetFillByScore trades the
+    // generic form's single exchange — whose window SORTS each entire
+    // group in one task — for four extra compact-key exchanges (score-cut
+    // agg, band agg, G×B boundary window, threshold min) so the remaining
+    // per-group sort covers only the ~budget-sized survivor head.
+    // Reviewed as intrinsic: each new exchange carries (group,
+    // score/band) grains, never documents.
+    "tb1b_token_budget_pruned" -> 5,
     "tb2_bpe_token_budget" -> 1,
     "tf1_tfidf_topterms" -> 3,
     "th1_theta_overlap" -> 0,
