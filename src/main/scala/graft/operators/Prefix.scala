@@ -84,4 +84,79 @@ object Prefix {
         coalesce(sum(zeroIfNull).over(wLocal), lit(0L)) + col("_ps_off"))
       .drop("_ps_band", "_ps_off")
   }
+
+  /** Distributed `row_number()` over (`score` ASC, tie-break…) within
+    * `groupCol` — the [[runningSum]] decomposition with COUNTS for
+    * values: band by score percentiles, per-band counts give each band's
+    * exclusive rank offset, rank = band-local row_number + offset. Exact
+    * for any cut vector (ties share a band; the tie-break totalizes the
+    * order within it); each task sorts ~|group|/bands rows. `score` must
+    * be numeric; rows are ranked ascending with nulls first — matching
+    * `Window.orderBy(score, ties…)`.
+    */
+  def rankByScore(df: DataFrame, groupCol: String, score: Column,
+                  tieBreak: Seq[Column], outCol: String,
+                  bands: Int = 64): DataFrame = {
+    require(bands >= 2 && bands <= 4096, s"bands out of range: $bands")
+    (Seq("_ps_score", "_ps_band", "_ps_cuts", "_ps_bc", "_ps_off", outCol))
+      .foreach(r => require(!df.columns.contains(r),
+        s"rankByScore: input already has a column named $r (reserved)"))
+    val scored = df.withColumn("_ps_score", score)
+    val cuts = scored.groupBy(col(groupCol)).agg(
+      percentile_approx(
+        col("_ps_score"),
+        array((1 until bands).map(i => lit(i.toDouble / bands)): _*),
+        lit(10000)).as("_ps_cuts"))
+    val banded = scored.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("_ps_band",
+        coalesce(size(filter(col("_ps_cuts"), c => col("_ps_score") > c)),
+          lit(0)))
+      .drop("_ps_cuts")
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_ps_band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded
+      .groupBy(col(groupCol), col("_ps_band"))
+      .agg(count(lit(1)).as("_ps_bc"))
+      .withColumn("_ps_off",
+        coalesce(sum(col("_ps_bc")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("_ps_band"), col("_ps_off"))
+    val wLocal = Window.partitionBy(col(groupCol), col("_ps_band"))
+      .orderBy(col("_ps_score") +: tieBreak: _*)
+    banded.join(broadcast(offsets), Seq(groupCol, "_ps_band"))
+      .withColumn(outCol,
+        (row_number().over(wLocal).cast("bigint") + col("_ps_off")))
+      .drop("_ps_band", "_ps_off", "_ps_score")
+  }
+
+  /** Distributed `ntile(k)` over (`score` ASC, tie-break…) within
+    * `groupCol`: [[rankByScore]] plus a broadcast per-group count and
+    * the SQL NTILE assignment computed from (rank, n, k) — the first
+    * `n mod k` buckets get `n div k + 1` rows, the rest `n div k`
+    * (bit-equal to the window `ntile`, spec-asserted). The scale form of
+    * per-stratum quantile binning when strata are source-grain.
+    */
+  def ntileByScore(df: DataFrame, groupCol: String, score: Column,
+                   tieBreak: Seq[Column], k: Int, outCol: String,
+                   bands: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    Seq("_ps_n", "_ps_rank", "_ps_base", "_ps_small", "_ps_cutoff")
+      .foreach(r => require(!df.columns.contains(r),
+        s"ntileByScore: input already has a column named $r (reserved)"))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_ps_n"))
+    // integer `div` throughout (Column./ is DOUBLE division); when
+    // n < k the when-branch always fires (cutoff = n), so the
+    // otherwise-branch's div-by-zero is never evaluated
+    rankByScore(df, groupCol, score, tieBreak, "_ps_rank", bands)
+      .join(broadcast(counts), Seq(groupCol))
+      .withColumn("_ps_base", expr(s"_ps_n div ${k}L"))
+      .withColumn("_ps_small", col("_ps_n") % k)
+      .withColumn("_ps_cutoff", col("_ps_small") * (col("_ps_base") + 1L))
+      .withColumn(outCol,
+        when(col("_ps_rank") <= col("_ps_cutoff"),
+          expr("(_ps_rank - 1) div (_ps_base + 1) + 1"))
+          .otherwise(
+            expr("_ps_small + (_ps_rank - _ps_cutoff - 1) div _ps_base + 1"))
+          .cast("int"))
+      .drop("_ps_rank", "_ps_n", "_ps_base", "_ps_small", "_ps_cutoff")
+  }
 }

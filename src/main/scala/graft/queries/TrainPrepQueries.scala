@@ -486,7 +486,8 @@ object TrainPrepQueries {
     }),
 
     // quality quartiles within source (ntile partitioned by the stratum —
-    // the scale-safe form; a global ntile would serialize the corpus)
+    // partitioning by source beats a global ntile, but one task still
+    // sorts each source; qb1b below removes that too)
     "qb1_quality_quartile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val q = graft.functions.TextAnalysis.qualityScore(col("text"))
@@ -495,6 +496,21 @@ object TrainPrepQueries {
       table(s, d, "documents")
         .select(col("doc_id"), col("source"), q.as("q"))
         .withColumn("quartile", ntile(4).over(w).cast("int"))
+        .select(col("doc_id"), col("source"), col("quartile"))
+    }),
+
+    // qb1's SCALE TWIN: distributed ntile — band-local row_number plus
+    // broadcast band offsets gives the exact per-source rank, the NTILE
+    // assignment is arithmetic on (rank, n, k); bit-equal to the window
+    // ntile (PrefixSpec) while each task sorts ~|source|/bands rows.
+    // Completes the round-11 trio: selection (tb1b), projection (pk1b),
+    // ranking (qb1b) — all on the same lossless-banding argument
+    "qb1b_quartile_prefix" -> ((s, d) => {
+      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+      graft.operators.Prefix.ntileByScore(
+        table(s, d, "documents")
+          .select(col("doc_id"), col("source"), q.as("q")),
+        "source", col("q"), Seq(col("doc_id")), k = 4, outCol = "quartile")
         .select(col("doc_id"), col("source"), col("quartile"))
     }),
 
@@ -992,5 +1008,6 @@ object TrainPrepQueries {
   // oracle is its twin's verbatim: sharing the string IS the contract
   val oracle: Map[String, String] = oracleBase +
     ("tb1b_token_budget_pruned" -> oracleBase("tb1_token_budget")) +
-    ("pk1b_packing_prefix" -> oracleBase("pk1_sequence_packing"))
+    ("pk1b_packing_prefix" -> oracleBase("pk1_sequence_packing")) +
+    ("qb1b_quartile_prefix" -> oracleBase("qb1_quality_quartile"))
 }

@@ -71,6 +71,36 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("distributed rank equals the single-window row_number exactly") {
+    // ties on v are totalized by the id tie-break — both forms must agree
+    val df = data.withColumn("score",
+      coalesce(col("v") % 7, lit(null).cast("long")))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"), col("id"))
+    val expect = df.withColumn("r", row_number().over(w).cast("bigint"))
+      .select("grp", "id", "r").as[(String, Long, Long)].collect().toSet
+    for (bands <- Seq(2, 16)) {
+      val got = Prefix.rankByScore(df, "grp", col("score"), Seq(col("id")),
+        "r", bands)
+        .select("grp", "id", "r").as[(String, Long, Long)].collect().toSet
+      assert(got == expect, s"bands=$bands: diff=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("distributed ntile equals the window ntile, including n < k groups") {
+    val df = data.unionByName(
+      Seq(("tiny", 1L, Long.box(5L)), ("tiny", 2L, Long.box(9L)))
+        .toDF("grp", "id", "v")) // 2 rows, k up to 7: n < k exercised
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    for (k <- Seq(3, 4, 7)) {
+      val expect = df.withColumn("t", ntile(k).over(w).cast("int"))
+        .select("grp", "id", "t").as[(String, Long, Int)].collect().toSet
+      val got = Prefix.ntileByScore(df, "grp", col("v"), Seq(col("id")),
+        k, "t")
+        .select("grp", "id", "t").as[(String, Long, Int)].collect().toSet
+      assert(got == expect, s"k=$k: diff=${(got -- expect).take(5)}")
+    }
+  }
+
   test("reserved names on the input are rejected loudly") {
     val base = Seq(("g", 1L, 2L)).toDF("grp", "id", "v")
     Seq("_ps_band", "_ps_cuts", "_ps_bs", "_ps_off", "run").foreach { r =>

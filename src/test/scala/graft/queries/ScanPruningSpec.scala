@@ -51,7 +51,8 @@ class ScanPruningSpec extends SparkSpec {
       "pk1b_packing_prefix" -> text,
       "pk2_bpe_packing" -> text, "pmi1_collocations" -> text,
       "ppl1_lm_perplexity" -> text, "pr1_profile" -> text,
-      "qb1_quality_quartile" -> text, "qk1_top_quality_docs" -> text,
+      "qb1_quality_quartile" -> text, "qb1b_quartile_prefix" -> text,
+      "qk1_top_quality_docs" -> text,
       "s4_orc_roundtrip" -> text, "t1_token_stats" -> text,
       "t2_quality_score" -> text, "t3_langid" -> text,
       "t4_fingerprint" -> text, "t6_normalize" -> text,
