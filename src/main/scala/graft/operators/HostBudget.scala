@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions._
   * is a POLICY operator, not a dedup: the dropped rows are real distinct
   * documents, deliberately rationed.
   *
-  * Shape at scale: one shuffle on the host key, then a rank and a
-  * partition count computed in the same window partition (one Exchange,
-  * two Window nodes over it). Per-host state is a counter, not a buffer —
-  * a 10⁸-page host costs rank arithmetic, never memory. The deterministic
-  * `orderCols` tie-break makes the kept set replayable across runs — a
-  * re-crawl keeps the same survivors, so downstream incremental dedup
-  * ([[TextDedup.bloomNewDocs]]) sees a stable corpus.
+  * Shape at scale: the rank rides a `row_number <= k` window whose limit
+  * Spark's InferWindowGroupLimit pushes into a pre-shuffle partial
+  * group-limit — every map task forwards at most k rows per host, so a
+  * 10⁸-page host never concentrates in one task. The pre-cap size
+  * (`host_total`) deliberately does NOT share that window: a
+  * count-over-partition in the same spec would block the group-limit
+  * rewrite (the rule fires only when every window function is rank-like)
+  * and force whole-host buffering — it comes from a groupBy on the same
+  * key joined back instead (partial-aggregated, compact (host, count)
+  * rows). The deterministic `orderCols` tie-break makes the kept set
+  * replayable across runs — a re-crawl keeps the same survivors, so
+  * downstream incremental dedup ([[TextDedup.bloomNewDocs]]) sees a
+  * stable corpus.
   */
 object HostBudget {
 
@@ -28,10 +34,11 @@ object HostBudget {
   def capPerHost(df: DataFrame, hostCol: String, orderCols: Seq[Column],
                  maxPerHost: Int): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1: $maxPerHost")
-    val part = Window.partitionBy(col(hostCol))
-    val w = part.orderBy(orderCols: _*)
+    val w = Window.partitionBy(col(hostCol)).orderBy(orderCols: _*)
+    val totals = df.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("host_total"))
     df.withColumn("host_rank", row_number().over(w).cast("int"))
-      .withColumn("host_total", count(lit(1)).over(part))
       .filter(col("host_rank") <= maxPerHost)
+      .join(totals, Seq(hostCol))
   }
 }

@@ -222,10 +222,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
-  test("host cap pays exactly one shuffle (rank and total share it)") {
+  test("host cap: rank limit pushes to a pre-shuffle group limit") {
+    // the old one-exchange form computed host_total as a count-over-
+    // partition in the window, which blocked InferWindowGroupLimit and
+    // buffered WHOLE hosts in single tasks; the cap must now plan as a
+    // partial+final WindowGroupLimit (each map task forwards ≤ k rows
+    // per host) with the pre-cap total joined from a partial-aggregated
+    // groupBy instead
     val p = plan("hc1_host_cap")
-    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected a single hash exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank limit not pushed down:\n$p")
+    assert(!p.contains("unboundedfollowing"),
+      s"whole-partition window frame crept back in:\n$p")
   }
 
   test("retrieval eval and divergence stay cartesian-free equi-joins") {

@@ -85,7 +85,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "h2_region_nation_revenue" -> 1,
     "h3_returned_revenue" -> 1,
     "h4_big_orders" -> 1,
-    "hc1_host_cap" -> 1,
+    // hc1 moved 1 → 2 deliberately (round 11): the pre-cap host_total
+    // left the rank window (a count-over-partition there blocked the
+    // WindowGroupLimit pushdown and buffered whole hosts in one task)
+    // for a partial-aggregated groupBy joined back on the host key.
+    "hc1_host_cap" -> 2,
     "hh1_heavy_hitters" -> 2,
     "hist1_price_histogram" -> 2,
     "hll1_sketch_reuse" -> 6,
