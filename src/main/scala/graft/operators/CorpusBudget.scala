@@ -109,24 +109,14 @@ object CorpusBudget {
                                   tokensCol: String, budget: Long,
                                   score: Column, buckets: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    require(buckets >= 2 && buckets <= 4096, s"buckets out of range: $buckets")
-    Seq("_bf_score", "_bf_band", "_bf_cuts", "_bf_minb").foreach(r =>
+    Seq("_bf_score", "_bf_band", "_bf_cuts", "_bf_g", "_bf_minb").foreach(r =>
       require(!df.columns.contains(r),
         s"budgetFillByScore: input already has a column named $r (reserved)"))
-    val scored = df.withColumn("_bf_score", score)
-    val cuts = scored
-      .groupBy(col(groupCol)).agg(
-        percentile_approx(
-          col("_bf_score"),
-          array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
-          lit(10000)).as("_bf_cuts"))
     // band = number of cuts strictly below the score: monotone in score,
-    // ties never straddle bands; null score (or null cuts) → band 0
-    val banded = scored.join(broadcast(cuts), Seq(groupCol))
-      .withColumn("_bf_band",
-        coalesce(size(filter(col("_bf_cuts"), c => col("_bf_score") > c)),
-          lit(0)))
-      .drop("_bf_cuts")
+    // ties never straddle bands; null score (or null cuts) → band 0;
+    // null GROUPS band like any other (the banding join is null-safe) —
+    // shared losslessness core with the Prefix family
+    val banded = Prefix.bandByScore(df, groupCol, score, buckets, "_bf_")
     // exclusive running token total at each band boundary, highest band
     // first — G×B rows, metadata-class; monotone because tokens are >= 0,
     // so the kept bands are a prefix and min() is the boundary
@@ -140,8 +130,9 @@ object CorpusBudget {
         coalesce(sum(col("_bf_bt")).over(wBefore), lit(0L)))
       .filter(col("_bf_before") <= budget)
       .groupBy(col(groupCol)).agg(min(col("_bf_band")).as("_bf_minb"))
-    banded.join(broadcast(keepBands), Seq(groupCol))
+      .withColumnRenamed(groupCol, "_bf_g")
+    banded.join(broadcast(keepBands), col(groupCol) <=> col("_bf_g"))
       .filter(col("_bf_band") >= col("_bf_minb"))
-      .drop("_bf_band", "_bf_minb")
+      .drop("_bf_band", "_bf_g", "_bf_minb")
   }
 }

@@ -34,11 +34,18 @@ object HostBudget {
   def capPerHost(df: DataFrame, hostCol: String, orderCols: Seq[Column],
                  maxPerHost: Int): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1: $maxPerHost")
+    require(!df.columns.contains("_hb_host"),
+      "capPerHost: input already has a column named _hb_host (reserved)")
     val w = Window.partitionBy(col(hostCol)).orderBy(orderCols: _*)
+    // null-safe join key: a null host (malformed URL) is one partition to
+    // the window and must stay one capped group here too, not vanish
+    // through null-unsafe equality
     val totals = df.groupBy(col(hostCol))
       .agg(count(lit(1)).as("host_total"))
+      .withColumnRenamed(hostCol, "_hb_host")
     df.withColumn("host_rank", row_number().over(w).cast("int"))
       .filter(col("host_rank") <= maxPerHost)
-      .join(totals, Seq(hostCol))
+      .join(totals, col(hostCol) <=> col("_hb_host"))
+      .drop("_hb_host")
   }
 }

@@ -222,11 +222,12 @@ class CorpusBudgetSpec extends SparkSpec {
   }
 
   // deterministic adversarial corpus for the pruned path: skewed group
-  // sizes, tied scores, null scores, zero-token rows, and a first doc
-  // that alone overshoots — every edge the equality proof reasons about
+  // sizes, a NULL group key (one window partition — the prune must keep
+  // it), tied scores, null scores, zero-token rows, and a first doc that
+  // alone overshoots — every edge the equality proof reasons about
   private def adversarialDocs = {
     val rows = for {
-      g <- 0 until 5
+      g <- 0 until 6
       i <- 0 until (if (g == 0) 3000 else 40 * (g + 1))
     } yield {
       val h = ((i * 2654435761L + g * 40503L) & 0x7fffffffL)
@@ -236,7 +237,8 @@ class CorpusBudgetSpec extends SparkSpec {
       val t = if (h % 7 == 0) 0L                   // zero-token rows
               else if (g == 3 && i == 0) 50000L    // lone overshooter
               else (h % 50) + 1L
-      (s"s$g", g * 100000L + i, q, t)
+      val src = if (g == 5) null else s"s$g"       // null group key
+      (src, g * 100000L + i, q, t)
     }
     rows.toDF("source", "doc_id", "q", "n_tokens")
   }

@@ -27,6 +27,21 @@ class HostBudgetSpec extends SparkSpec {
     assert(out.forall(r => r._3 >= 1 && r._3 <= 2))
   }
 
+  test("null host is one capped group, not silently dropped") {
+    // malformed URLs extract a null host; the window treats them as one
+    // partition, so the cap (and the null-safe totals join) must too
+    val withNulls = df.unionByName(
+      Seq((null.asInstanceOf[String], 20L), (null.asInstanceOf[String], 21L),
+        (null.asInstanceOf[String], 22L)).toDF("host", "doc_id"))
+    val out = HostBudget.capPerHost(withNulls, "host", Seq(col("doc_id")), 2)
+      .filter(col("host").isNull)
+      .select($"doc_id", $"host_rank", $"host_total")
+      .as[(Long, Int, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(20L, 21L),
+      "null-host rows must be capped like any host, not dropped")
+    assert(out.forall(_._3 == 3L), "pre-cap total carried for null host")
+  }
+
   test("rank follows the order columns, 1-based and dense") {
     val out = HostBudget.capPerHost(df, "host", Seq(col("doc_id")), 10)
       .select($"host", $"doc_id", $"host_rank")

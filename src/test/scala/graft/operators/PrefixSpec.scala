@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
 class PrefixSpec extends SparkSpec {
   import spark.implicits._
 
-  // adversarial: one heavily skewed group, zero values, null values,
-  // non-contiguous ids — every value derived from a hash so layout
-  // can't hide an ordering bug
+  // adversarial: one heavily skewed group, a NULL group key (the window
+  // treats nulls as one partition — these operators must too), zero
+  // values, null values, non-contiguous ids — every value derived from a
+  // hash so layout can't hide an ordering bug
   private def data = {
     val rows = for {
-      g <- 0 until 4
+      g <- 0 until 5
       i <- 0 until (if (g == 0) 2000 else 50 * (g + 1))
     } yield {
       val h = (i * 2654435761L + g * 97L) & 0x7fffffffL
       val v: java.lang.Long =
         if (h % 13 == 0) null else Long.box(h % 40) // nulls + zeros
-      (s"g$g", g * 1000000L + h % 500000L, v)       // non-contiguous ids
+      val grp = if (g == 4) null else s"g$g"        // null group key
+      (grp, g * 1000000L + h % 500000L, v)          // non-contiguous ids
     }
     // ids must be unique per group for a deterministic running sum
     rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
@@ -109,5 +111,11 @@ class PrefixSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains(r))
     }
+    // ntile's OUT column must be rejected too, not silently overwritten
+    val ex = intercept[IllegalArgumentException] {
+      Prefix.ntileByScore(base.withColumn("quartile", lit(1)),
+        "grp", col("v"), Seq(col("id")), 4, "quartile")
+    }
+    assert(ex.getMessage.contains("quartile"))
   }
 }

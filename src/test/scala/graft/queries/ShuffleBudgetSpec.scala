@@ -143,11 +143,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "pv1_pivot" -> 2,
     "pv2_unpivot" -> 0,
     "qb1_quality_quartile" -> 1,
-    // qb1b (round 11): distributed ntile — five extra compact-key
+    // qb1b (round 11): distributed ntile — four extra compact-key
     // exchanges (score-cut agg, band-count agg, boundary window,
-    // band-local window, per-group count) so no task sorts a whole
-    // source. Reviewed as intrinsic: the tb1b argument, for a rank.
-    "qb1b_quartile_prefix" -> 6,
+    // band-local window; the group total rides the boundary window's
+    // frame, not a second input pass) so no task sorts a whole source.
+    // Reviewed as intrinsic: the tb1b argument, for a rank.
+    "qb1b_quartile_prefix" -> 5,
     "qk1_top_quality_docs" -> 1,
     "r1_raw_explore" -> 1,
     "ret1_weekly_retention" -> 5,
