@@ -56,7 +56,12 @@ object Prefix {
     * (matching ASC NULLS FIRST), null groups banded like any other
     * (null-safe join). The losslessness-critical block for every
     * operator in this family — [[CorpusBudget.budgetFillByScore]] bands
-    * through here too.
+    * through here too. The per-row assignment is the native
+    * [[graft.functions.SortedCountBelow]] binary search (log2 B
+    * comparisons inside whole-stage codegen, vs the interpreted
+    * higher-order filter's B closure calls + an array allocation per
+    * row); it requires an int/bigint/float/double score — cast decimals
+    * before banding.
     */
   private[graft] def bandByScore(df: DataFrame, groupCol: String,
                                  score: Column, bands: Int,
@@ -73,7 +78,10 @@ object Prefix {
       .withColumnRenamed(groupCol, gC)
     scored.join(broadcast(cuts), col(groupCol) <=> col(gC))
       .withColumn(bandC,
-        coalesce(size(filter(col(cutsC), c => col(scoreC) > c)), lit(0)))
+        coalesce(
+          graft.functions.SortedCountBelow.sortedCountBelow(
+            col(cutsC), col(scoreC)),
+          lit(0)))
       .drop(gC, cutsC)
   }
 
