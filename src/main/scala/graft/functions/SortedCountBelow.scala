@@ -31,7 +31,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * spec-asserted on randomized arrays including ties, NaN, and
   * boundary values. Null handling is the family's: null array or null
   * value → null (callers coalesce to band 0, the same result the
-  * filter form gives for a null score).
+  * filter form gives for a null score); arrays with NULLABLE ELEMENTS
+  * are rejected at analysis time (the filter form drops null elements —
+  * a binary search can't — and percentile_approx output is
+  * containsNull=false, so the family never sees them).
   *
   * Supported element types: int, bigint, float, double — integrals
   * compare as long (exact), fractionals as double (float→double is
@@ -44,13 +47,20 @@ case class SortedCountBelow(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(et, _)
+    // containsNull arrays are rejected at analysis: a null element would
+    // make the primitive getters read garbage (0) and silently diverge
+    // from the documented bit-equality with size(filter(...)), which
+    // DROPS null-predicate elements. The family is unaffected —
+    // percentile_approx emits containsNull=false — but this is a public
+    // Column surface.
+    case ArrayType(et, false)
       if et == right.dataType &&
         Seq[DataType](IntegerType, LongType, FloatType, DoubleType)
           .contains(et) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      "sorted_count_below requires (array<T>, T) with T in " +
-        s"{int, bigint, float, double}; got ($other, ${right.dataType})")
+      "sorted_count_below requires (array<T> with non-null elements, T) " +
+        s"with T in {int, bigint, float, double}; got ($other, " +
+        s"${right.dataType})")
   }
 
   @transient private lazy val elemType: DataType =

@@ -84,7 +84,12 @@ object CorpusBudget {
     *
     * REQUIRES `tokensCol` non-negative (token counts are) — a negative
     * value breaks the prefix bound above; the generic [[budgetFill]] has
-    * no such constraint. Cost: one extra scan of `df` (the cuts pass
+    * no such constraint. REQUIRES `score` deterministic: it is evaluated
+    * in TWO separate passes (the cuts aggregation and the banding join),
+    * so a nondeterministic score (e.g. rand-derived) would band against
+    * stale cuts and silently void the losslessness proof — derive
+    * pseudo-random scores from hashes of row identity (the ws1 pattern)
+    * instead. Cost: one extra scan of `df` (the cuts pass
     * reads only group + score — column pruning keeps heavy derivations
     * like BPE counts out of it) plus two compact-key aggregations;
     * what it buys is never materializing, shuffling, or sorting the

@@ -46,7 +46,11 @@ import org.apache.spark.sql.functions._
   * instead OOM the broadcast. `orderCol`/`score` must be numeric (the
   * cuts are percentiles) and should be unique per group — WITH
   * duplicates, tie-order-dependent outputs are arbitrary in the generic
-  * window too; pass tie-breaks where offered.
+  * window too; pass tie-breaks where offered. `score` must also be
+  * DETERMINISTIC: it is evaluated once in the cuts aggregation and
+  * again in the banding join, so a nondeterministic score would band
+  * against stale cuts and void the exactness argument (derive
+  * pseudo-random orderings from hashes of row identity instead).
   */
 object Prefix {
 
@@ -102,8 +106,8 @@ object Prefix {
                  valueCol: String, outCol: String,
                  bands: Int = 64): DataFrame = {
     requireFresh(df, "runningSum", Seq(
-      "_ps_score", "_ps_band", "_ps_cuts", "_ps_g", "_ps_bs", "_ps_off",
-      outCol))
+      "_ps_score", "_ps_band", "_ps_b2", "_ps_cuts", "_ps_g", "_ps_bs",
+      "_ps_off", outCol))
     val banded = bandByScore(df, groupCol, col(orderCol), bands, "_ps_")
       .drop("_ps_score") // orderCol itself is a column; no copy needed
     val zeroIfNull = coalesce(col(valueCol), lit(0L))
@@ -153,8 +157,8 @@ object Prefix {
                              tieBreak: Seq[Column], outCol: String,
                              bands: Int): DataFrame = {
     requireFresh(df, "rankByScore", Seq(
-      "_ps_score", "_ps_band", "_ps_cuts", "_ps_g", "_ps_bc", "_ps_off",
-      "_ps_n", outCol))
+      "_ps_score", "_ps_band", "_ps_b2", "_ps_cuts", "_ps_g", "_ps_bc",
+      "_ps_off", "_ps_n", outCol))
     val banded = bandByScore(df, groupCol, score, bands, "_ps_")
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_ps_band"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -75,6 +75,18 @@ class SortedCountBelowSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)) && out.forall(_.getInt(1) == 0))
   }
 
+  test("nullable-ELEMENT arrays are rejected at analysis (filter form " +
+    "drops null elements; a binary search can't)") {
+    // Seq[Option[Double]] encodes as array<double> containsNull=true —
+    // the shape percentile_approx never emits but a caller could hand in
+    val df = Seq((Seq(Option(1.0), None: Option[Double]), 2.0))
+      .toDF("cuts", "v")
+    val ex = intercept[Exception] {
+      df.select(SortedCountBelow.sortedCountBelow($"cuts", $"v")).collect()
+    }
+    assert(ex.getMessage.contains("sorted_count_below"), ex.getMessage)
+  }
+
   test("type mismatch is rejected at analysis, not silently coerced") {
     val df = Seq((Seq(1.0, 2.0), 1L)).toDF("cuts", "v")
     val ex = intercept[Exception] {
