@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{BigramStats, BpeStats, CosineSimilarity, MarkerCount, NgramCounts, ShingleHashes}
-import graft.operators.ThetaSketchAgg
+import graft.operators.{ThetaDifferenceEstimate, ThetaIntersectEstimate, ThetaSetEstimate, ThetaSketchAgg, ThetaUnionEstimate}
 
 /** Session extension entry point: makes the library's native functions
   * available to pure-SQL users via
@@ -52,5 +52,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ThetaSketchAgg.build(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName,
+        "theta_intersect_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaSetEstimate.buildIntersect(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("theta_union_estimate"),
+      new ExpressionInfo(classOf[ThetaUnionEstimate].getName,
+        "theta_union_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaSetEstimate.buildUnion(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("theta_difference_estimate"),
+      new ExpressionInfo(classOf[ThetaDifferenceEstimate].getName,
+        "theta_difference_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaSetEstimate.buildDifference(exprs)))
   }
 }

@@ -5,12 +5,13 @@ import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Uni
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType}
 
 /** Theta sketches for SET-EXPRESSION cardinality estimation — the
   * capability HLL lacks: HLL unions, but only theta (KMV-style: keep the
@@ -24,9 +25,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * (each task emits one compact sketch of ≤ 8·2^lgK bytes per group it
   * saw; lgK=12 → ≤ 32 KB), and the driver collects only the G FINAL
   * per-group blobs, the same metadata-class collect as [[CountMin]]'s
-  * native `count_min_sketch`. Set algebra on the compact sketches is
-  * then driver-side arithmetic, zero further scans: any pair/triple
-  * overlap of G groups from G stored sketches.
+  * native `count_min_sketch`. Set algebra on the compact sketches runs
+  * IN-PLAN too: the scalar expressions `theta_intersect_estimate` /
+  * `theta_union_estimate` / `theta_difference_estimate`
+  * ([[ThetaSetEstimate]]) evaluate over stored sketch columns, so an
+  * overlap matrix is a broadcast self-join of the G-row sketch table —
+  * distributed, zero further scans, matching the aggregate's posture.
+  * The driver-side helpers remain for already-collected blobs.
   *
   * Determinism: the retained set is the k smallest murmur hashes under
   * the fixed default seed — independent of row order, partitioning, and
@@ -74,7 +79,10 @@ object ThetaSketches {
         Memory.wrap(r.getAs[Array[Byte]](1)))
     }.toMap
 
-  /** |A ∩ B| estimate from two compact sketches (driver arithmetic). */
+  /** |A ∩ B| estimate from two compact sketches (driver arithmetic over
+    * already-collected sketches; for sketch COLUMNS use the in-plan
+    * [[thetaIntersectEstimate]]).
+    */
   def intersectionEstimate(a: CompactSketch, b: CompactSketch): Double = {
     val i = SetOperation.builder().buildIntersection()
     i.intersect(a)
@@ -89,6 +97,172 @@ object ThetaSketches {
     u.union(a)
     u.union(b)
     u.getResult.getEstimate
+  }
+
+  /** In-plan |A ∩ B| estimate over two compact-sketch BINARY columns —
+    * overlap matrices over many stored sketch pairs compute distributed
+    * (join a sketch table against itself, estimate per pair), matching
+    * [[thetaSketch]]'s in-plan posture instead of collecting blobs for
+    * driver arithmetic.
+    */
+  def thetaIntersectEstimate(a: Column, b: Column): Column =
+    Bridge.column(ThetaIntersectEstimate(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** In-plan |A ∪ B| estimate over two compact-sketch BINARY columns.
+    * `lgK` bounds the union's nominal entries — use the lgK the sketches
+    * were built with (a smaller one degrades, never corrupts, the
+    * estimate: theta unions are resolution-monotone).
+    */
+  def thetaUnionEstimate(a: Column, b: Column, lgK: Int = 12): Column =
+    Bridge.column(ThetaUnionEstimate(
+      Bridge.expression(a), Bridge.expression(b), lgK))
+
+  /** In-plan |A \ B| estimate over two compact-sketch BINARY columns —
+    * the "what is in the crawl but not yet ingested" form of the set
+    * algebra (theta's AnotB; HLL cannot answer this at all).
+    */
+  def thetaDifferenceEstimate(a: Column, b: Column): Column =
+    Bridge.column(ThetaDifferenceEstimate(
+      Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Static eval core for the scalar theta set-op expressions — one body
+  * shared by interpreted eval and generated code (the
+  * [[graft.functions.SortedCountBelow]] pattern). Inputs are the ordered
+  * compact blobs [[ThetaSketchAgg]] emits; each call wraps (zero-copy)
+  * and runs one datasketches set operation — per SKETCH-PAIR row, not
+  * per data row, so the non-codegen-friendly object work is G²-bounded.
+  */
+object ThetaSetEstimates {
+
+  private def wrap(bytes: Array[Byte]): CompactSketch =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes))
+
+  def intersect(a: Array[Byte], b: Array[Byte]): Double = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(wrap(a))
+    i.intersect(wrap(b))
+    i.getResult.getEstimate
+  }
+
+  def union(a: Array[Byte], b: Array[Byte], lgK: Int): Double = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(wrap(a))
+    u.union(wrap(b))
+    u.getResult.getEstimate
+  }
+
+  def aNotB(a: Array[Byte], b: Array[Byte]): Double =
+    SetOperation.builder().buildANotB()
+      .aNotB(wrap(a), wrap(b)).getEstimate
+}
+
+/** Shared shape of the scalar theta set-op expressions: (BINARY, BINARY)
+  * → DOUBLE, null if either sketch is null (an absent sketch estimates
+  * nothing — callers coalesce if a missing group should read as empty).
+  */
+sealed abstract class ThetaSetEstimate extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary theta-sketch columns, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  /** Static call rendered into generated code; args are `byte[]` vars. */
+  protected def staticCall(a: String, b: String): String
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${staticCall(a, b)};")
+}
+
+/** `theta_intersect_estimate(blobA, blobB)` — |A ∩ B| estimate. */
+case class ThetaIntersectEstimate(left: Expression, right: Expression)
+    extends ThetaSetEstimate {
+  override def prettyName: String = "theta_intersect_estimate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetEstimates.intersect(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.operators.ThetaSetEstimates.intersect($a, $b)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_union_estimate(blobA, blobB[, lgK])` — |A ∪ B| estimate. */
+case class ThetaUnionEstimate(left: Expression, right: Expression, lgK: Int)
+    extends ThetaSetEstimate {
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
+  override def prettyName: String = "theta_union_estimate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetEstimates.union(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], lgK)
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.operators.ThetaSetEstimates.union($a, $b, $lgK)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_difference_estimate(blobA, blobB)` — |A \ B| estimate. */
+case class ThetaDifferenceEstimate(left: Expression, right: Expression)
+    extends ThetaSetEstimate {
+  override def prettyName: String = "theta_difference_estimate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetEstimates.aNotB(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.operators.ThetaSetEstimates.aNotB($a, $b)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ThetaSetEstimate {
+
+  /** SQL builders for the three scalar set-op functions. */
+  private[graft] def buildIntersect(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"theta_intersect_estimate expects (blobA, blobB), got ${exprs.length}")
+    ThetaIntersectEstimate(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildDifference(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"theta_difference_estimate expects (blobA, blobB), got ${exprs.length}")
+    ThetaDifferenceEstimate(exprs(0), exprs(1))
+  }
+
+  private[graft] def buildUnion(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2 || exprs.length == 3,
+      s"theta_union_estimate expects (blobA, blobB[, lgK]), got ${exprs.length}")
+    val lgK = if (exprs.length == 3) {
+      val e = exprs(2)
+      require(e.foldable && e.dataType == IntegerType,
+        "theta_union_estimate: lgK must be an integer literal")
+      e.eval().asInstanceOf[Int]
+    } else 12
+    ThetaUnionEstimate(exprs(0), exprs(1), lgK)
+  }
+
+  /** SQL surface registration for ad-hoc sessions ([[ThetaSketchAgg.register]]'s
+    * sibling; `GraftExtensions` injects the same builders session-wide).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
+      "theta_intersect_estimate", buildIntersect, "built-in")
+    r.createOrReplaceTempFunction(
+      "theta_union_estimate", buildUnion, "built-in")
+    r.createOrReplaceTempFunction(
+      "theta_difference_estimate", buildDifference, "built-in")
   }
 }
 

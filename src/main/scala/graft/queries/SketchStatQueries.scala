@@ -47,19 +47,24 @@ object SketchStatQueries {
       }.toDF("user_id", "exact_n", "never_under", "within_eps")
     }),
 
-    // Theta-sketch source overlap: per-event-type sketches of the user
-    // set (one mapPartitions pass, KB blobs), pairwise INTERSECTION
-    // estimates from the stored sketches — the set-algebra question HLL
-    // cannot answer without a join. Exact overlaps ride alongside
-    // relationally (the same inner-join both engines compute); distinct
-    // users ≪ 2^lgK here, so the sketch is in exact mode and the
-    // 5%+2-absolute tolerance is structurally safe. lgK=16 keeps exact
-    // mode through ~65k distinct users/type (covers sf1's ~15k; at sf0.1
-    // it's ~1.5k) — beyond that the sketch estimates, where small-overlap
-    // intersection error can exceed this bound; compact sketches size by
-    // RETAINED entries, so the larger capacity costs nothing here.
+    // Theta-sketch source overlap, END-TO-END IN-PLAN: per-event-type
+    // sketches of the user set (native typed-imperative aggregate, KB
+    // blobs), pairwise INTERSECTION estimates via the scalar
+    // `theta_intersect_estimate` expression over the broadcast G-row
+    // sketch table — the set-algebra question HLL cannot answer without
+    // a join, computed distributed with ZERO driver-side sketch
+    // arithmetic (r11 collected the blobs and looped; the overlap
+    // matrix now scales to any number of stored sketch pairs). Exact
+    // overlaps ride alongside relationally (the same inner-join both
+    // engines compute); distinct users ≪ 2^lgK here, so the sketch is
+    // in exact mode and the 5%+2-absolute tolerance is structurally
+    // safe. lgK=16 keeps exact mode through ~65k distinct users/type
+    // (covers sf1's ~15k; at sf0.1 it's ~1.5k) — beyond that the sketch
+    // estimates, where small-overlap intersection error can exceed this
+    // bound; compact sketches size by RETAINED entries, so the larger
+    // capacity costs nothing here.
     "th1_theta_overlap" -> ((s, d) => {
-      import s.implicits._
+      import graft.operators.ThetaSketches
       val e = events(s, d)
       val du = e.select(col("event_type"), col("user_id")).distinct()
       val exact = du.as("a")
@@ -68,15 +73,21 @@ object SketchStatQueries {
         .groupBy(col("a.event_type").as("type_a"),
           col("b.event_type").as("type_b"))
         .agg(count(lit(1)).as("exact_overlap"))
-        .collect() // ≤ C(|event types|, 2) rows — metadata-class
-      val sk = graft.operators.ThetaSketches.groupSketches(
+      val sk = ThetaSketches.groupSketchFrame(
         e, "event_type", "user_id", lgK = 16)
-      exact.toIndexedSeq.map { r =>
-        val (ta, tb, n) = (r.getString(0), r.getString(1), r.getLong(2))
-        val est = graft.operators.ThetaSketches.intersectionEstimate(
-          sk(ta), sk(tb))
-        (ta, tb, n, math.abs(est - n) <= math.max(2.0, 0.05 * n))
-      }.toDF("type_a", "type_b", "exact_overlap", "est_ok")
+      // G-row sketch table joined in twice by equi-key (broadcast — the
+      // sketch side is group-grain by construction), one scalar
+      // intersection estimate per surviving pair
+      exact
+        .join(broadcast(sk.select(col("grp").as("type_a"),
+          col("theta").as("_th_a"))), "type_a")
+        .join(broadcast(sk.select(col("grp").as("type_b"),
+          col("theta").as("_th_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("exact_overlap"),
+          (abs(ThetaSketches.thetaIntersectEstimate(
+              col("_th_a"), col("_th_b")) - col("exact_overlap"))
+            <= greatest(lit(2.0), col("exact_overlap") * 0.05))
+            .as("est_ok"))
     }),
 
     // Distributed PCA, dominant component: one aggregator pass builds the

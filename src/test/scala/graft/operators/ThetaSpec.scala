@@ -104,6 +104,57 @@ class ThetaSpec extends SparkSpec {
     assert(loaded("a").toByteArray.toSeq == fresh("a").toByteArray.toSeq)
   }
 
+  test("in-plan set algebra: sketch table joined against itself, scalar " +
+    "estimates equal the driver helpers") {
+    // the overlap-matrix shape: persistable G-row sketch table, self-join,
+    // one scalar expression per pair — zero driver-side sketch arithmetic
+    val df = ((0L until 1000L).map(("a", _)) ++
+      (600L until 1600L).map(("b", _))).toDF("grp", "k")
+    val sk = ThetaSketches.groupSketchFrame(df, "grp", "k")
+    val out = sk.as("x").join(sk.as("y"), col("x.grp") < col("y.grp"))
+      .select(
+        ThetaSketches.thetaIntersectEstimate(
+          col("x.theta"), col("y.theta")).as("inter"),
+        ThetaSketches.thetaUnionEstimate(
+          col("x.theta"), col("y.theta")).as("uni"),
+        ThetaSketches.thetaDifferenceEstimate(
+          col("x.theta"), col("y.theta")).as("diff"))
+      .as[(Double, Double, Double)].collect()
+    assert(out.toSeq == Seq((400.0, 1600.0, 600.0)))
+  }
+
+  test("SQL-only path: theta_sketch_agg through the scalar set ops in " +
+    "one statement") {
+    ThetaSketchAgg.register(spark)
+    ThetaSetEstimate.register(spark)
+    ((0L until 1000L).map(("a", _)) ++ (600L until 1600L).map(("b", _)))
+      .toDF("grp", "k").createOrReplaceTempView("theta_sql_in")
+    val rows = spark.sql(
+      """WITH sk AS (SELECT grp, theta_sketch_agg(k) AS theta
+        |            FROM theta_sql_in GROUP BY grp)
+        |SELECT theta_intersect_estimate(x.theta, y.theta) AS inter,
+        |       theta_union_estimate(x.theta, y.theta, 12) AS uni,
+        |       theta_difference_estimate(x.theta, y.theta) AS diff
+        |FROM sk x JOIN sk y ON x.grp < y.grp""".stripMargin)
+      .as[(Double, Double, Double)].collect()
+    assert(rows.toSeq == Seq((400.0, 1600.0, 600.0)))
+  }
+
+  test("scalar set ops: null sketch -> null estimate; non-binary input " +
+    "rejected at analysis") {
+    val sk = ThetaSketches.groupSketchFrame(
+      (0L until 10L).map(("a", _)).toDF("grp", "k"), "grp", "k")
+      .withColumn("missing", lit(null).cast("binary"))
+    val r = sk.select(ThetaSketches.thetaIntersectEstimate(
+      col("theta"), col("missing"))).collect()
+    assert(r.forall(_.isNullAt(0)), "null sketch must estimate null")
+    val ex = intercept[Exception] {
+      sk.select(ThetaSketches.thetaUnionEstimate(
+        col("theta"), col("grp"))).collect()
+    }
+    assert(ex.getMessage.contains("theta_union_estimate"), ex.getMessage)
+  }
+
   test("harness events: sketch overlap == exact overlap in exact mode") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sk = ThetaSketches.groupSketches(e, "event_type", "user_id")

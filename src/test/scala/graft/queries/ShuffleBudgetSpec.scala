@@ -202,7 +202,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "tb1b_token_budget_pruned" -> 5,
     "tb2_bpe_token_budget" -> 1,
     "tf1_tfidf_topterms" -> 3,
-    "th1_theta_overlap" -> 0,
+    // th1 moved 0 → 5 deliberately (round 12): the overlap matrix now
+    // computes END-TO-END in-plan (r11 collected blobs and looped on
+    // the driver, so the RETURNED plan was a 0-shuffle local scan). The
+    // five exchanges are the exact-companion's distinct + self-join +
+    // pair aggregation plus the sketch aggregate — all compact-key;
+    // sketch joins are broadcast (uncounted, G rows by construction).
+    "th1_theta_overlap" -> 5,
     "ts1_resample_gaps" -> 2,
     "u1_sentiment_udf" -> 0,
     "u2_ai_translate" -> 1,
