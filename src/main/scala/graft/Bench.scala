@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * (`"dropped":N` records how many) — the slow ones are the signal.
   * The COMPLETE map is additionally written to `bench_full.json`
   * (override via SPARK_GRAFT_BENCH_FULL) so nothing is lost to the drop
-  * rule and round-over-round comparison can cover every query.
+  * rule and round-over-round comparison can cover every query; it also
+  * carries BOTH shots and a per-query system-load trace (see
+  * [[renderDetail]]) and is mirrored to a round-stamped
+  * `bench_full_r<N>.json` so every round's complete map gets committed.
   */
 object Bench {
 
@@ -60,6 +63,25 @@ object Bench {
   def renderFull(results: Seq[(String, Double)], sf: String,
                  extra: String = ""): String =
     render(results, results, 0, sf, extra)
+
+  /** Per-query measurement detail for the full artifact: BOTH timed
+    * shots and the 1-min system load sampled just before the query ran.
+    * A single-shot wall-clock protocol cannot police a 2× bar at the
+    * ±25% ambient swing measured across rounds (r11: driver 88.2 s vs
+    * same-code builder run 71.7 s); with both shots plus a per-query
+    * load trace, `tools/bench_diff.py` can separate uniform ambient
+    * inflation from a genuine per-query regression. Rendered as `extra`
+    * sections (`"shots"`, `"loads"`) so the `queries` map keeps its
+    * round-over-round schema.
+    */
+  def renderDetail(shots: Seq[(String, (Double, Double, Double))]): String = {
+    val s = shots.map { case (k, (r1, r2, _)) =>
+      s""""$k":[${fmt(r1)},${fmt(r2)}]"""
+    }.mkString("{", ",", "}")
+    val l = shots.map { case (k, (_, _, ld)) => s""""$k":${fmt(ld)}""" }
+      .mkString("{", ",", "}")
+    s""","shots":$s,"loads":$l"""
+  }
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
     * dropping the fastest queries from the map (total always reflects all).
@@ -144,29 +166,56 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val load0 = loadAvg()
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
-    val results = names.map { n =>
+    // best-of-2 (min) per query strips one-time target-SF JIT and
+    // transient machine stalls; the load sample taken just before each
+    // query's shots lands in the full artifact so a slow entry can be
+    // attributed to ambient load instead of a plan change
+    val shots = names.map { n =>
+      val ld = loadAvg()
       val r1 = materialize(n, sfDir); hygiene()
       val r2 = materialize(n, sfDir); hygiene()
+      n -> (r1, r2, ld)
+    }
+    val results = shots.map { case (n, (r1, r2, _)) =>
       n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
     }
 
     val sfName = new java.io.File(sfDir).getName
     val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]"""
     val out = renderLine(results, sfName, extra = extra)
-    // Full-map artifact: every query's timing survives even though the
-    // stdout line drops the fastest entries to fit the harness tail
-    // buffer. Best-effort — the stdout contract must not break if the
-    // cwd is read-only.
+    // Full-map artifact: every query's timing (plus both shots and the
+    // per-query load trace) survives even though the stdout line drops
+    // the fastest entries to fit the harness tail buffer. Best-effort —
+    // the stdout contract must not break if the cwd is read-only.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
+    val fullJson =
+      renderFull(results, sfName, extra = extra + renderDetail(shots)) + "\n"
     // NonFatal, not just IOException: a malformed override path throws
     // InvalidPathException (a RuntimeException) from Paths.get, and
     // nothing may break the stdout contract below
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath),
-      renderFull(results, sfName, extra = extra) + "\n")
+      java.nio.file.Paths.get(fullPath), fullJson)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] full-map artifact write failed: $e")
+    }
+    // Round-stamped snapshot (bench_full_r<N>.json, N = max existing
+    // BENCH_r<M>.json + 1): the driver's own per-round bench run leaves
+    // a commit-ready complete map beside the round artifacts, so
+    // round-over-round diffs always compare like against like (the r11
+    // committed snapshot predated three queries). Detection, not an env
+    // contract: the harness controls its argv/env, the cwd layout is
+    // ours. Skipped silently when no BENCH_r files exist (dev runs
+    // outside the repo root).
+    try {
+      val re = """BENCH_r(\d+)\.json""".r
+      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => re.unapplySeq(f.getName).map(_.head.toInt))
+      if (rounds.nonEmpty) java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"bench_full_r${rounds.max + 1}%02d.json"),
+        fullJson)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] round snapshot write failed: $e")
     }
     spark.stop()
     println(out) // LAST line of output — the harness parses exactly this

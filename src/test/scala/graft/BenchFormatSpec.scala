@@ -59,6 +59,29 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(totalOf(full) == totalOf(line))
   }
 
+  test("renderDetail carries both shots and the per-query load trace; " +
+    "composes with renderFull without breaking the line contract") {
+    val shots = Seq(
+      "q_fast" -> (0.101, 0.099, 1.5),
+      "q_fail" -> (-1.0, 2.0, 2.25))
+    val detail = Bench.renderDetail(shots)
+    assert(detail.contains(""""shots":{"q_fast":[0.101,0.099],"q_fail":[-1,2.000]}"""),
+      detail)
+    assert(detail.contains(""""loads":{"q_fast":1.500,"q_fail":2.250}"""),
+      detail)
+    // as the full artifact's extra: still one JSON object ending in sf
+    val results = shots.map { case (n, (r1, r2, _)) =>
+      n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
+    }
+    val full = Bench.renderFull(results, "sf0.1",
+      extra = ""","load":[1.5,2.25]""" + detail)
+    assert(full.endsWith(""","sf":"sf0.1"}"""), full)
+    assert(full.contains(""""shots":"""), full)
+    // detail stays OUT of the stdout line: its budget is for timings
+    val line = Bench.renderLine(results, "sf0.1")
+    assert(!line.contains("shots"), line)
+  }
+
   test("fmt keeps ms precision under 10s and stays short above") {
     assert(Bench.fmt(0.123456) == "0.123")
     assert(Bench.fmt(12.3456) == "12.35")

@@ -4,15 +4,20 @@
 Usage: python3 tools/bench_diff.py <old.json> <new.json> [threshold]
 
 Both inputs are bench_full_r<N>.json artifacts (or a BENCH_r<N>.json with
-a "parsed" wrapper — detected automatically). Prints totals, recorded
-system load, and every query whose time changed by more than `threshold`
-(default 1.25x in either direction, ignoring sub-0.2s entries where JVM
-noise dominates), plus entries present on only one side. Exit code 0
-always — this is a lens, not a gate: cross-session totals swing with
-machine state (SCALE.md measures +/-20%), so the load line is printed
-precisely so a drifted total can be attributed before any plan is blamed.
+a "parsed" wrapper — detected automatically). Cross-session totals swing
+with machine state (SCALE.md measures +/-20%, r11 measured a near-uniform
+1.25x), so the tool first estimates the AMBIENT factor — the median
+per-query ratio over common entries >=0.2s — and then reports every query
+whose NORMALIZED ratio (raw ratio / ambient) moved more than `threshold`
+(default 1.25x in either direction). A uniform slowdown therefore shows
+up once, as the ambient line, instead of as 60 spurious per-query
+regressions; a genuine per-query regression survives normalization.
+Recorded system load (whole-run endpoints, plus the per-query trace when
+the artifact carries one) is printed so ambient drift can be attributed.
+Exit code 0 always — this is a lens, not a gate.
 """
 import json
+import statistics
 import sys
 
 
@@ -30,7 +35,22 @@ def main(old_path, new_path, threshold=1.25):
           f"  (queries: {len(oq)} -> {len(nq)})")
     if old.get("load") or new.get("load"):
         print(f"load:  {old.get('load')} -> {new.get('load')}")
+    loads = new.get("loads", {})
+    if loads:
+        vals = [v for v in loads.values() if v >= 0]
+        if vals:
+            print(f"new-run per-query load: min {min(vals):.2f}"
+                  f"  median {statistics.median(vals):.2f}"
+                  f"  max {max(vals):.2f}")
     both = sorted(set(oq) & set(nq))
+    ratios = [nq[k] / oq[k] for k in both
+              if oq[k] > 0 and nq[k] > 0 and max(oq[k], nq[k]) >= 0.2]
+    ambient = statistics.median(ratios) if len(ratios) >= 5 else 1.0
+    if len(ratios) >= 5:
+        print(f"ambient factor (median ratio, {len(ratios)} queries "
+              f">=0.2s): {ambient:.2f}x"
+              + ("  <- uniform machine-state drift, not a plan change"
+                 if abs(ambient - 1.0) > 0.1 else ""))
     moved = []
     for k in both:
         a, b = oq[k], nq[k]
@@ -38,12 +58,20 @@ def main(old_path, new_path, threshold=1.25):
             moved.append((float("inf"), "FAIL ", k, a, b))  # newly failing
         elif a <= 0:
             moved.append((float("inf"), "FIXED", k, a, b))  # recovered
-        elif max(a, b) >= 0.2 and (b / a > threshold or a / b > threshold):
-            moved.append((b / a, f"{b / a:5.2f}x", k, a, b))
+        elif max(a, b) >= 0.2:
+            norm = (b / a) / ambient
+            if norm > threshold or 1 / norm > threshold:
+                moved.append((norm, f"{norm:5.2f}x", k, a, b))
     for _, tag, k, a, b in sorted(moved, key=lambda t: -t[0]):
-        print(f"  {tag}  {k}: {a} -> {b}")
+        shot = new.get("shots", {}).get(k)
+        ld = loads.get(k)
+        detail = ""
+        if shot is not None:
+            detail = f"  shots={shot}" + (f" load={ld}" if ld is not None
+                                          else "")
+        print(f"  {tag}  {k}: {a} -> {b}{detail}")
     if not moved:
-        print(f"  no query moved more than {threshold}x (>=0.2s)")
+        print(f"  no query moved more than {threshold}x normalized (>=0.2s)")
     for k in sorted(set(oq) - set(nq)):
         print(f"  only-old: {k} ({oq[k]}s)")
     for k in sorted(set(nq) - set(oq)):
