@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair accounting for BLOCKED joins — the audit companion of
+  * every "equi-join on a blocking key instead of a cross join" operator
+  * in this library (fz1's prefix-blocked fuzzy linkage, the LSH band
+  * buckets, SimHash prefix blocks).
+  *
+  * A blocked join's cost is its CANDIDATE-PAIR VOLUME Σ_k |L_k|·|R_k|
+  * (per-pair work — an edit distance, a Jaccard verify — dominates, so
+  * pair volume IS the cost model). Blocking is only an at-scale win
+  * while that volume stays near-linear in the input: a degenerate key
+  * (one hot prefix, an empty-string bucket, a language whose titles all
+  * open identically) silently reverts the join toward n² without any
+  * plan-shape change a shuffle or join-type audit could see — the plan
+  * still says "equi-join". SCALE_SF1.md measured fz1 at 9.9× for 10×
+  * documents (the linear-with-corpus bound exactly); this helper turns
+  * that watch item into an assertable number, and
+  * `FuzzyBlockingBudgetSpec` freezes it as a failing invariant.
+  *
+  * Scale shape: two per-key count aggregations (compact keys), an
+  * equi-join of the two count tables, one sum — never materializes a
+  * candidate pair. Runs as a PREFLIGHT on the same inputs as the real
+  * join, so it is also the production pattern for guarding a scheduled
+  * linkage job against a corpus drift that degrades its blocking key
+  * (fail the preflight, not the cluster).
+  */
+object BlockingBudget {
+
+  /** Per-block candidate counts, heaviest first: `(block, left_n,
+    * right_n, pairs)` — the attribution surface when [[candidatePairVolume]]
+    * trips a budget (WHICH prefix went hot). Null block keys are kept:
+    * a null-keyed block is a real (and classically hot) bucket in the
+    * join that uses the same key — callers who pre-filter nulls before
+    * joining should pre-filter here identically.
+    */
+  def blockProfile(left: DataFrame, leftKey: Column,
+                   right: DataFrame, rightKey: Column): DataFrame = {
+    val lc = left.groupBy(leftKey.as("block"))
+      .agg(count(lit(1)).as("left_n"))
+    val rc = right.groupBy(rightKey.as("block"))
+      .agg(count(lit(1)).as("right_n"))
+    // inner join on the block: keys present on one side only produce no
+    // candidate pairs, exactly as in the real equi-join (null-safe so a
+    // null block matches a null block — as the <=> caller's join would;
+    // an = caller's null blocks produce no pairs on BOTH sides of the
+    // accounting, so the volume still matches its join)
+    lc.join(rc, lc("block") <=> rc("block"))
+      .select(lc("block"), col("left_n"), col("right_n"),
+        (col("left_n") * col("right_n")).as("pairs"))
+      .orderBy(col("pairs").desc)
+  }
+
+  /** Total candidate-pair volume Σ_k |L_k|·|R_k| of the equi-blocked
+    * join of `left` and `right` on their block keys — the number the
+    * join's per-pair work multiplies. 0 when no block key co-occurs.
+    */
+  def candidatePairVolume(left: DataFrame, leftKey: Column,
+                          right: DataFrame, rightKey: Column): Long =
+    blockProfile(left, leftKey, right, rightKey)
+      .agg(coalesce(sum(col("pairs")), lit(0L))).head() match {
+        case Row(v: Long) => v
+      }
+}

@@ -237,13 +237,22 @@ object TrainPrepQueries {
         "source", "doc_id", n = 50)),
 
     // FUZZY record linkage: corrupted titles matched back to canonical
-    // docs by edit distance — BLOCKED on an 8-char prefix so the match
-    // is an equi-join over small buckets (~5 rows/block here), never a
-    // cross join; levenshtein is integer-exact in both engines, and the
-    // planted corruption (15th char dropped) sits past the block key, so
-    // every corrupted record finds its canonical at distance ≤ 1. This
-    // is the prefix-blocking shape of record linkage at scale: candidate
-    // volume Σ blocksize², not n².
+    // docs by edit distance — BLOCKED on the MAXIMAL corruption-invariant
+    // prefix (14 chars: the planted corruption drops the 15th char, so
+    // everything before it survives verbatim) so the match is an
+    // equi-join over small buckets, never a cross join; levenshtein is
+    // integer-exact in both engines, and every corrupted record finds
+    // its canonical at distance ≤ 1. This is the prefix-blocking shape
+    // of record linkage at scale: candidate volume Σ blocksize², not n²
+    // — and that volume is a FROZEN budget (`FuzzyBlockingBudgetSpec` /
+    // `BlockingBudget.candidatePairVolume` ≤ 8·n at sf0.1 and sf1).
+    // Round 12: the block key moved 8 → 14 chars after the new budget
+    // spec caught the 8-char space SATURATING on the ~31-word synthetic
+    // vocabulary (block sizes grew with n: measured pair factor 1.4·n
+    // at sf0.1 but 17·n at sf1 — quadratic with a small constant, the
+    // exact failure mode prefix blocking hides from plan-shape audits).
+    // Use all the signal the corruption model preserves: entropy in the
+    // block key is what keeps the join linear.
     "fz1_fuzzy_match" -> ((s, d) => {
       val titles = table(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
@@ -252,7 +261,7 @@ object TrainPrepQueries {
           concat(substring(col("title"), 1, 14),
             substring(col("title"), 16, 30)).as("q_title"))
       batch.join(titles,
-          substring(col("q_title"), 1, 8) === substring(col("title"), 1, 8))
+          substring(col("q_title"), 1, 14) === substring(col("title"), 1, 14))
         // computed ONCE in a projection then filtered — the edit distance
         // is the dominant per-pair cost, and Spark does not CSE a filter
         // expression with a later select's copy
@@ -600,7 +609,7 @@ object TrainPrepQueries {
         | FROM t WHERE doc_id % 10 = 0),
         |c AS (SELECT q_id, t.doc_id AS match_id,
         |  CAST(levenshtein(q_title, t.title) AS INTEGER) AS edit_distance
-        | FROM b JOIN t ON substr(q_title, 1, 8) = substr(t.title, 1, 8))
+        | FROM b JOIN t ON substr(q_title, 1, 14) = substr(t.title, 1, 14))
         |SELECT q_id, match_id, edit_distance FROM c
         |WHERE edit_distance <= 2""".stripMargin,
     // A-Res key mirrored exactly: same md5 uniform, same ln/w double

@@ -4,10 +4,12 @@ import graft.SparkSpec
 
 /** [[ScalingSpec]]'s assertion re-run at the 10×-bigger step sf0.1 → sf1
   * (the locally generated tier — `graft.TestDataGen`; see SCALE_SF1.md).
-  * The tier is gitignored and regenerated on demand, so this spec CANCELS
-  * (not fails) when it is absent — CI without the tier is unaffected, and
-  * a developer who generated it gets the bound checked in the regime the
-  * scaling claims reason about.
+  * The tier is gitignored but BUILD-GATED ([[graft.Sf1Tier]], round 12):
+  * a fresh-clone `sbt test` generates it once per machine (deterministic,
+  * ~175 MB, ~1-2 min) and then runs this spec for real — the 10× regime
+  * is no longer opt-in. Only the SPARK_GRAFT_SKIP_SF1=1 escape hatch
+  * cancels (loudly), for machines where the one-time cost is
+  * unacceptable.
   *
   * Bounds are re-calibrated for this tier's growth: documents/orders/
   * events grow a full 10× (linear ≈ 10× timed growth once overhead stops
@@ -18,12 +20,17 @@ import graft.SparkSpec
   */
 class ScalingSpecSf1 extends SparkSpec {
 
-  private val sf1 = "local-data/sf1"
+  private val sf1 = graft.Sf1Tier.dir
 
   private val risky = Seq(
     "dc2_incremental_clusters" -> 20.0, // measured 1.0×
     "il1_incremental_lsh" -> 20.0, // measured 2.0×
-    "fz1_fuzzy_match" -> 20.0, // measured 9.9× — linear-with-corpus
+    // r11 measured 9.9× with the 8-char block key; r12's pair-volume
+    // audit exposed that as quadratic-with-small-constant (17·n pairs at
+    // sf1) and moved the key to the 14-char corruption-invariant prefix
+    // (0.87·n) — see FuzzyBlockingBudgetSpec, which now owns the real
+    // cost model; this wall-clock bound stays as the coarse backstop
+    "fz1_fuzzy_match" -> 20.0,
     "up2_upsert_partitioned" -> 20.0, // measured 1.9×
     "th1_theta_overlap" -> 20.0, // measured 1.7× (in-plan aggregate)
     "semd2_incremental_semantic" -> 8.0, // measured 1.2×
@@ -36,8 +43,8 @@ class ScalingSpecSf1 extends SparkSpec {
     "d5_cosine_near_dup" -> 12.0)
 
   test("risky families stay inside their bounds at the sf1 tier") {
-    assume(new java.io.File(sf1).isDirectory,
-      s"sf1 tier not generated (sbt 'Test/runMain graft.TestDataGen $sf1 10')")
+    assume(graft.Sf1Tier.available(spark),
+      "sf1 tier generation skipped via SPARK_GRAFT_SKIP_SF1=1")
     // best-of-3, as in ScalingSpec: the sf1 reps are longer and so more
     // exposed to one slow rep on a loaded host
     val rows = ScalingAudit.sweep(spark, risky.map(_._1),
