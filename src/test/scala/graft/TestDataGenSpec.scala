@@ -34,6 +34,11 @@ class TestDataGenSpec extends SparkSpec {
     }
   }
 
+  test("completion marker is present after generate (Sf1Tier's gate key)") {
+    assert(new java.io.File(genDir, "_TIER_COMPLETE").isFile,
+      "generate must leave the _TIER_COMPLETE marker (written last)")
+  }
+
   test("content is a pure function of ids: regeneration is identical") {
     val dir2 = s"/tmp/graft-testdatagen-${System.nanoTime()}-b"
     TestDataGen.generate(spark, dir2, scale = 0.02)
