@@ -253,9 +253,13 @@ object TextDedup {
 
   /** (doc, band, band-hash) rows for a signature frame — the LSH bucket
     * keys shared by the self-join ([[minHashLshPairs]]) and cross-corpus
-    * ([[crossMinHashLshPairs]]) variants.
+    * ([[crossMinHashLshPairs]]) variants. `private[graft]` so the
+    * bucket-crowding budget spec audits the EXACT key expression the
+    * joins use (`LshBucketBudgetSpec` pins Σ bucketsize² via
+    * [[BlockingBudget]] — the same pair-volume cost model that caught
+    * fz1's saturating prefix).
     */
-  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+  private[graft] def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
     sigs.select(col("doc"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucket-crowding budget for the MinHash-LSH band join (d2/il1/mh1/dc1
+  * family) — [[FuzzyBlockingBudgetSpec]]'s cost model applied to the
+  * library's second blocked-join family. The band join's candidate
+  * volume is Σ bucketsize² over (band, bandhash) buckets: hash-spread
+  * signatures keep buckets near-singleton (volume ≈ n·bands), while
+  * crowding — a corpus drifting toward boilerplate, a degenerate
+  * shingle space, or a too-coarse banding — reverts the join toward n²
+  * with no plan-shape change. fz1's prefix key hid exactly this shape
+  * from the wall-clock sweep; this spec pins the LSH buckets to the
+  * same falsifiable number, over the EXACT key expression the joins
+  * use ([[TextDedup.bandedKeys]], d2's production parameters).
+  *
+  * Budget calibration: with 5-shingles and 16×2 banding the harness
+  * corpora measure volume/rows 1.10 at sf0.1 and 1.06 at sf1 — FLAT
+  * across the 10× step (contrast fz1's pre-fix 1.43→17.0): hash-spread
+  * signatures keep buckets near-singleton, and the planted ~4%
+  * near-dups + ~0.2% exact dups collide in pairs (the operator's
+  * recall working as intended), not crowds. Budget 4 is ~3.6× headroom;
+  * a corpus whose buckets crowd past it has left the "near-dups are a
+  * vanishing fraction" regime the operator's scale argument (and the
+  * `verifyCandidatesOnly` lever) assumes, and should fail loudly
+  * rather than quietly square its shuffle.
+  */
+class LshBucketBudgetSpec extends SparkSpec {
+
+  private val factor = 4L
+
+  /** Candidate volume of d2's band self-join over `dir`'s documents,
+    * normalized per banded key row (n·bands rows feed the join).
+    */
+  private def bucketVolume(dir: String): (Long, Long) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sigs = TextDedup.minHashSignatures(
+      docs, "doc_id", "text", n = 5, numHashes = 32)
+    val banded = TextDedup.bandedKeys(sigs, bands = 16, r = 2)
+      .select(struct(col("band"), col("bh")).as("k"))
+    (BlockingBudget.candidatePairVolume(
+      banded, col("k"), banded, col("k")),
+      banded.count())
+  }
+
+  test("d2's LSH buckets stay inside the crowding budget at sf0.1") {
+    val (vol, rows) = bucketVolume("/root/testdata/sf0.1")
+    info(f"sf0.1: volume $vol over $rows banded rows -> " +
+      f"factor ${vol.toDouble / rows}%.2f")
+    assert(vol <= factor * rows,
+      s"LSH bucket volume $vol exceeds budget ${factor}·$rows — buckets " +
+        "are crowding (BlockingBudget.blockProfile names the hot ones)")
+  }
+
+  test("d2's LSH buckets stay inside the crowding budget at sf1") {
+    assume(graft.Sf1Tier.available(spark),
+      "sf1 tier generation skipped via SPARK_GRAFT_SKIP_SF1=1")
+    val (vol, rows) = bucketVolume(graft.Sf1Tier.dir)
+    info(f"sf1: volume $vol over $rows banded rows -> " +
+      f"factor ${vol.toDouble / rows}%.2f")
+    assert(vol <= factor * rows,
+      s"LSH bucket volume $vol exceeds budget ${factor}·$rows at sf1")
+  }
+
+  test("a boilerplate-dominated corpus TRIPS the crowding budget") {
+    // 2000 docs, 90% sharing one text: every band key of the duplicated
+    // doc collides with all its copies — volume ≈ bands·(0.9n)² ≫
+    // factor·(n·bands). The drift the budget exists to catch.
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 0,
+        concat(lit("unique doc "), col("id").cast("string"),
+          lit(" with its own words")))
+        .otherwise(lit("the same boilerplate body every crawl fetch " +
+          "returned for this host"))
+        .as("text"))
+    val sigs = TextDedup.minHashSignatures(
+      docs, "doc_id", "text", n = 5, numHashes = 32)
+    val banded = TextDedup.bandedKeys(sigs, bands = 16, r = 2)
+      .select(struct(col("band"), col("bh")).as("k"))
+    val vol = BlockingBudget.candidatePairVolume(
+      banded, col("k"), banded, col("k"))
+    val rows = banded.count()
+    assert(vol > factor * rows,
+      s"the budget must flag the crowded corpus (volume $vol over " +
+        s"$rows rows) — if this fails the invariant is vacuous")
+  }
+}
