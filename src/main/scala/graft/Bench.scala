@@ -6,9 +6,18 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
   *
   * Method: a full warmup pass at sf0.001 first (JIT + codegen + parquet
-  * footer caches warm), then two timed passes at the target SF, reporting
-  * the per-query minimum (AQE-shaped plans at the target SF generate code
-  * the small-SF warmup never compiles; best-of-2 strips that one-time JIT).
+  * footer caches warm), then two timed passes over the WHOLE catalog at
+  * the target SF — plus an adaptive third pass over the queries whose
+  * first two shots disagreed by >20% — reporting the per-query minimum.
+  * Best-of-N strips the one-time target-SF JIT (AQE-shaped plans
+  * generate code the small-SF warmup never compiles) and the GC jitter
+  * that dominates sub-second queries. The shots are PASS-separated, not
+  * back-to-back: on a shared host a contended minute inflates every
+  * consecutive shot taken inside it (measured back-to-back pairs
+  * agreeing with each other while both read 2× a clean run), whereas
+  * whole-catalog passes put ~the full run length between a query's
+  * samples, so a transient stall must span the entire run to poison a
+  * query's minimum.
   * Each query is materialized with a `noop` write — unlike `count()`, that
   * evaluates every output column, so projection-only queries can't
   * degenerate to a row count.
@@ -64,23 +73,33 @@ object Bench {
                  extra: String = ""): String =
     render(results, results, 0, sf, extra)
 
-  /** Per-query measurement detail for the full artifact: BOTH timed
-    * shots and the 1-min system load sampled just before the query ran.
-    * A single-shot wall-clock protocol cannot police a 2× bar at the
-    * ±25% ambient swing measured across rounds (r11: driver 88.2 s vs
-    * same-code builder run 71.7 s); with both shots plus a per-query
-    * load trace, `tools/bench_diff.py` can separate uniform ambient
-    * inflation from a genuine per-query regression. Rendered as `extra`
-    * sections (`"shots"`, `"loads"`) so the `queries` map keeps its
+  /** Per-query measurement detail for the full artifact: ALL timed
+    * shots (2, or 3 when the first two disagreed — see main) and the
+    * 1-min system load sampled just before the query ran. A single-shot
+    * wall-clock protocol cannot police a 2× bar at the ±25% ambient
+    * swing measured across rounds (r11: driver 88.2 s vs same-code
+    * builder run 71.7 s); with the shots plus a per-query load trace,
+    * `tools/bench_diff.py` can separate uniform ambient inflation from
+    * a genuine per-query regression. Rendered as `extra` sections
+    * (`"shots"`, `"loads"`) so the `queries` map keeps its
     * round-over-round schema.
     */
-  def renderDetail(shots: Seq[(String, (Double, Double, Double))]): String = {
-    val s = shots.map { case (k, (r1, r2, _)) =>
-      s""""$k":[${fmt(r1)},${fmt(r2)}]"""
+  def renderDetail(shots: Seq[(String, Seq[(Double, Double)])]): String = {
+    val s = shots.map { case (k, rs) =>
+      s""""$k":${rs.map(r => fmt(r._1)).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    val l = shots.map { case (k, (_, _, ld)) => s""""$k":${fmt(ld)}""" }
-      .mkString("{", ",", "}")
+    val l = shots.map { case (k, rs) =>
+      s""""$k":${rs.map(r => fmt(r._2)).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     s""","shots":$s,"loads":$l"""
+  }
+
+  /** Reported value for a query's shots: best (min) successful shot, or
+    * the -1 failure marker when every shot failed.
+    */
+  def best(shots: Seq[Double]): Double = {
+    val ok = shots.filter(_ >= 0)
+    if (ok.isEmpty) -1.0 else ok.min
   }
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
@@ -166,19 +185,31 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val load0 = loadAvg()
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
-    // best-of-2 (min) per query strips one-time target-SF JIT and
-    // transient machine stalls; the load sample taken just before each
-    // query's shots lands in the full artifact so a slow entry can be
-    // attributed to ambient load instead of a plan change
+    // One timed (time, loadBefore) sample per query over the whole
+    // catalog — the unit the pass-separated protocol composes.
+    def passOver(qs: Seq[String]): Map[String, (Double, Double)] =
+      qs.map { n =>
+        val ld = loadAvg()
+        val t = materialize(n, sfDir); hygiene()
+        n -> (t, ld)
+      }.toMap
+    // Two whole-catalog passes put ~a full run length between each
+    // query's samples (a transient host stall poisons at most one),
+    // then an adaptive third pass covers only the queries whose two
+    // shots disagreed by >20% — where the min is still noise-dominated.
+    // The per-shot load samples land in the full artifact so a slow
+    // entry can be attributed to ambient load, not a plan change.
+    val p1 = passOver(names)
+    val p2 = passOver(names)
+    val unstable = names.filter { n =>
+      val (a, _) = p1(n); val (b, _) = p2(n)
+      a > 0 && b > 0 && math.abs(a - b) > 0.2 * math.min(a, b)
+    }
+    val p3 = passOver(unstable)
     val shots = names.map { n =>
-      val ld = loadAvg()
-      val r1 = materialize(n, sfDir); hygiene()
-      val r2 = materialize(n, sfDir); hygiene()
-      n -> (r1, r2, ld)
+      n -> (Seq(p1(n), p2(n)) ++ p3.get(n))
     }
-    val results = shots.map { case (n, (r1, r2, _)) =>
-      n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
-    }
+    val results = shots.map { case (n, rs) => n -> best(rs.map(_._1)) }
 
     val sfName = new java.io.File(sfDir).getName
     val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]"""

@@ -59,20 +59,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(totalOf(full) == totalOf(line))
   }
 
-  test("renderDetail carries both shots and the per-query load trace; " +
+  test("renderDetail carries all shots and the per-query load trace; " +
     "composes with renderFull without breaking the line contract") {
     val shots = Seq(
-      "q_fast" -> (0.101, 0.099, 1.5),
-      "q_fail" -> (-1.0, 2.0, 2.25))
+      "q_fast" -> Seq((0.101, 1.5), (0.099, 1.6)),
+      "q_jitter" -> Seq((0.3, 1.75), (0.2, 1.8), (0.21, 1.9)), // 3rd pass
+      "q_fail" -> Seq((-1.0, 2.25), (2.0, 2.3)))
     val detail = Bench.renderDetail(shots)
-    assert(detail.contains(""""shots":{"q_fast":[0.101,0.099],"q_fail":[-1,2.000]}"""),
+    assert(detail.contains(
+      """"shots":{"q_fast":[0.101,0.099],"q_jitter":[0.300,0.200,0.210],"q_fail":[-1,2.000]}"""),
       detail)
-    assert(detail.contains(""""loads":{"q_fast":1.500,"q_fail":2.250}"""),
+    assert(detail.contains(
+      """"loads":{"q_fast":[1.500,1.600],"q_jitter":[1.750,1.800,1.900],"q_fail":[2.250,2.300]}"""),
       detail)
     // as the full artifact's extra: still one JSON object ending in sf
-    val results = shots.map { case (n, (r1, r2, _)) =>
-      n -> (if (r1 < 0 || r2 < 0) math.max(r1, r2) else math.min(r1, r2))
-    }
+    val results = shots.map { case (n, rs) => n -> Bench.best(rs.map(_._1)) }
+    assert(results.toMap.apply("q_jitter") == 0.2)
+    assert(results.toMap.apply("q_fail") == 2.0) // one good shot survives
+    assert(Bench.best(Seq(-1.0, -1.0)) == -1.0) // all-fail keeps the marker
     val full = Bench.renderFull(results, "sf0.1",
       extra = ""","load":[1.5,2.25]""" + detail)
     assert(full.endsWith(""","sf":"sf0.1"}"""), full)

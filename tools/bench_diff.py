@@ -37,9 +37,14 @@ def main(old_path, new_path, threshold=1.25):
         print(f"load:  {old.get('load')} -> {new.get('load')}")
     loads = new.get("loads", {})
     if loads:
-        vals = [v for v in loads.values() if v >= 0]
+        # per-query loads are a list per shot (pass-separated protocol)
+        # or a single float (older artifacts) — flatten either
+        vals = []
+        for v in loads.values():
+            vals.extend(x for x in (v if isinstance(v, list) else [v])
+                        if x >= 0)
         if vals:
-            print(f"new-run per-query load: min {min(vals):.2f}"
+            print(f"new-run per-shot load: min {min(vals):.2f}"
                   f"  median {statistics.median(vals):.2f}"
                   f"  max {max(vals):.2f}")
     both = sorted(set(oq) & set(nq))
