@@ -597,12 +597,43 @@ object TextDedup {
     df.select(col(idCol).as("doc"),
       simHashUdf(tokens(col(textCol))).as("simhash"))
 
+  /** 128-bit SimHash as two independent 64-bit halves — the high half
+    * votes on the raw token hashes, the low half on salted ones, so the
+    * bits are mutually independent. One token pass computes both.
+    */
+  private[operators] def simHash128(toks: Seq[String]): (Long, Long) =
+    (simHash64(toks), simHash64(toks.map("\u0001" + _)))
+
+  private val simHash128Udf = udf { (toks: Seq[String]) =>
+    simHash128(if (toks == null) Nil else toks)
+  }
+
+  /** (doc, sh_hi, sh_lo) 128-bit fingerprints for [[simHashPairs128]]. */
+  def simHashes128(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        simHash128Udf(tokens(col(textCol))).as("f"))
+      .select(col("doc"), col("f._1").as("sh_hi"), col("f._2").as("sh_lo"))
+
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3).
     *
     * The 64-bit fingerprint is cut into 4 16-bit bands; by pigeonhole any
     * pair within hamming distance 3 agrees on ≥1 band, so the band-bucket
     * join has **exact recall** — no probabilistic misses — while shuffling
     * only (band, value) keys.
+    *
+    * REGIME BOUND (measured round 12, the fz1 lesson applied here): a
+    * 16-bit band has only 65 536 buckets, so on a low-entropy or merely
+    * LARGE corpus the buckets crowd and the band join's candidate volume
+    * (Σ bucketsize²) reverts toward n²/2^16-class — probed at 26·rows on
+    * sf0.1 documents but 373·rows at sf1 (~143× pairs per 10× docs)
+    * while wall-clock still read an innocent 3×. This ceiling is
+    * INHERENT to exact hamming≤3 recall over a 64-bit fingerprint (the
+    * pigeonhole needs ≥4 bands and 64 bits only give 16-bit bands); the
+    * corpus-scale path is [[simHashPairs128]], whose 32-bit bands keep
+    * the same exact-recall construction with 65 536× the bucket entropy
+    * (budget-pinned flat in `LshBucketBudgetSpec`). Prefer it beyond
+    * ~10⁵ docs; this form remains for the 64-bit fingerprint contract.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
@@ -621,4 +652,91 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** [[simHashPairs]] over the 128-bit fingerprint with COMBINATION
+    * banding — the corpus-scale twin. Naive wider bands don't survive a
+    * low-entropy corpus: measured here, the 64-bit form's 16-bit
+    * buckets ran 26·rows → 373·rows across sf0.1→sf1 (~143× pairs per
+    * 10× docs), and even 32-bit single-piece bands still grew 1.75 →
+    * 10.4 — fingerprints of long docs converge toward the vocabulary's
+    * per-bit CONSENSUS, so whole uncontested windows coincide across
+    * distinct fingerprints (99.8% of sf1 fingerprints are distinct; the
+    * crowding is window agreement, not duplication). The fix is the
+    * classic multi-index Hamming-search pigeonhole over PIECE
+    * COMBINATIONS: split the 128 bits into 5 pieces (26/26/26/25/25);
+    * ≤ 3 errors damage ≤ 3 pieces, leaving ≥ 2 clean, so any pair
+    * within hamming 3 agrees EXACTLY on at least one of the C(5,2)=10
+    * piece pairs. Each doc emits 10 (combo, joined-pieces) keys — ~51
+    * bits of required agreement per key vs 32 for single-piece bands —
+    * and the bucket join keeps exact recall (no-false-negative key
+    * construction: key equality ⇔ both pieces equal) while candidate
+    * volume stays near-linear on the same corpus (budget-pinned in
+    * `LshBucketBudgetSpec`). The finer fingerprint also makes
+    * hamming ≤ 3 over 128 bits a strictly tighter near-dup criterion
+    * than over 64, which is why this is a twin (d3b) rather than a
+    * drop-in replacement — identical-text pairs (hamming 0, the oracle
+    * surface) are found by both.
+    */
+  def simHashPairs128(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "5-piece / 2-clean combination guarantee holds up to 3")
+    val banded = simHash128BandKeys(simHashes128(df, idCol, textCol))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        (bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi"))) +
+          bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The 5 pieces of the 128-bit fingerprint (26/26/26/25/25 bits,
+    * covering all 128 exactly; piece 2 spans the hi/lo boundary). Each
+    * value fits an Int.
+    */
+  private[operators] def hammingPieces(hi: Long, lo: Long): Array[Int] =
+    Array(
+      ((hi >>> 38) & 0x3FFFFFFL).toInt, // hi bits 63..38 (26)
+      ((hi >>> 12) & 0x3FFFFFFL).toInt, // hi bits 37..12 (26)
+      (((hi & 0xFFFL) << 14) | (lo >>> 50)).toInt, // hi 11..0 + lo 63..50 (26)
+      ((lo >>> 25) & 0x1FFFFFFL).toInt, // lo bits 49..25 (25)
+      (lo & 0x1FFFFFFL).toInt) // lo bits 24..0 (25)
+
+  /** The 10 combination keys for one fingerprint: for every piece pair
+    * (i, j), i < j, the combo id i*5+j with both piece values packed
+    * into one long (pieces are < 2^26, so `(p_i << 26) | p_j` is
+    * injective — equal key ⇔ both pieces equal; zero false negatives).
+    */
+  private val combo128Udf = udf { (hi: Long, lo: Long) =>
+    val p = hammingPieces(hi, lo)
+    val out = new Array[(Int, Long)](10)
+    var k = 0
+    var i = 0
+    while (i < 5) {
+      var j = i + 1
+      while (j < 5) {
+        out(k) = (i * 5 + j, (p(i).toLong << 26) | p(j).toLong)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** (doc, sh_hi, sh_lo, band, bv) rows — [[simHashPairs128]]'s exact
+    * combination-band key expression, `private[graft]` so
+    * `LshBucketBudgetSpec` audits the production key (the
+    * [[bandedKeys]] discipline). `band` is the combo id (which piece
+    * pair), `bv` the packed piece values.
+    */
+  private[graft] def simHash128BandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc"), col("sh_hi"), col("sh_lo"),
+        explode(combo128Udf(col("sh_hi"), col("sh_lo"))).as("c"))
+      .select(col("doc"), col("sh_hi"), col("sh_lo"),
+        col("c._1").as("band"), col("c._2").as("bv"))
 }

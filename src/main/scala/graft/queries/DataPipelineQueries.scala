@@ -94,6 +94,31 @@ object DataPipelineQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // d3's corpus-scale twin (round 12): same planted-copy recall
+    // surface through the 128-bit fingerprint's 4×32-bit bands. The
+    // 64-bit form's 16-bit buckets CROWD on large/low-entropy corpora —
+    // candidate volume probed at 26·rows (sf0.1) vs 373·rows (sf1),
+    // ~143× pairs per 10× docs, a quadratic wall-clock hadn't shown
+    // yet — while the 32-bit bands stay flat (budget-pinned in
+    // LshBucketBudgetSpec). Same exact pigeonhole recall; identical
+    // oracle because identical-text pairs are hamming 0 under any
+    // fingerprint width.
+    "d3b_simhash_wide" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+      val pairs = TextDedup.simHashPairs128(corpus, "doc_id", "text")
+      val hashes = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      pairs
+        .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")),
+          "doc_a")
+        .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+          "doc_b")
+        .filter(col("ha") === col("hb"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     // exact n-gram Jaccard via inverted-index self-join
     "d4_ngram_jaccard" -> ((s, d) =>
       TextDedup.jaccardPairs(table(s, d, "documents"), "doc_id", "text")),
@@ -607,6 +632,14 @@ object DataPipelineQueries {
     // md5-equal pairs must appear at hamming 0 — DuckDB enumerates the
     // pairs, 0 is the only possible hamming for identical fingerprints
     "d3_simhash" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)""".stripMargin,
+    // identical to d3's oracle: identical-text pairs are hamming 0
+    // under any fingerprint width — identical output is the contract
+    "d3b_simhash_wide" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         | UNION ALL
         | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)

@@ -140,6 +140,26 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // near-dup docs land within hamming 3
   }
 
+  test("simhash128 combination bands recall every pair with hamming ≤ 3 " +
+    "over the wide fingerprint (5-piece / 2-clean pigeonhole)") {
+    val sigs = TextDedup.simHashes128(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, hiA, loA) <- sigs; (b, hiB, loB) <- sigs if a < b
+      d = java.lang.Long.bitCount(hiA ^ hiB) +
+        java.lang.Long.bitCount(loA ^ loB) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = TextDedup.simHashPairs128(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    // exact dups land at hamming 0 under any width; the wide metric is
+    // strictly tighter, so its pair set is a subset of the 64-bit one
+    assert(brute.nonEmpty)
+    val narrow = TextDedup.simHashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded.map(p => (p._1, p._2)).subsetOf(narrow))
+  }
+
   test("shingles are distinct n-grams in order-insensitive set form") {
     val sh = Seq((1L, "x y x y x")).toDF("doc_id", "text")
       .select(TextDedup.shingles(col("text"), 2).as("s"))

@@ -63,6 +63,46 @@ class LshBucketBudgetSpec extends SparkSpec {
       s"LSH bucket volume $vol exceeds budget ${factor}·$rows at sf1")
   }
 
+  /** d3b's combination-band buckets, same accounting. The probes that
+    * shaped d3b: the 64-BIT form's 16-bit buckets measured 26·rows
+    * (sf0.1) → 373·rows (sf1) — ~143× pairs per 10× docs, quadratic
+    * behind a 3× wall-clock — and a first-cut 32-bit single-piece
+    * banding STILL grew 1.75 → 10.4, because long docs' fingerprints
+    * converge toward the vocabulary's per-bit consensus and whole
+    * uncontested windows coincide across distinct fingerprints. The
+    * shipped 5-piece/C(5,2) combination banding (~51 bits of required
+    * agreement per key) measures 1.03 → 1.11 — flat — and this test
+    * pins it there. The 64-bit form's crowding is its documented regime
+    * bound (simHashPairs scaladoc), not a budget — its ceiling is
+    * inherent, the budget belongs on the scale path.
+    */
+  private def simhashWideVolume(dir: String): (Long, Long) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val banded = TextDedup.simHash128BandKeys(
+      TextDedup.simHashes128(docs, "doc_id", "text"))
+      .select(struct(col("band"), col("bv")).as("k"))
+    (BlockingBudget.candidatePairVolume(banded, col("k"), banded, col("k")),
+      banded.count())
+  }
+
+  test("d3b's combination bands stay inside the crowding budget at sf0.1") {
+    val (vol, rows) = simhashWideVolume("/root/testdata/sf0.1")
+    info(f"sf0.1: volume $vol over $rows banded rows -> " +
+      f"factor ${vol.toDouble / rows}%.2f")
+    assert(vol <= factor * rows,
+      s"simhash128 bucket volume $vol exceeds budget ${factor}·$rows")
+  }
+
+  test("d3b's combination bands stay inside the crowding budget at sf1") {
+    assume(graft.Sf1Tier.available(spark),
+      "sf1 tier generation skipped via SPARK_GRAFT_SKIP_SF1=1")
+    val (vol, rows) = simhashWideVolume(graft.Sf1Tier.dir)
+    info(f"sf1: volume $vol over $rows banded rows -> " +
+      f"factor ${vol.toDouble / rows}%.2f")
+    assert(vol <= factor * rows,
+      s"simhash128 bucket volume $vol exceeds budget ${factor}·$rows at sf1")
+  }
+
   test("a boilerplate-dominated corpus TRIPS the crowding budget") {
     // 2000 docs, 90% sharing one text: every band key of the duplicated
     // doc collides with all its copies — volume ≈ bands·(0.9n)² ≫

@@ -40,7 +40,11 @@ class ScalingSpecSf1 extends SparkSpec {
     // (n^1.3, documented in its scaladoc). The 12× bound is NOT linear
     // headroom; it distinguishes that contract from a regression to the
     // ~16× quadratic signature.
-    "d5_cosine_near_dup" -> 12.0)
+    "d5_cosine_near_dup" -> 12.0,
+    // r12 combination-banded scale twin: measured 2.0× wall-clock and
+    // 1.03→1.11 candidate volume at this step (LshBucketBudgetSpec owns
+    // the volume bound; this is the coarse wall-clock backstop)
+    "d3b_simhash_wide" -> 20.0)
 
   test("risky families stay inside their bounds at the sf1 tier") {
     assume(graft.Sf1Tier.available(spark),

@@ -36,7 +36,8 @@ class ScanPruningSpec extends SparkSpec {
       "ct2_ngram_decontamination" -> text, "cur1_curation" -> text,
       "cur2_curation_v2" -> text, "cur3_bpe_curation" -> text,
       "d1_exact_dedup" -> text, "d2_minhash_lsh" -> text,
-      "d3_simhash" -> text, "d4_ngram_jaccard" -> text,
+      "d3_simhash" -> text, "d3b_simhash_wide" -> text,
+      "d4_ngram_jaccard" -> text,
       "dsir1_importance_weights" -> text, "ex2_jsonl_export" -> text,
       "f4_null_guard" -> text, "ff1_filter_funnel" -> text,
       "fq1_mean_token_freq" -> text, "fr1_token_frequency" -> text,

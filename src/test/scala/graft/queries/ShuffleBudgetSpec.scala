@@ -57,6 +57,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "d1_exact_dedup" -> 1,
     "d2_minhash_lsh" -> 4,
     "d3_simhash" -> 1,
+    "d3b_simhash_wide" -> 1,
     "d4_ngram_jaccard" -> 1,
     "d5_cosine_near_dup" -> 0,
     "d5b_banded_near_dup" -> 1,
