@@ -78,8 +78,12 @@ object TextDedup {
     * zero-allocation: no shingle string is ever materialized and no UDF
     * boundary is crossed.
     */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
+  /** `private[graft]` so `LshBucketBudgetSpec` audits the inverted
+    * index's Σ df² candidate volume over the exact production
+    * expression (the [[bandedKeys]] discipline).
+    */
+  private[graft] def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
       explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
         .as("sh"))

@@ -3,17 +3,19 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Bucket-crowding budget for the MinHash-LSH band join (d2/il1/mh1/dc1
-  * family) — [[FuzzyBlockingBudgetSpec]]'s cost model applied to the
-  * library's second blocked-join family. The band join's candidate
-  * volume is Σ bucketsize² over (band, bandhash) buckets: hash-spread
-  * signatures keep buckets near-singleton (volume ≈ n·bands), while
-  * crowding — a corpus drifting toward boilerplate, a degenerate
-  * shingle space, or a too-coarse banding — reverts the join toward n²
-  * with no plan-shape change. fz1's prefix key hid exactly this shape
-  * from the wall-clock sweep; this spec pins the LSH buckets to the
-  * same falsifiable number, over the EXACT key expression the joins
-  * use ([[TextDedup.bandedKeys]], d2's production parameters).
+/** Bucket-crowding budgets for the hash-bucketed dedup joins —
+  * [[FuzzyBlockingBudgetSpec]]'s cost model applied to the other three
+  * blocked-join families: d2/il1/mh1/dc1's MinHash band buckets,
+  * d3b's SimHash combination bands, and d4's shingle inverted index.
+  * Each join's candidate volume is Σ bucketsize² over its keys:
+  * hash-spread keys stay near-singleton (volume ≈ rows), while
+  * crowding — a corpus drifting toward boilerplate, a collapsing
+  * vocabulary, a too-coarse banding — reverts the join toward n² with
+  * no plan-shape change. fz1's prefix key (and d3's 16-bit bands) hid
+  * exactly this shape from the wall-clock sweep; this spec pins every
+  * bucket family to the same falsifiable number, over the EXACT key
+  * expressions the production joins use ([[TextDedup.bandedKeys]],
+  * [[TextDedup.simHash128BandKeys]], [[TextDedup.shingleIndex]]).
   *
   * Budget calibration: with 5-shingles and 16×2 banding the harness
   * corpora measure volume/rows 1.10 at sf0.1 and 1.06 at sf1 — FLAT
@@ -101,6 +103,44 @@ class LshBucketBudgetSpec extends SparkSpec {
       f"factor ${vol.toDouble / rows}%.2f")
     assert(vol <= factor * rows,
       s"simhash128 bucket volume $vol exceeds budget ${factor}·$rows at sf1")
+  }
+
+  /** d4's inverted-index self-join, same accounting: candidate volume is
+    * Σ df² over shingle hashes. High-order shingles (5-grams) keep df
+    * near 1 on natural text; a drifting corpus (template boilerplate, a
+    * collapsing vocabulary) concentrates df and reverts the join toward
+    * n² — the exact risk `maxShingleDocFreq` exists to cap, measured
+    * here so the default (uncapped) path fails loudly when the regime
+    * changes instead of silently squaring. With this, all three dedup
+    * blocked-join families (prefix, LSH bands, inverted index) carry
+    * the same frozen pair-volume bound.
+    */
+  private def shingleVolume(dir: String): (Long, Long) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = TextDedup.shingleIndex(docs, "doc_id", "text", n = 5)
+    (BlockingBudget.candidatePairVolume(idx, col("sh"), idx, col("sh")),
+      idx.count())
+  }
+
+  test("d4's shingle inverted index stays inside the crowding budget " +
+    "at sf0.1") {
+    val (vol, rows) = shingleVolume("/root/testdata/sf0.1")
+    info(f"sf0.1: volume $vol over $rows index rows -> " +
+      f"factor ${vol.toDouble / rows}%.2f")
+    assert(vol <= factor * rows,
+      s"shingle-index volume $vol exceeds budget ${factor}·$rows — " +
+        "document-frequency is concentrating (cap with maxShingleDocFreq)")
+  }
+
+  test("d4's shingle inverted index stays inside the crowding budget " +
+    "at sf1") {
+    assume(graft.Sf1Tier.available(spark),
+      "sf1 tier generation skipped via SPARK_GRAFT_SKIP_SF1=1")
+    val (vol, rows) = shingleVolume(graft.Sf1Tier.dir)
+    info(f"sf1: volume $vol over $rows index rows -> " +
+      f"factor ${vol.toDouble / rows}%.2f")
+    assert(vol <= factor * rows,
+      s"shingle-index volume $vol exceeds budget ${factor}·$rows at sf1")
   }
 
   test("a boilerplate-dominated corpus TRIPS the crowding budget") {
