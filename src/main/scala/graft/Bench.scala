@@ -195,15 +195,19 @@ object Bench {
       }.toMap
     // Two whole-catalog passes put ~a full run length between each
     // query's samples (a transient host stall poisons at most one),
-    // then an adaptive third pass covers only the queries whose two
-    // shots disagreed by >20% — where the min is still noise-dominated.
+    // then an adaptive third pass covers the queries whose two shots
+    // disagreed by >20% — where the min is still noise-dominated — AND
+    // any query with a failed shot: a one-good-shot query is the
+    // least-confirmed entry in the run (its "minimum" is a single
+    // sample, possibly stall-inflated), and a both-failed query gets
+    // one recovery chance before the -1 marker sticks.
     // The per-shot load samples land in the full artifact so a slow
     // entry can be attributed to ambient load, not a plan change.
     val p1 = passOver(names)
     val p2 = passOver(names)
     val unstable = names.filter { n =>
       val (a, _) = p1(n); val (b, _) = p2(n)
-      a > 0 && b > 0 && math.abs(a - b) > 0.2 * math.min(a, b)
+      a < 0 || b < 0 || math.abs(a - b) > 0.2 * math.min(a, b)
     }
     val p3 = passOver(unstable)
     val shots = names.map { n =>
@@ -237,7 +241,11 @@ object Bench {
     // committed snapshot predated three queries). Detection, not an env
     // contract: the harness controls its argv/env, the cwd layout is
     // ours. Skipped silently when no BENCH_r files exist (dev runs
-    // outside the repo root).
+    // outside the repo root). Numbering semantics: BENCH_r<N> lands
+    // AFTER round N's bench runs, so during round N the max is N-1 and
+    // the stamp is N; a rerun after the round closes stamps N+1 —
+    // deliberate, because that run happens inside round N+1's build and
+    // is the baseline the N+1 driver run will overwrite.
     try {
       val re = """BENCH_r(\d+)\.json""".r
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten

@@ -31,10 +31,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * spec-asserted on randomized arrays including ties, NaN, and
   * boundary values. Null handling is the family's: null array or null
   * value → null (callers coalesce to band 0, the same result the
-  * filter form gives for a null score); arrays with NULLABLE ELEMENTS
-  * are rejected at analysis time (the filter form drops null elements —
-  * a binary search can't — and percentile_approx output is
-  * containsNull=false, so the family never sees them).
+  * filter form gives for a null score). Arrays typed with NULLABLE
+  * elements (containsNull=true — e.g. built via `array(...)` over
+  * nullable columns, `transform`, or a from_json schema) stay
+  * supported with filter-form semantics: null elements count as "not
+  * below" (the filter drops them), via a linear non-null count instead
+  * of the binary search — chosen at PLAN time from the static type, so
+  * the fast path pays nothing. percentile_approx emits
+  * containsNull=false, so the banding family always binary-searches.
   *
   * Supported element types: int, bigint, float, double — integrals
   * compare as long (exact), fractionals as double (float→double is
@@ -47,50 +51,63 @@ case class SortedCountBelow(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    // containsNull arrays are rejected at analysis: a null element would
-    // make the primitive getters read garbage (0) and silently diverge
-    // from the documented bit-equality with size(filter(...)), which
-    // DROPS null-predicate elements. The family is unaffected —
-    // percentile_approx emits containsNull=false — but this is a public
-    // Column surface.
-    case ArrayType(et, false)
+    case ArrayType(et, _)
       if et == right.dataType &&
         Seq[DataType](IntegerType, LongType, FloatType, DoubleType)
           .contains(et) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      "sorted_count_below requires (array<T> with non-null elements, T) " +
-        s"with T in {int, bigint, float, double}; got ($other, " +
-        s"${right.dataType})")
+      "sorted_count_below requires (array<T>, T) with T in " +
+        s"{int, bigint, float, double}; got ($other, ${right.dataType})")
   }
 
   @transient private lazy val elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
+  // Plan-time dispatch: containsNull=false element types take the
+  // zero-allocation binary search; nullable-element types take the
+  // linear non-null count whose semantics are bit-equal to the filter
+  // form (which DROPS null elements). The flag is static, so the fast
+  // path carries no per-row branch.
+  @transient private lazy val nullableElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+
+  private def fnName: String = (elemType, nullableElems) match {
+    case (IntegerType, false) => "countBelowInt"
+    case (LongType, false) => "countBelowLong"
+    case (FloatType, false) => "countBelowFloat"
+    case (DoubleType, false) => "countBelowDouble"
+    case (IntegerType, true) => "countBelowIntNullable"
+    case (LongType, true) => "countBelowLongNullable"
+    case (FloatType, true) => "countBelowFloatNullable"
+    case (DoubleType, true) => "countBelowDoubleNullable"
+  }
+
   override def nullSafeEval(arr: Any, v: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
-    elemType match {
-      case IntegerType =>
+    fnName match {
+      case "countBelowInt" =>
         SortedCountBelow.countBelowInt(a, v.asInstanceOf[Int])
-      case LongType =>
+      case "countBelowLong" =>
         SortedCountBelow.countBelowLong(a, v.asInstanceOf[Long])
-      case FloatType =>
+      case "countBelowFloat" =>
         SortedCountBelow.countBelowFloat(a, v.asInstanceOf[Float])
-      case DoubleType =>
+      case "countBelowDouble" =>
         SortedCountBelow.countBelowDouble(a, v.asInstanceOf[Double])
+      case "countBelowIntNullable" =>
+        SortedCountBelow.countBelowIntNullable(a, v.asInstanceOf[Int])
+      case "countBelowLongNullable" =>
+        SortedCountBelow.countBelowLongNullable(a, v.asInstanceOf[Long])
+      case "countBelowFloatNullable" =>
+        SortedCountBelow.countBelowFloatNullable(a, v.asInstanceOf[Float])
+      case "countBelowDoubleNullable" =>
+        SortedCountBelow.countBelowDoubleNullable(a, v.asInstanceOf[Double])
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    val fn = elemType match {
-      case IntegerType => "countBelowInt"
-      case LongType => "countBelowLong"
-      case FloatType => "countBelowFloat"
-      case DoubleType => "countBelowDouble"
-    }
+                                   ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, v) =>
-      s"${ev.value} = graft.functions.SortedCountBelow.$fn($a, $v);")
-  }
+      s"${ev.value} = graft.functions.SortedCountBelow.$fnName($a, $v);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -147,5 +164,47 @@ object SortedCountBelow {
       if (a.getInt(mid) < v) lo = mid + 1 else hi = mid
     }
     lo
+  }
+
+  // Nullable-element forms: linear count of NON-NULL elements strictly
+  // below v — bit-equal to size(filter(arr, c -> v > c)), which drops
+  // null-predicate elements. Linear because null slots break the sorted
+  // order a binary search needs; these arrays are public-caller inputs
+  // (percentile cuts are never nullable) and band-count-sized.
+  def countBelowIntNullable(a: ArrayData, v: Int): Int = {
+    var c = 0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getInt(i) < v) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def countBelowLongNullable(a: ArrayData, v: Long): Int = {
+    var c = 0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getLong(i) < v) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def countBelowFloatNullable(a: ArrayData, v: Float): Int = {
+    var c = 0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i) && nanSafeLt(a.getFloat(i).toDouble, v.toDouble))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  def countBelowDoubleNullable(a: ArrayData, v: Double): Int = {
+    var c = 0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i) && nanSafeLt(a.getDouble(i), v)) c += 1
+      i += 1
+    }
+    c
   }
 }

@@ -31,23 +31,23 @@ object BlockingBudget {
 
   /** Per-block candidate counts, heaviest first: `(block, left_n,
     * right_n, pairs)` — the attribution surface when [[candidatePairVolume]]
-    * trips a budget (WHICH prefix went hot). Null block keys are kept:
-    * a null-keyed block is a real (and classically hot) bucket in the
-    * join that uses the same key — callers who pre-filter nulls before
-    * joining should pre-filter here identically.
+    * trips a budget (WHICH prefix went hot). Accounts for a standard
+    * `=` equi-join: null block keys produce NO candidate pairs (SQL
+    * equality never matches null to null), so null-keyed rows are
+    * excluded — every production join audited here uses `=`. A caller
+    * whose join treats null as a value (`<=>`) should coalesce the key
+    * to a sentinel before joining AND before auditing, which also
+    * surfaces that bucket for attribution.
     */
   def blockProfile(left: DataFrame, leftKey: Column,
                    right: DataFrame, rightKey: Column): DataFrame = {
     val lc = left.groupBy(leftKey.as("block"))
-      .agg(count(lit(1)).as("left_n"))
+      .agg(count(lit(1)).as("left_n")).filter(col("block").isNotNull)
     val rc = right.groupBy(rightKey.as("block"))
-      .agg(count(lit(1)).as("right_n"))
+      .agg(count(lit(1)).as("right_n")).filter(col("block").isNotNull)
     // inner join on the block: keys present on one side only produce no
-    // candidate pairs, exactly as in the real equi-join (null-safe so a
-    // null block matches a null block — as the <=> caller's join would;
-    // an = caller's null blocks produce no pairs on BOTH sides of the
-    // accounting, so the volume still matches its join)
-    lc.join(rc, lc("block") <=> rc("block"))
+    // candidate pairs, exactly as in the real equi-join
+    lc.join(rc, lc("block") === rc("block"))
       .select(lc("block"), col("left_n"), col("right_n"),
         (col("left_n") * col("right_n")).as("pairs"))
       .orderBy(col("pairs").desc)

@@ -601,12 +601,47 @@ object TextDedup {
     df.select(col(idCol).as("doc"),
       simHashUdf(tokens(col(textCol))).as("simhash"))
 
-  /** 128-bit SimHash as two independent 64-bit halves — the high half
-    * votes on the raw token hashes, the low half on salted ones, so the
-    * bits are mutually independent. One token pass computes both.
+  /** splitmix64 finalizer (public-domain mixing constants): full-
+    * avalanche scramble, used to derive the low half's per-token hash
+    * from the high half's without a second hash pass or allocation.
     */
-  private[operators] def simHash128(toks: Seq[String]): (Long, Long) =
-    (simHash64(toks), simHash64(toks.map("\u0001" + _)))
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 128-bit SimHash as two 64-bit halves voted in ONE token pass: the
+    * high half votes on fnv1a64(token), the low half on its splitmix64
+    * scramble — full-avalanche, so the halves' bits are mutually
+    * decorrelated without hashing twice or allocating salted token
+    * copies (this UDF fingerprints the whole corpus for d3b; per-token
+    * work is the dominant cost).
+    */
+  private[operators] def simHash128(toks: Seq[String]): (Long, Long) = {
+    val votesHi = new Array[Int](64)
+    val votesLo = new Array[Int](64)
+    toks.foreach { t =>
+      val h1 = fnv1a64(t)
+      val h2 = mix64(h1)
+      var bit = 0
+      while (bit < 64) {
+        if (((h1 >>> bit) & 1L) == 1L) votesHi(bit) += 1
+        else votesHi(bit) -= 1
+        if (((h2 >>> bit) & 1L) == 1L) votesLo(bit) += 1
+        else votesLo(bit) -= 1
+        bit += 1
+      }
+    }
+    var hi = 0L; var lo = 0L; var bit = 0
+    while (bit < 64) {
+      if (votesHi(bit) > 0) hi |= (1L << bit)
+      if (votesLo(bit) > 0) lo |= (1L << bit)
+      bit += 1
+    }
+    (hi, lo)
+  }
 
   private val simHash128Udf = udf { (toks: Seq[String]) =>
     simHash128(if (toks == null) Nil else toks)
@@ -634,10 +669,11 @@ object TextDedup {
     * while wall-clock still read an innocent 3×. This ceiling is
     * INHERENT to exact hamming≤3 recall over a 64-bit fingerprint (the
     * pigeonhole needs ≥4 bands and 64 bits only give 16-bit bands); the
-    * corpus-scale path is [[simHashPairs128]], whose 32-bit bands keep
-    * the same exact-recall construction with 65 536× the bucket entropy
-    * (budget-pinned flat in `LshBucketBudgetSpec`). Prefer it beyond
-    * ~10⁵ docs; this form remains for the 64-bit fingerprint contract.
+    * corpus-scale path is [[simHashPairs128]], whose 5-piece/C(5,2)
+    * COMBINATION banding keeps the exact-recall construction while
+    * requiring ~51 bits of agreement per key (budget-pinned flat in
+    * `LshBucketBudgetSpec`). Prefer it beyond ~10⁵ docs; this form
+    * remains for the 64-bit fingerprint contract.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {

@@ -95,14 +95,16 @@ object DataPipelineQueries {
     }),
 
     // d3's corpus-scale twin (round 12): same planted-copy recall
-    // surface through the 128-bit fingerprint's 4×32-bit bands. The
+    // surface through the 128-bit fingerprint's 5-piece/C(5,2)
+    // COMBINATION bands (~51 bits of required agreement per key). The
     // 64-bit form's 16-bit buckets CROWD on large/low-entropy corpora —
     // candidate volume probed at 26·rows (sf0.1) vs 373·rows (sf1),
     // ~143× pairs per 10× docs, a quadratic wall-clock hadn't shown
-    // yet — while the 32-bit bands stay flat (budget-pinned in
-    // LshBucketBudgetSpec). Same exact pigeonhole recall; identical
-    // oracle because identical-text pairs are hamming 0 under any
-    // fingerprint width.
+    // yet; even 32-bit single-piece bands grew 1.75→10.4 (consensus
+    // windows) — while the combination bands stay flat at 1.02→1.08
+    // (budget-pinned in LshBucketBudgetSpec). Same exact pigeonhole
+    // recall; identical oracle because identical-text pairs are
+    // hamming 0 under any fingerprint width.
     "d3b_simhash_wide" -> ((s, d) => {
       val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") % 20 === 0)

@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Build-gated sf1 tier: `ensure` generates the 10× scale tier ONCE per
-  * machine (deterministic [[TestDataGen]], ~175 MB, ~1-2 min on the test
-  * session) and returns its path, so a fresh-clone `sbt test` exercises
-  * the 10× scaling regime instead of silently cancelling it — the
-  * round-11 verdict's "plain CI never checks the bound" gap. The
+/** Build-gated sf1 tier: [[available]] generates the 10× scale tier
+  * ONCE per machine (deterministic [[TestDataGen]], ~175 MB, ~1-2 min
+  * on the test session), so a fresh-clone `sbt test` exercises the 10×
+  * scaling regime instead of silently cancelling it — the round-11
+  * verdict's "plain CI never checks the bound" gap. The
   * `_TIER_COMPLETE` marker is written last by the generator; a tier
   * without it (crash mid-generation, or a pre-marker checkout) is
   * regenerated in place — overwrite-mode writes make that idempotent.
@@ -25,7 +25,7 @@ object Sf1Tier {
   def skipped: Boolean = sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
 
   /** Generate-if-absent under a process-wide gate (suites share the test
-    * JVM; concurrent ensure calls must not race the overwrite writes).
+    * JVM; concurrent calls must not race the overwrite writes).
     * Returns true when the tier is present and complete.
     */
   def available(spark: SparkSession): Boolean = synchronized {

@@ -173,7 +173,7 @@ object TestDataGen {
     save(documents(spark, nDocs), "documents", 4)
     save(embeddings(spark, nVecs), "embeddings", 2)
     // completion marker, written LAST: a crash mid-generation must not
-    // leave a tier that [[Sf1Tier.ensure]] would trust — the dc2/sim4
+    // leave a tier that [[Sf1Tier.available]] would trust — the dc2/sim4
     // marker-written-last discipline for compute-if-absent state
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "_TIER_COMPLETE"),

@@ -75,16 +75,26 @@ class SortedCountBelowSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)) && out.forall(_.getInt(1) == 0))
   }
 
-  test("nullable-ELEMENT arrays are rejected at analysis (filter form " +
-    "drops null elements; a binary search can't)") {
+  test("nullable-ELEMENT arrays keep filter-form semantics: null " +
+    "elements count as not-below (linear path, chosen at plan time)") {
     // Seq[Option[Double]] encodes as array<double> containsNull=true —
-    // the shape percentile_approx never emits but a caller could hand in
-    val df = Seq((Seq(Option(1.0), None: Option[Double]), 2.0))
-      .toDF("cuts", "v")
-    val ex = intercept[Exception] {
-      df.select(SortedCountBelow.sortedCountBelow($"cuts", $"v")).collect()
+    // the shape percentile_approx never emits but public callers build
+    // via array(...)/transform/from_json. The filter form DROPS null
+    // elements; the nullable linear path must match it exactly.
+    val cases = Seq(
+      (Seq(Option(1.0), None, Option(3.0)), 2.0), // null mid-array
+      (Seq(None: Option[Double], None), 5.0), // all-null
+      (Seq(Option(1.0), Option(2.0)), 2.0), // no actual nulls
+      (Seq(Option(Double.NaN), None, Option(0.0)), 1.0)) // NaN + null
+    val df = cases.toDF("cuts", "v")
+    val got = df.select(
+      coalesce(SortedCountBelow.sortedCountBelow($"cuts", $"v"), lit(-1))
+        .as("native"),
+      coalesce(size(filter($"cuts", c => $"v" > c)), lit(-1)).as("hof"))
+      .as[(Int, Int)].collect()
+    got.zip(cases).foreach { case ((n, h), (cuts, v)) =>
+      assert(n == h, s"cuts=$cuts v=$v native=$n hof=$h")
     }
-    assert(ex.getMessage.contains("sorted_count_below"), ex.getMessage)
   }
 
   test("type mismatch is rejected at analysis, not silently coerced") {

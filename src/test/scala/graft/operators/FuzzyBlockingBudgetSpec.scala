@@ -97,12 +97,12 @@ class FuzzyBlockingBudgetSpec extends SparkSpec {
     val prof = BlockingBudget.blockProfile(
       left, col("k"), right, col("k"))
       .as[(String, Long, Long, Long)].collect()
-    // aa: 2×1=2, ab: 1×2=2, null matches null (<=> accounting): 1×1=1;
-    // zz right-only → absent
-    assert(prof.toSet == Set(("aa", 2L, 1L, 2L), ("ab", 1L, 2L, 2L),
-      (null, 1L, 1L, 1L)))
+    // aa: 2×1=2, ab: 1×2=2; zz right-only → absent; null keys produce
+    // NO pairs (SQL = never matches null — matching every production
+    // join audited by this tool)
+    assert(prof.toSet == Set(("aa", 2L, 1L, 2L), ("ab", 1L, 2L, 2L)))
     assert(prof.head._4 == 2L)
     assert(BlockingBudget.candidatePairVolume(
-      left, col("k"), right, col("k")) == 5L)
+      left, col("k"), right, col("k")) == 4L)
   }
 }

@@ -73,7 +73,7 @@ class LshBucketBudgetSpec extends SparkSpec {
     * converge toward the vocabulary's per-bit consensus and whole
     * uncontested windows coincide across distinct fingerprints. The
     * shipped 5-piece/C(5,2) combination banding (~51 bits of required
-    * agreement per key) measures 1.03 → 1.11 — flat — and this test
+    * agreement per key) measures 1.02 → 1.08 — flat — and this test
     * pins it there. The 64-bit form's crowding is its documented regime
     * bound (simHashPairs scaladoc), not a budget — its ceiling is
     * inherent, the budget belongs on the scale path.

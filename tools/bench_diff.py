@@ -12,6 +12,11 @@ whose NORMALIZED ratio (raw ratio / ambient) moved more than `threshold`
 (default 1.25x in either direction). A uniform slowdown therefore shows
 up once, as the ambient line, instead of as 60 spurious per-query
 regressions; a genuine per-query regression survives normalization.
+CAVEAT the ambient line states explicitly: a change that slows EVERY
+query alike (a session conf, a codegen regression) shifts the median
+exactly like machine drift and is normalized away too - when the
+ambient factor moves, read the load traces and ask whether the round's
+code plausibly touched every query before accepting "machine".
 Recorded system load (whole-run endpoints, plus the per-query trace when
 the artifact carries one) is printed so ambient drift can be attributed.
 Exit code 0 always — this is a lens, not a gate.
@@ -52,9 +57,15 @@ def main(old_path, new_path, threshold=1.25):
               if oq[k] > 0 and nq[k] > 0 and max(oq[k], nq[k]) >= 0.2]
     ambient = statistics.median(ratios) if len(ratios) >= 5 else 1.0
     if len(ratios) >= 5:
+        # A shifted ambient factor means EVERY query moved together.
+        # That is usually machine state (check the load traces), but a
+        # global code change (session conf, codegen regression) shifts
+        # the median identically — the tool cannot tell them apart, so
+        # it says what to check rather than asserting a cause.
         print(f"ambient factor (median ratio, {len(ratios)} queries "
               f">=0.2s): {ambient:.2f}x"
-              + ("  <- uniform machine-state drift, not a plan change"
+              + ("  <- uniform shift: machine drift OR a global change;"
+                 " check load traces and whether code touched every query"
                  if abs(ambient - 1.0) > 0.1 else ""))
     moved = []
     for k in both:
