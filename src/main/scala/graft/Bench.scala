@@ -246,7 +246,10 @@ object Bench {
     // the stamp is N; a rerun after the round closes stamps N+1 —
     // deliberate, because that run happens inside round N+1's build and
     // is the baseline the N+1 driver run will overwrite.
-    try {
+    // Never stamp a FILTERED run: a SPARK_GRAFT_QUERIES profiling run is
+    // a partial map, and stamping it would clobber the committed
+    // complete snapshot with a 2-entry file (happened once).
+    try if (only.isEmpty) {
       val re = """BENCH_r(\d+)\.json""".r
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => re.unapplySeq(f.getName).map(_.head.toInt))

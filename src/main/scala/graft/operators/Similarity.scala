@@ -379,6 +379,17 @@ object Similarity {
   /** Nearest-`p` centroid ids (by squared L2, index tie-break) as columns
     * c0..c(p-1). Tight-loop UDF with the centroid matrix in the closure —
     * the matrix is tiny (≤ a few k × dim) and ships once per executor.
+    *
+    * The c_i columns must come out NON-NULLABLE: they become join keys
+    * (`centroid`/`probe`/`cluster`), and a nullable key makes constraint
+    * propagation re-run this UDF — the O(C·dim) centroid scan, the
+    * operator's dominant per-row cost — as an `isnotnull` DATA FILTER at
+    * the embeddings scan (caught by UdfRefilterSpec on sim2/sim5b/ctr2).
+    * asNonNullable declares the UDF's own guarantee (always exactly p
+    * elements); the coalesce makes the per-element EXTRACTION
+    * non-nullable too, because element_at is nullable by type whenever
+    * the optimizer can't prove the ordinal in bounds — its -1 branch is
+    * unreachable by construction.
     */
   private def assign(vecs: DataFrame, centroids: Array[Array[Double]],
                      p: Int): DataFrame = {
@@ -392,9 +403,9 @@ object Similarity {
         (d, ci)
       }
       dists.sortBy(identity).take(p).map(_._2)
-    }
+    }.asNonNullable()
     val probes = (0 until p).map(i =>
-      element_at(col("_probes"), i + 1).as(s"c$i"))
+      coalesce(element_at(col("_probes"), i + 1), lit(-1)).as(s"c$i"))
     vecs.withColumn("_probes", assignUdf(col("v")))
       .select(col("vid") +: col("v") +: col("nrm") +: probes: _*)
   }

@@ -592,9 +592,12 @@ object TextDedup {
     sig
   }
 
+  // asNonNullable for the same reason as simHash128Udf below; d3's plan
+  // is clean today only because posexplode sits between the UDF and the
+  // join keys, and this keeps it clean if the banding shape changes.
   private val simHashUdf = udf { (toks: Seq[String]) =>
     simHash64(if (toks == null) Nil else toks) // null text → empty-doc hash
-  }
+  }.asNonNullable()
 
   /** (id, simhash) fingerprints. */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -643,9 +646,15 @@ object TextDedup {
     (hi, lo)
   }
 
+  // asNonNullable: the function NEVER returns null (null text → the
+  // empty-doc fingerprint). Without it, the banding join's not-null key
+  // constraints propagate as isnotnull(UDF(...)) DATA FILTERS at the
+  // scan — re-fingerprinting each row purely to decide null-ness (d3b's
+  // plan carried 12 UDF references instead of 4; measured 1.6× at sf1).
+  // UdfRefilterSpec now sweeps the whole catalog for this plan shape.
   private val simHash128Udf = udf { (toks: Seq[String]) =>
     simHash128(if (toks == null) Nil else toks)
-  }
+  }.asNonNullable()
 
   /** (doc, sh_hi, sh_lo) 128-bit fingerprints for [[simHashPairs128]]. */
   def simHashes128(df: DataFrame, idCol: String,
@@ -766,7 +775,7 @@ object TextDedup {
       i += 1
     }
     out.toSeq
-  }
+  }.asNonNullable() // never null — see simHash128Udf's constraint note
 
   /** (doc, sh_hi, sh_lo, band, bv) rows — [[simHashPairs128]]'s exact
     * combination-band key expression, `private[graft]` so
