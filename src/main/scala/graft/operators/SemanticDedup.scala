@@ -66,8 +66,12 @@ object SemanticDedup {
     a.join(b, Seq("cluster"))
       .filter(col("_sd_ida") < col("_sd_idb"))
       .withColumn("_sd_cos", Similarity.cosine(col("_sd_va"), col("_sd_vb")))
-      // null cosine = zero-norm vector: no direction, never a duplicate
-      .filter(col("_sd_cos").isNotNull && col("_sd_cos") >= threshold)
+      // null cosine = zero-norm vector: no direction, never a duplicate.
+      // coalesce(…, -2) — below every valid cosine threshold — rather than
+      // an explicit isNotNull conjunct: the filter is pushed into the join
+      // condition, and a separate isnotnull(cosine(...)) predicate there
+      // re-runs the O(dim) loop per candidate pair (UdfRefilterSpec).
+      .filter(coalesce(col("_sd_cos"), lit(-2d)) >= threshold)
       .select(col("_sd_ida").as("keep_id"), col("_sd_idb").as("drop_id"),
         col("_sd_cos").cast("decimal(18,4)").as("cosine"))
       .distinct()
@@ -189,7 +193,8 @@ object SemanticDedup {
     batchM.join(corpusM, Seq("cluster"))
       .filter(col("_sd_bid") =!= col("_sd_cid"))
       .withColumn("_sd_cos", Similarity.cosine(col("_sd_bv"), col("_sd_cv")))
-      .filter(col("_sd_cos").isNotNull && col("_sd_cos") >= threshold)
+      // coalesce sentinel, not an isNotNull conjunct — see semanticDupPairs
+      .filter(coalesce(col("_sd_cos"), lit(-2d)) >= threshold)
       .select(col("_sd_bid").as("new_id"), col("_sd_cid").as("match_id"),
         col("_sd_cos").cast("decimal(18,4)").as("cosine"))
       .distinct()

@@ -640,8 +640,12 @@ object Similarity {
     }
     val neg = scored
       // null cosine = zero-norm vector (see d5 note): excluded, as is
-      // everything at/above the near-dup threshold
-      .filter(col("_cp_cos").isNotNull && col("_cp_cos") < threshold)
+      // everything at/above the near-dup threshold. coalesce(…, 2) — above
+      // every valid cosine — instead of an isNotNull conjunct: the filter
+      // is pushed into the scoring join, where a separate
+      // isnotnull(cosine(...)) predicate re-runs the O(dim) loop per
+      // candidate pair (UdfRefilterSpec).
+      .filter(coalesce(col("_cp_cos"), lit(2d)) < threshold)
       .withColumn("_cp_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("anchor"))
           .orderBy(col("_cp_cos").desc, col("vid"))))

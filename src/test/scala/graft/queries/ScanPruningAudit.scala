@@ -70,9 +70,15 @@ object ScanPruning {
     */
   def udfNullRefilters(p: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{IsNotNull, ScalaUDF}
+    // The library's native Catalyst expressions (ngram_counts, shingle
+    // hashes, theta estimates, ...) are exactly as expensive per row as
+    // the UDFs they replaced — an IsNotNull re-filter over one is the
+    // same defect in codegen'd clothing.
+    def costly(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.isInstanceOf[ScalaUDF] || e.getClass.getName.startsWith("graft.")
     nodes(p).flatMap { n =>
       n.expressions.flatMap(_.collect {
-        case e: IsNotNull if e.exists(_.isInstanceOf[ScalaUDF]) =>
+        case e: IsNotNull if e.exists(costly) =>
           s"${n.nodeName}: ${e.toString.take(160)}"
       })
     }.distinct
@@ -97,7 +103,7 @@ object ScanPruning {
 /** ONE catalog-wide planning pass shared by the three plan-sweep suites
   * ([[JoinShapeSpec]], [[ScanPruningSpec]], [[ShuffleBudgetSpec]]) — query
   * construction is not free (compute-if-absent state builds, eager table
-  * writes), so each suite re-planning all 171 entries would run the eager
+  * writes), so each suite re-planning all 175 entries would run the eager
   * catalog three times per test JVM. The pass is also what the audit
   * mains use, so gate and generator always plan under the SAME session
   * config — a budget regenerated by the audit is reproducible by the spec

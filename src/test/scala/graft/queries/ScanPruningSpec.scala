@@ -13,7 +13,7 @@ import graft.SparkSpec
   * ratio and is invisible to correctness tests — the result is identical,
   * only the read volume explodes.
   *
-  * The allowlist below is the audited round-11 population (73 of 171
+  * The allowlist below is the audited population (77 of 175
   * entries; see `ScanPruningAudit` for the generator): every entry either
   * computes ON the heavy column (hashing, shingling, scoring, tokenizing,
   * vector math, JSON extraction) or intentionally emits it (exports,

@@ -10,7 +10,7 @@ import graft.SparkSpec
   * partitioning reuse (window then groupBy on the same key should pay ONE
   * exchange), or a new aggregation grain each add an all-data network
   * pass that no correctness test can see. The budget freezes the plan
-  * shape the per-query PlanSpec asserts piecemeal, for ALL 171 entries.
+  * shape the per-query PlanSpec asserts piecemeal, for ALL 175 entries.
   *
   * Budgets are the audited round-11 population (`ShuffleBudgetAudit`
   * regenerates them): broadcast exchanges are deliberately NOT counted

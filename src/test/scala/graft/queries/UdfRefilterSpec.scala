@@ -5,7 +5,9 @@ import graft.SparkSpec
 /** Catalog-wide UDF-refilter invariant — the fifth sweep-style check
   * (after [[JoinShapeSpec]], [[ScalingSpec]], [[ScanPruningSpec]],
   * [[ShuffleBudgetSpec]]): no query's physical plan may contain an
-  * `IsNotNull(<ScalaUDF>)` predicate.
+  * `IsNotNull` predicate wrapping a ScalaUDF or one of the library's
+  * native Catalyst expressions (`graft.*` — as expensive per row as the
+  * UDFs they replaced).
   *
   * Why this is a scale invariant and not a style nit: when a NULLABLE
   * UDF output becomes a join or aggregation key, Catalyst's constraint
