@@ -53,6 +53,11 @@ object SemanticDedup {
                        nClusters: Int, threshold: Double,
                        assignProbes: Int = 1, seed: Long = 42L): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    // cosine ∈ [-1, 1]; the bound also protects the -2 null-cosine
+    // sentinel in the pair filter (a threshold ≤ -2 would let zero-norm
+    // vectors through as "duplicates")
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1, 1]: $threshold")
     val c = if (nClusters > 0) nClusters else Similarity.ivfSizing(df.count())
     // one assignment pass yields both the index and the memberships —
     // assigning twice would pay the O(n·k·dim) centroid scoring per
@@ -186,6 +191,9 @@ object SemanticDedup {
     */
   private def crossPairs(batchMembers: DataFrame, corpusMembers: DataFrame,
                          threshold: Double): DataFrame = {
+    // guards both incremental entry points — see semanticDupPairs
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1, 1]: $threshold")
     val corpusM = corpusMembers
       .select(col("cluster"), col("vid").as("_sd_cid"), col("v").as("_sd_cv"))
     val batchM = batchMembers

@@ -610,6 +610,11 @@ object Similarity {
                        dim: Int,
                        negativesVia: NegativeMining = NegativesBruteForce)
       : DataFrame = {
+    // cosine ∈ [-1, 1]; the bound also protects the +2 null-cosine
+    // sentinel in the negatives filter (a threshold > 2 would let
+    // zero-norm vectors through as "hard negatives")
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1, 1]: $threshold")
     val pairs = cosineNearDupPairsBanded(df, idCol, vecCol, threshold, dim)
     val aIds = broadcast(anchors.select(col(idCol).cast("long").as("_cp_aid")))
     val posA = pairs.join(aIds, col("id_a") === col("_cp_aid"))

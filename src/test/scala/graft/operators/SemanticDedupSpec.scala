@@ -133,4 +133,30 @@ class SemanticDedupSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(run() == run())
   }
+
+  test("zero-norm vectors are excluded even at threshold = -1 " +
+    "(the null-cosine sentinel's edge)") {
+    // threshold -1 passes every DEFINED cosine; only the zero vector's
+    // null cosine (sentinel -2) must fail. Guards the pair filter's
+    // coalesce(_, -2) rewrite against sentinel leakage.
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = pairsOf(SemanticDedup.semanticDupPairs(tiny, "vec_id",
+      "embedding", nClusters = 1, threshold = -1.0, assignProbes = 1))
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the defined-cosine pair, got $pairs")
+  }
+
+  test("thresholds outside [-1, 1] are rejected loudly") {
+    // a threshold <= -2 would turn the null-cosine sentinel into a match
+    intercept[IllegalArgumentException] {
+      SemanticDedup.semanticDupPairs(universe, "vec_id", "embedding",
+        nClusters = 16, threshold = -3.0, assignProbes = 2)
+    }
+    intercept[IllegalArgumentException] {
+      SemanticDedup.incrementalPairs(universe, universe.limit(1), "vec_id",
+        "embedding", nClusters = 16, threshold = 1.5, assignProbes = 2)
+    }
+  }
 }

@@ -130,6 +130,15 @@ class SimilaritySpec extends SparkSpec {
     assert(pos(ivf) == pos(bf))
   }
 
+  test("contrastive thresholds outside [-1, 1] are rejected loudly") {
+    // a threshold > 2 would turn the +2 null-cosine sentinel in the
+    // negatives filter into a match
+    intercept[IllegalArgumentException] {
+      Similarity.contrastivePairs(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 5), k = 5, threshold = 2.5, dim = 64)
+    }
+  }
+
   test("IVF index sampling is deterministic: same centroids across runs") {
     val c1 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
       .centroids.map(_.toSeq).toSeq
