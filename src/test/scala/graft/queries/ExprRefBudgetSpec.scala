@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Catalog-wide costly-expression reference budget — the sixth sweep-style
+  * check (after [[JoinShapeSpec]], [[ScalingSpec]], [[ScanPruningSpec]],
+  * [[ShuffleBudgetSpec]], [[UdfRefilterSpec]]): every query's physical
+  * plan must not EXCEED its audited count of costly-expression references
+  * (Scala UDFs + the library's native `graft.*` expressions — the
+  * per-row work fingerprint/scoring operators are MADE of; see
+  * [[ScanPruning.costly]]).
+  *
+  * This generalizes [[UdfRefilterSpec]]: the refilter sweep catches one
+  * specific duplication shape (constraint-propagated `isnotnull`); this
+  * budget catches ANY optimizer rewrite that clones an expensive
+  * expression into additional plan sites — predicate pushdown into a
+  * second stage, constraint propagation, CollapseProject re-inlining a
+  * multiply-referenced alias. The d3b incident is the motivating case:
+  * its plan silently grew to 12 fingerprint-UDF references instead of 4,
+  * at ~1.6x measured wall-clock, with zero correctness or shuffle-budget
+  * signal.
+  *
+  * The counts are STATIC plan references, not runtime evaluations —
+  * codegen subexpression elimination reclaims same-operator repeats (the
+  * funnel queries carry many references of one `bigram_stats` inside a
+  * single aggregate, evaluated once per row), and a comparison pushed
+  * into a join condition legitimately re-evaluates for the survivors'
+  * projection (the cosine x2 entries — reviewed as intrinsic: early pair
+  * dropping is worth one extra evaluation per SURVIVOR). That is exactly
+  * why the budget freezes the audited total instead of demanding a
+  * minimum: UNDER budget is an improvement (re-run `CostlyExprAudit` and
+  * tighten); OVER budget fails until the new reference is reviewed — the
+  * reviewer asks "same stage (CSE-reclaimed) or new per-row work?".
+  */
+class ExprRefBudgetSpec extends SparkSpec {
+
+  private val budget: Map[String, Int] = Map(
+    "a1_group_agg" -> 0,
+    "a5_median" -> 0,
+    "a5b_median_approx" -> 0,
+    "a6_count" -> 0,
+    "a7_distinct" -> 0,
+    "a8_duplicate_keys" -> 0,
+    "a9_range_check" -> 0,
+    "ag1_rollup" -> 0,
+    "ag2_approx_distinct" -> 0,
+    "ag3_cube" -> 0,
+    "aj1_asof_join" -> 0,
+    "bk1_bucketed_join" -> 0,
+    "bm25_1_retrieval" -> 2,
+    "bp1_boilerplate" -> 1,
+    "bpe1_subword_stats" -> 3,
+    "c1_scalar_suite" -> 0,
+    "cd1_chunk_dedup" -> 0,
+    "cd2_line_dedup" -> 0,
+    "cen1_label_centroids" -> 0,
+    "ch1_doc_chunking" -> 0,
+    "cms1_count_min" -> 0,
+    "cp1_compaction" -> 0,
+    "cp2_compact_partitions" -> 0,
+    "cr1_corpus_report" -> 9,
+    "ct1_contamination" -> 4,
+    "ct2_ngram_decontamination" -> 2,
+    "ctr1_contrastive_pairs" -> 8,
+    "ctr2_contrastive_ivf" -> 8,
+    "cur1_curation" -> 31,
+    "cur2_curation_v2" -> 10,
+    "cur3_bpe_curation" -> 14,
+    "d1_exact_dedup" -> 0,
+    "d2_minhash_lsh" -> 4,
+    "d3_simhash" -> 4,
+    "d3b_simhash_wide" -> 6,
+    "d4_ngram_jaccard" -> 4,
+    "d5_cosine_near_dup" -> 2,
+    "d5b_banded_near_dup" -> 4,
+    "dc1_dup_clusters" -> 0,
+    "dc2_incremental_clusters" -> 0,
+    "diff1_snapshot_diff" -> 0,
+    "diff2_apply_delta" -> 0,
+    "dq_checks" -> 0,
+    "dsir1_importance_weights" -> 3,
+    "ew1_ewma_clicks" -> 0,
+    "ex1_shard_export" -> 0,
+    "ex2_jsonl_export" -> 0,
+    "f1_conj_filter" -> 0,
+    "f2_isin_filter" -> 0,
+    "f3_disjunctive_filter" -> 0,
+    "f4_null_guard" -> 0,
+    "f5_notnull_filter" -> 0,
+    "ff1_filter_funnel" -> 20,
+    "fq1_mean_token_freq" -> 0,
+    "fr1_token_frequency" -> 0,
+    "fz1_fuzzy_match" -> 0,
+    "g1_explode_tokens" -> 0,
+    "gf1_gopher_funnel" -> 18,
+    "gq1_gopher_repetition" -> 3,
+    "h1_top_revenue_orders" -> 0,
+    "h2_region_nation_revenue" -> 0,
+    "h3_returned_revenue" -> 0,
+    "h4_big_orders" -> 0,
+    "hc1_host_cap" -> 0,
+    "hh1_heavy_hitters" -> 0,
+    "hist1_price_histogram" -> 0,
+    "hll1_sketch_reuse" -> 0,
+    "il1_incremental_lsh" -> 8,
+    "il2_bloom_prefilter" -> 4,
+    "j1_left_join" -> 0,
+    "j2_anti_join" -> 0,
+    "j3_inner_join_orderby" -> 0,
+    "j4_star_chain" -> 0,
+    "js1_json_extract" -> 0,
+    "js2_from_json" -> 0,
+    "k1_table_roundtrip" -> 0,
+    "k2_probe_staging" -> 0,
+    "k4_catalog_comments" -> 0,
+    "kl1_source_divergence" -> 4,
+    "la1_list_agg" -> 0,
+    "m1_metric_by_brand" -> 0,
+    "m2_metric_no_join" -> 0,
+    "m3_metric_multi_dim" -> 0,
+    "m4_metric_fanout" -> 0,
+    "m5_view_roundtrip" -> 0,
+    "m6_metric_having" -> 0,
+    "m7_metric_yaml" -> 0,
+    "m8_review_metrics_yaml" -> 0,
+    "mh1_signature_reuse" -> 4,
+    "mix1_corpus_mix" -> 0,
+    "mix2_temperature_mix" -> 0,
+    "ml1_mixed_language" -> 8,
+    "mm1_media_meta" -> 0,
+    "mm2_media_features" -> 0,
+    "mm3_frame_sample" -> 0,
+    "mrr1_retrieval_eval" -> 2,
+    "p1_project_rename" -> 0,
+    "p2_strip_prefix" -> 0,
+    "p3_derived_column" -> 0,
+    "p4_fillna" -> 0,
+    "pca1_top_component" -> 0,
+    "pii1_redaction" -> 0,
+    "pk1_sequence_packing" -> 0,
+    "pk1b_packing_prefix" -> 2,
+    "pk2_bpe_packing" -> 1,
+    "pmi1_collocations" -> 0,
+    "ppl1_lm_perplexity" -> 4,
+    "pr1_profile" -> 0,
+    "pt1_partition_pruning" -> 0,
+    "pv1_pivot" -> 0,
+    "pv2_unpivot" -> 0,
+    "qb1_quality_quartile" -> 1,
+    "qb1b_quartile_prefix" -> 6,
+    "qk1_top_quality_docs" -> 1,
+    "r1_raw_explore" -> 0,
+    "ret1_weekly_retention" -> 0,
+    "rf1_reviews_pipeline" -> 0,
+    "rj1_range_join" -> 0,
+    "s1_topk" -> 0,
+    "s2_csv_roundtrip" -> 0,
+    "s3_landing_route" -> 0,
+    "s4_orc_roundtrip" -> 0,
+    "sd1_first_event" -> 0,
+    "se1_schema_evolution" -> 0,
+    "semd1_semantic_dedup" -> 7,
+    "semd2_incremental_semantic" -> 4,
+    "seq1_user_event_sequence" -> 0,
+    "seq2_bounded_sequence" -> 0,
+    "sim1_ann_topk" -> 1,
+    "sim2_ivf_topk" -> 4,
+    "sim3_quantized_topk" -> 5,
+    "sim4_ivf_persisted" -> 3,
+    "sim5_knn_graph" -> 1,
+    "sim5b_knn_graph_approx" -> 4,
+    "sk1_salted_join" -> 0,
+    "sk2_salted_agg" -> 0,
+    "sk3_power_law_agg" -> 0,
+    "so1_set_ops" -> 0,
+    "sp1_dataset_split" -> 0,
+    "sp2_leakage_safe_split" -> 0,
+    "ss1_stratified_sample" -> 0,
+    "st1_window_agg" -> 0,
+    "st2_sessionization" -> 0,
+    "st3_sliding_window" -> 0,
+    "st4_interval_join" -> 0,
+    "st5_stream_static_enrich" -> 0,
+    "st6_session_window" -> 0,
+    "stat1_correlation" -> 0,
+    "std1_standardize" -> 0,
+    "t1_token_stats" -> 0,
+    "t2_quality_score" -> 1,
+    "t3_langid" -> 8,
+    "t4_fingerprint" -> 0,
+    "t5_regex_tokens" -> 0,
+    "t6_normalize" -> 0,
+    "tb1_token_budget" -> 1,
+    "tb1b_token_budget_pruned" -> 6,
+    "tb2_bpe_token_budget" -> 2,
+    "tf1_tfidf_topterms" -> 2,
+    "th1_theta_overlap" -> 5,
+    "ts1_resample_gaps" -> 0,
+    "u1_sentiment_udf" -> 1,
+    "u2_ai_translate" -> 1,
+    "up1_upsert" -> 0,
+    "up2_upsert_partitioned" -> 0,
+    "url1_url_filter" -> 0,
+    "url2_canonical_dedup" -> 0,
+    "w1_row_number" -> 0,
+    "w2_running_sum" -> 0,
+    "w3_rank_family" -> 0,
+    "wf1_workflow_dag" -> 0,
+    "ws1_weighted_sample" -> 0,
+    "x1_adhoc_sample" -> 2,
+    "zo1_zorder_key" -> 0,
+    "zo2_zorder_skipping" -> 0
+  )
+
+  test("catalog-wide: no query exceeds its audited costly-expression refs") {
+    val offenders = CatalogPlans.executedPlans
+      .flatMap { case (name, plan) =>
+        val n = ScanPruning.costlyExprRefs(plan)
+        budget.get(name) match {
+          case None => Some(s"$name: no audited budget (new query?)")
+          case Some(b) if n > b =>
+            Some(s"$name: $n costly-expression refs > budget $b; dups: " +
+              ScanPruning.costlyExprDups(plan).mkString("; "))
+          case _ => None
+        }
+      }
+    assert(offenders.isEmpty,
+      "costly-expression budget violations (an optimizer rewrite cloned " +
+        "expensive per-row work into a new plan site — review whether " +
+        "CSE reclaims it before raising the budget):\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("budget table carries no dead entries") {
+    val dead = budget.keySet -- graft.SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"stale budget entries: ${dead.mkString(", ")}")
+  }
+}

@@ -68,14 +68,18 @@ object ScanPruning {
     * never returns null must say so (`.asNonNullable()`); one that can
     * should be materialized (persist/checkpoint) before keying on it.
     */
+  /** Expressions whose per-row evaluation is the operator's dominant cost:
+    * Scala UDFs and the library's native Catalyst expressions (ngram
+    * counts, shingle hashes, cosine, theta estimates, ... — exactly as
+    * expensive per row as the UDFs they replaced, so a plan-level repeat
+    * of one is the same defect in codegen'd clothing).
+    */
+  def costly(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF] ||
+      e.getClass.getName.startsWith("graft.")
+
   def udfNullRefilters(p: SparkPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, ScalaUDF}
-    // The library's native Catalyst expressions (ngram_counts, shingle
-    // hashes, theta estimates, ...) are exactly as expensive per row as
-    // the UDFs they replaced — an IsNotNull re-filter over one is the
-    // same defect in codegen'd clothing.
-    def costly(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-      e.isInstanceOf[ScalaUDF] || e.getClass.getName.startsWith("graft.")
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
     nodes(p).flatMap { n =>
       n.expressions.flatMap(_.collect {
         case e: IsNotNull if e.exists(costly) =>
@@ -83,6 +87,41 @@ object ScanPruning {
       })
     }.distinct
   }
+
+  /** Total [[costly]]-expression occurrences across every node's
+    * expression trees — the count whose unexplained growth IS the
+    * duplication defect class the refilter sweep catches one shape of
+    * (d3b's plan carried 12 fingerprint-UDF references instead of 4).
+    * Counted per plan-node occurrence: the same UDF cloned into a pushed
+    * predicate, a join condition, and a project each add 1, because each
+    * is a separate potential per-row evaluation (codegen CSE reclaims
+    * same-stage repeats, but nothing reclaims a cross-stage clone).
+    */
+  def costlyExprRefs(p: SparkPlan): Int =
+    nodes(p).iterator.flatMap(_.expressions).map { root =>
+      var c = 0
+      root.foreach(e => if (costly(e)) c += 1)
+      c
+    }.sum
+
+  /** Diagnostic companion to [[costlyExprRefs]]: canonicalized costly
+    * subtrees that occur more than once across the plan, with their
+    * occurrence counts — the candidates for an actual per-row repeat.
+    * exprId canonicalization collides structurally identical expressions
+    * over DIFFERENT inputs (both sides of a self-join), so a listed
+    * duplicate is a lead to read, not a verdict.
+    */
+  def costlyExprDups(p: SparkPlan): Seq[(String, Int)] =
+    nodes(p).iterator.flatMap(_.expressions)
+      .flatMap { root =>
+        val hits = scala.collection.mutable.Buffer
+          .empty[org.apache.spark.sql.catalyst.expressions.Expression]
+        root.foreach(e => if (costly(e)) hits += e)
+        hits
+      }
+      .toSeq.groupBy(_.canonicalized.toString)
+      .collect { case (k, vs) if vs.size > 1 => (k.take(100), vs.size) }
+      .toSeq.sortBy(-_._2)
 
   /** Shuffle-exchange count of the (initial, pre-AQE) physical plan,
     * recursing through AQE wrappers, subqueries, and cached segments.
@@ -100,11 +139,12 @@ object ScanPruning {
     }.sum
 }
 
-/** ONE catalog-wide planning pass shared by the three plan-sweep suites
-  * ([[JoinShapeSpec]], [[ScanPruningSpec]], [[ShuffleBudgetSpec]]) — query
-  * construction is not free (compute-if-absent state builds, eager table
-  * writes), so each suite re-planning all 175 entries would run the eager
-  * catalog three times per test JVM. The pass is also what the audit
+/** ONE catalog-wide planning pass shared by the plan-sweep suites
+  * ([[JoinShapeSpec]], [[ScanPruningSpec]], [[ShuffleBudgetSpec]],
+  * [[UdfRefilterSpec]], [[ExprRefBudgetSpec]]) — query construction is
+  * not free (compute-if-absent state builds, eager table writes), so each
+  * suite re-planning all 175 entries would run the eager catalog once
+  * more per test JVM. The pass is also what the audit
   * mains use, so gate and generator always plan under the SAME session
   * config — a budget regenerated by the audit is reproducible by the spec
   * by construction.
@@ -153,6 +193,31 @@ object ScanPruningAudit {
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"$name ERR ${e.getMessage}"); Seq.empty }
       if (reads.nonEmpty) println(s"$name -> ${reads.mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
+
+/** One-off audit: print, for every catalog query, its costly-expression
+  * reference count ([[ScanPruning.costlyExprRefs]]) as a paste-ready map
+  * literal — the population from which [[ExprRefBudgetSpec]]'s budget was
+  * built. Same session/tier contract as [[ScanPruningAudit]]:
+  * `Test/runMain graft.queries.CostlyExprAudit [sfDir] [q1,q2]`.
+  */
+object CostlyExprAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkSpec.session
+    val d = args.headOption.getOrElse(CatalogPlans.defaultSf)
+    val only = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    CatalogPlans.compute(spark, d, only).foreach { case (name, plan) =>
+      val n =
+        try ScanPruning.costlyExprRefs(plan)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"$name ERR ${e.getMessage}"); -1 }
+      println(s"""    "$name" -> $n,""")
+      ScanPruning.costlyExprDups(plan).foreach { case (expr, c) =>
+        println(s"    //   dup x$c: $expr")
+      }
     }
     spark.stop()
   }
