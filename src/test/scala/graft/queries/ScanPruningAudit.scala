@@ -96,6 +96,13 @@ object ScanPruning {
     * predicate, a join condition, and a project each add 1, because each
     * is a separate potential per-row evaluation (codegen CSE reclaims
     * same-stage repeats, but nothing reclaims a cross-stage clone).
+    *
+    * Counting caveat: a CACHED fragment consumed by k branches is walked
+    * k times (once per `InMemoryTableScanExec` occurrence), so its
+    * expressions contribute k× even though the cache materializes them
+    * once — il2's bloom-probe UDF reads ×2 for this reason. The walk is
+    * deterministic, so the frozen budget absorbs it; it is a counting
+    * convention, not a runtime repeat.
     */
   def costlyExprRefs(p: SparkPlan): Int =
     nodes(p).iterator.flatMap(_.expressions).map { root =>
