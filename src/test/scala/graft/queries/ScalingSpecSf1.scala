@@ -59,4 +59,37 @@ class ScalingSpecSf1 extends SparkSpec {
       f"  ${m.name}: ${m.lo}%.3f s -> ${m.hi}%.3f s (${m.ratio}%.1fx, " +
         f"bound ${bounds(m.name)}%.0fx)").mkString("\n"))
   }
+
+  /** semd1-the-query keeps nClusters=16 for cross-SF oracle determinism,
+    * which is quadratic-in-cluster by construction (6.7× at this tier's
+    * 4× embeddings step — SCALE_SF1.md). The PRODUCTION contract is the
+    * auto-sized form (C ≈ √n via `ivfSizing`): per-cluster pair volume
+    * (n/C)²·C and assignment n·C·dim both land at n^1.5, whose signature
+    * at a 4× step is 8×; a regression to fixed-C quadratic reads ~16×.
+    * Measured 2.3× (best-of-3, r12). This pins the claim the semd1
+    * scaladoc makes in prose.
+    */
+  test("auto-sized semanticDupPairs holds the n^1.5 contract at the sf1 step") {
+    assume(graft.Sf1Tier.available(spark),
+      "sf1 tier generation skipped via SPARK_GRAFT_SKIP_SF1=1")
+    def best(dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.SemanticDedup.semanticDupPairs(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding",
+          nClusters = 0, threshold = 0.9, assignProbes = 2)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(once()).min
+    }
+    val lo = best("/root/testdata/sf0.1")
+    val hi = best(sf1)
+    val ratio = hi / lo
+    assert(ratio <= 8.0,
+      f"auto-sized semantic dedup grew $ratio%.1fx at a 4x embeddings " +
+        f"step ($lo%.3f s -> $hi%.3f s) — past the n^1.5 signature (8x), " +
+        "approaching fixed-C quadratic (~16x)")
+  }
 }
