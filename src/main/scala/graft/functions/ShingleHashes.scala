@@ -27,14 +27,22 @@ import org.apache.spark.sql.graftbridge.Bridge
   * operator pipeline is value-identical, just without the allocations
   * and the UDF serialization boundary.
   *
-  * Null text yields null (exploded to zero rows downstream, like the
-  * UDF's empty array); fewer than n tokens yields an empty array.
+  * Null text yields an EMPTY array and the expression declares
+  * `nullable = false` — the honest-declaration rule the refilter sweep
+  * enforces (`UdfRefilterSpec`): a null-document has no shingles, which
+  * the empty array says exactly (explode drops it, `size` reads 0), and
+  * a NULLABLE output here would let any downstream filter/join over a
+  * shingle count re-shingle the corpus at the scan via a
+  * constraint-propagated `isnotnull(size(shingle_hashes(text)))` data
+  * filter. Fewer than n tokens also yields an empty array.
   */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   require(n > 0, s"shingle_hashes: n must be positive, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -43,12 +51,25 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
         s"shingle_hashes requires a string input, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.emptyResult()
+    else ShingleHashes.compute(v.asInstanceOf[UTF8String], n)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, FalseLiteral}
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = ${c.isNull}
+          ? graft.functions.ShingleHashes.emptyResult()
+          : graft.functions.ShingleHashes.compute(${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -57,6 +78,9 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
 
   private val EMPTY = new GenericArrayData(Array.emptyLongArray)
+
+  /** The null-text/short-text result; public for generated code. */
+  def emptyResult(): ArrayData = EMPTY
 
   /** Token boundaries of a UTF8String under `split(" ", -1)` semantics:
     * k spaces → k+1 tokens, empty tokens (adjacent/leading/trailing

@@ -53,11 +53,7 @@ object SemanticDedup {
                        nClusters: Int, threshold: Double,
                        assignProbes: Int = 1, seed: Long = 42L): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
-    // cosine ∈ [-1, 1]; the bound also protects the -2 null-cosine
-    // sentinel in the pair filter (a threshold ≤ -2 would let zero-norm
-    // vectors through as "duplicates")
-    require(threshold >= -1 && threshold <= 1,
-      s"threshold must be a cosine in [-1, 1]: $threshold")
+    Similarity.requireCosineThreshold(threshold)
     val c = if (nClusters > 0) nClusters else Similarity.ivfSizing(df.count())
     // one assignment pass yields both the index and the memberships —
     // assigning twice would pay the O(n·k·dim) centroid scoring per
@@ -71,12 +67,10 @@ object SemanticDedup {
     a.join(b, Seq("cluster"))
       .filter(col("_sd_ida") < col("_sd_idb"))
       .withColumn("_sd_cos", Similarity.cosine(col("_sd_va"), col("_sd_vb")))
-      // null cosine = zero-norm vector: no direction, never a duplicate.
-      // coalesce(…, -2) — below every valid cosine threshold — rather than
-      // an explicit isNotNull conjunct: the filter is pushed into the join
-      // condition, and a separate isnotnull(cosine(...)) predicate there
-      // re-runs the O(dim) loop per candidate pair (UdfRefilterSpec).
-      .filter(coalesce(col("_sd_cos"), lit(-2d)) >= threshold)
+      // null cosine = zero-norm vector: no direction, never a duplicate
+      // (cosineAtLeast drops it without an isNotNull conjunct — see its
+      // scaladoc for the join-condition refilter this avoids)
+      .filter(Similarity.cosineAtLeast(col("_sd_cos"), threshold))
       .select(col("_sd_ida").as("keep_id"), col("_sd_idb").as("drop_id"),
         col("_sd_cos").cast("decimal(18,4)").as("cosine"))
       .distinct()
@@ -104,6 +98,9 @@ object SemanticDedup {
                        nClusters: Int, threshold: Double,
                        assignProbes: Int = 2, seed: Long = 42L): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    // validate BEFORE the k-means training below — a bad threshold must
+    // not cost an O(n·k·dim) scoring pass before it throws
+    Similarity.requireCosineThreshold(threshold)
     // the corpus is centroid-scored ONCE: the same assignment pass
     // produces the index (for the batch side's probes) and the corpus
     // memberships (code-review finding, closed)
@@ -172,6 +169,8 @@ object SemanticDedup {
                                 vecCol: String, threshold: Double,
                                 assignProbes: Int = 2): DataFrame = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    // before the centroid collect+validation in loadIvfIndex below
+    Similarity.requireCosineThreshold(threshold)
     val mCols = membersDf.columns.toSet
     require(Set("vid", "v", "nrm", "cluster").subsetOf(mCols),
       s"semantic members table needs (vid, v, nrm, cluster), got " +
@@ -191,9 +190,7 @@ object SemanticDedup {
     */
   private def crossPairs(batchMembers: DataFrame, corpusMembers: DataFrame,
                          threshold: Double): DataFrame = {
-    // guards both incremental entry points — see semanticDupPairs
-    require(threshold >= -1 && threshold <= 1,
-      s"threshold must be a cosine in [-1, 1]: $threshold")
+    // backstop — both public entry points validate before their eager work
     val corpusM = corpusMembers
       .select(col("cluster"), col("vid").as("_sd_cid"), col("v").as("_sd_cv"))
     val batchM = batchMembers
@@ -201,8 +198,7 @@ object SemanticDedup {
     batchM.join(corpusM, Seq("cluster"))
       .filter(col("_sd_bid") =!= col("_sd_cid"))
       .withColumn("_sd_cos", Similarity.cosine(col("_sd_bv"), col("_sd_cv")))
-      // coalesce sentinel, not an isNotNull conjunct — see semanticDupPairs
-      .filter(coalesce(col("_sd_cos"), lit(-2d)) >= threshold)
+      .filter(Similarity.cosineAtLeast(col("_sd_cos"), threshold))
       .select(col("_sd_bid").as("new_id"), col("_sd_cid").as("match_id"),
         col("_sd_cos").cast("decimal(18,4)").as("cosine"))
       .distinct()

@@ -37,6 +37,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** Cosine thresholds live in [-1, 1]; the bound also protects the
+    * out-of-range sentinels [[cosineAtLeast]]/[[cosineBelow]] substitute
+    * for null (a threshold beyond a sentinel would silently MATCH null
+    * cosines — zero-norm vectors becoming "duplicates" or "negatives").
+    */
+  private[graft] def requireCosineThreshold(t: Double): Unit =
+    require(t >= -1 && t <= 1,
+      s"threshold must be a cosine in [-1, 1]: $t")
+
+  /** `c >= t` with a null cosine (zero-norm / length-mismatch) failing,
+    * expressed so the predicate is NON-NULLABLE: an explicit
+    * `c.isNotNull && c >= t` conjunct pushed into a join condition
+    * re-runs the O(dim) cosine loop per candidate pair purely to decide
+    * null-ness (`UdfRefilterSpec`); `coalesce(c, -2) >= t` drops the
+    * same rows with one evaluation. Sentinel −2 is below every cosine,
+    * and [[requireCosineThreshold]] pins t inside [-1, 1] so the
+    * sentinel can never satisfy the comparison.
+    */
+  def cosineAtLeast(c: Column, t: Double): Column = {
+    requireCosineThreshold(t)
+    coalesce(c, lit(-2d)) >= t
+  }
+
+  /** `c < t` with null failing — [[cosineAtLeast]]'s upper-bound dual
+    * (sentinel +2, above every cosine).
+    */
+  def cosineBelow(c: Column, t: Double): Column = {
+    requireCosineThreshold(t)
+    coalesce(c, lit(2d)) < t
+  }
+
   /** Corpus projection with precomputed norm — norms are computed once per
     * vector, not once per pair.
     */
@@ -118,7 +149,7 @@ object Similarity {
       // pairs appear once by construction (pair key is ordered i ≤ j)
       .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
+      .filter(cosineAtLeast(col("cosine"), threshold))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
@@ -275,7 +306,7 @@ object Similarity {
       .join(c.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
       .join(c.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
+      .filter(cosineAtLeast(col("cosine"), threshold))
       .select(col("id_a"), col("id_b"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
   }
@@ -610,11 +641,7 @@ object Similarity {
                        dim: Int,
                        negativesVia: NegativeMining = NegativesBruteForce)
       : DataFrame = {
-    // cosine ∈ [-1, 1]; the bound also protects the +2 null-cosine
-    // sentinel in the negatives filter (a threshold > 2 would let
-    // zero-norm vectors through as "hard negatives")
-    require(threshold >= -1 && threshold <= 1,
-      s"threshold must be a cosine in [-1, 1]: $threshold")
+    requireCosineThreshold(threshold)
     val pairs = cosineNearDupPairsBanded(df, idCol, vecCol, threshold, dim)
     val aIds = broadcast(anchors.select(col(idCol).cast("long").as("_cp_aid")))
     val posA = pairs.join(aIds, col("id_a") === col("_cp_aid"))
@@ -645,12 +672,8 @@ object Similarity {
     }
     val neg = scored
       // null cosine = zero-norm vector (see d5 note): excluded, as is
-      // everything at/above the near-dup threshold. coalesce(…, 2) — above
-      // every valid cosine — instead of an isNotNull conjunct: the filter
-      // is pushed into the scoring join, where a separate
-      // isnotnull(cosine(...)) predicate re-runs the O(dim) loop per
-      // candidate pair (UdfRefilterSpec).
-      .filter(coalesce(col("_cp_cos"), lit(2d)) < threshold)
+      // everything at/above the near-dup threshold
+      .filter(cosineBelow(col("_cp_cos"), threshold))
       .withColumn("_cp_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("anchor"))
           .orderBy(col("_cp_cos").desc, col("vid"))))

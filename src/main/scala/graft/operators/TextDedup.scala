@@ -120,16 +120,13 @@ object TextDedup {
     // identical idx subplan on the same key, so Spark's ReuseExchange
     // computes it once — no operator-lifetime persist (which would leak
     // cached partitions into the caller's session). Sizes count distinct
-    // HASHES, consistent with the hash-based intersection counts.
-    // coalesce(…, 0): size() is null only for null text, and null-text docs
-    // never reach the index side (explode of null → zero rows) — but a
-    // NULLABLE n_sh lets the jaccard filter's inferred isnotnull(n_a/n_b)
-    // propagate through the join back to this projection's scan as an
-    // isnotnull(size(shingle_hashes(text))) DATA filter, re-shingling the
-    // corpus per row purely to decide null-ness (UdfRefilterSpec).
+    // HASHES, consistent with the hash-based intersection counts. n_sh is
+    // non-nullable because ShingleHashes is (null text → empty array) —
+    // a nullable count here would let the jaccard filter's inferred
+    // isnotnull re-shingle the corpus at the scan (UdfRefilterSpec).
     val counts = df.select(col(idCol).as("doc"),
-      coalesce(size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)),
-        lit(0)).as("n_sh"))
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_sh"))
     val inter = idx.as("a")
       .join(idx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -161,15 +158,12 @@ object TextDedup {
                         n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
     val ti = shingleIndex(train, idCol, textCol, n)
     val bi = shingleIndex(bench, idCol, textCol, n)
-    // coalesce(…, 0) for the same reason as [[jaccardPairs]]'s counts: a
-    // nullable size() would re-shingle both corpora at their scans via the
-    // jaccard filter's constraint-propagated isnotnull.
     val tCounts = train.select(col(idCol).as("train_id"),
-      coalesce(size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)),
-        lit(0)).as("n_t"))
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_t"))
     val bCounts = bench.select(col(idCol).as("bench_id"),
-      coalesce(size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)),
-        lit(0)).as("n_b"))
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_b"))
     ti.as("t").join(bi.as("b"), col("t.sh") === col("b.sh"))
       .groupBy(col("t.doc").as("train_id"), col("b.doc").as("bench_id"))
       .agg(count(lit(1)).as("n_common"))

@@ -120,9 +120,7 @@ object RetrievalQueries {
           Similarity.toDouble(col("embedding")).as("_cv"))
         .crossJoin(broadcast(b))
         .withColumn("_c", Similarity.cosine(col("_cv"), col("_bv")))
-        // coalesce sentinel, not isNotNull: the conjunct would push into
-        // the BNLJ as a second per-pair cosine evaluation (UdfRefilterSpec)
-        .filter(coalesce(col("_c"), lit(-2d)) >= 0.9)
+        .filter(Similarity.cosineAtLeast(col("_c"), 0.9))
         .select(col("new_id"), col("match_id"))
       exact.join(inc.select(col("new_id"), col("match_id"),
         lit(1).as("_sf_hit")), Seq("new_id", "match_id"), "left")

@@ -54,7 +54,15 @@ class ShingleHashesSpec extends SparkSpec {
     val sizes = df.select($"doc_id",
       size(ShingleHashes.shingleHashes($"text", 2)).as("s"))
       .as[(Long, Option[Int])].collect().toMap
-    assert(sizes(1L) == Some(1) && sizes(2L).isEmpty) // null text → null array
+    // null text → EMPTY array (non-nullable declaration — a null output
+    // would invite constraint-propagated refilters on keyed counts)
+    assert(sizes(1L) == Some(1) && sizes(2L) == Some(0))
+  }
+
+  test("the expression declares non-nullable (the refilter contract)") {
+    val c = ShingleHashes.shingleHashes($"text", 3)
+    val df = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(!df.select(c.as("h")).schema("h").nullable)
   }
 
   test("SQL surface via extension builder") {

@@ -90,18 +90,31 @@ class OperatorPropertySpec extends SparkSpec {
         v <- Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat))
         if v.exists(_ != 0f) // zero vectors have undefined cosine (null)
       } yield (id, v.toArray)).map(_.distinctBy(_._1))
+    // the same strict left-fold the native CosineSimilarity evaluates —
+    // needed because -1 (the lowest CONTRACTUAL threshold; out-of-range
+    // sentinels are require-rejected) can exclude antiparallel pairs
+    // whose cosine rounds a ulp below -1
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     val prop = Prop.forAll(vecGen, Gen.choose(1, 5)) { (vs, blocks) =>
       val df = vs.toDF("vec_id", "embedding")
       val got = Similarity
-        .cosineNearDupPairs(df, "vec_id", "embedding", -2.0, nBlocks = blocks)
+        .cosineNearDupPairs(df, "vec_id", "embedding", -1.0, nBlocks = blocks)
         .select("id_a", "id_b").as[(Long, Long)].collect().toList
       val expected = (for {
         i <- vs.indices; j <- (i + 1) until vs.length
+        if cosRef(vs(i)._2, vs(j)._2) >= -1.0
       } yield {
         val (a, b) = (vs(i)._1, vs(j)._1)
         (math.min(a, b), math.max(a, b))
       }).toList
-      // every unordered pair exactly once (threshold -2 admits all)
+      // every qualifying unordered pair exactly once
       got.sorted == expected.sorted
     }
     check(prop)

@@ -217,14 +217,15 @@ object CostlyExprAudit {
     val d = args.headOption.getOrElse(CatalogPlans.defaultSf)
     val only = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     CatalogPlans.compute(spark, d, only).foreach { case (name, plan) =>
-      val n =
-        try ScanPruning.costlyExprRefs(plan)
+      // both walks under the same guard: a plan that breaks the count
+      // walk breaks the dup walk identically, and the audit's contract
+      // is one flagged -1 line, never a truncated table
+      val (n, dups) =
+        try (ScanPruning.costlyExprRefs(plan), ScanPruning.costlyExprDups(plan))
         catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"$name ERR ${e.getMessage}"); -1 }
+          System.err.println(s"$name ERR ${e.getMessage}"); (-1, Nil) }
       println(s"""    "$name" -> $n,""")
-      ScanPruning.costlyExprDups(plan).foreach { case (expr, c) =>
-        println(s"    //   dup x$c: $expr")
-      }
+      dups.foreach { case (expr, c) => println(s"    //   dup x$c: $expr") }
     }
     spark.stop()
   }
