@@ -130,6 +130,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pos(ivf) == pos(bf))
   }
 
+  test("cosineAtLeast/cosineBelow: null fails, boundaries hold, guard trips") {
+    val df = Seq(
+      (1L, Some(0.95)), (2L, Some(-1.0)), (3L, Option.empty[Double]),
+      (4L, Some(1.0))).toDF("id", "c")
+    def ids(p: org.apache.spark.sql.Column): Set[Long] =
+      df.filter(p).select("id").as[Long].collect().toSet
+    // >= -1 admits every DEFINED cosine including the exact boundary;
+    // null (zero-norm) must fail even at the most permissive threshold
+    assert(ids(Similarity.cosineAtLeast($"c", -1.0)) == Set(1L, 2L, 4L))
+    assert(ids(Similarity.cosineAtLeast($"c", 1.0)) == Set(4L))
+    // < 1 admits everything defined below the top; null still fails
+    assert(ids(Similarity.cosineBelow($"c", 1.0)) == Set(1L, 2L))
+    assert(ids(Similarity.cosineBelow($"c", -1.0)) == Set.empty)
+    // the predicate is non-nullable, so keying on it can never spawn a
+    // constraint-propagated refilter of the wrapped expression
+    assert(!df.select(Similarity.cosineAtLeast($"c", 0.5).as("p"))
+      .schema("p").nullable)
+    intercept[IllegalArgumentException] { Similarity.cosineAtLeast($"c", -1.01) }
+    intercept[IllegalArgumentException] { Similarity.cosineBelow($"c", 1.01) }
+  }
+
   test("contrastive thresholds outside [-1, 1] are rejected loudly") {
     // a threshold > 2 would turn the +2 null-cosine sentinel in the
     // negatives filter into a match
