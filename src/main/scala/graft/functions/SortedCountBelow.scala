@@ -71,7 +71,7 @@ case class SortedCountBelow(left: Expression, right: Expression)
   @transient private lazy val nullableElems: Boolean =
     left.dataType.asInstanceOf[ArrayType].containsNull
 
-  private def fnName: String = (elemType, nullableElems) match {
+  @transient private lazy val fnName: String = (elemType, nullableElems) match {
     case (IntegerType, false) => "countBelowInt"
     case (LongType, false) => "countBelowLong"
     case (FloatType, false) => "countBelowFloat"
@@ -82,27 +82,31 @@ case class SortedCountBelow(left: Expression, right: Expression)
     case (DoubleType, true) => "countBelowDoubleNullable"
   }
 
-  override def nullSafeEval(arr: Any, v: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    fnName match {
-      case "countBelowInt" =>
-        SortedCountBelow.countBelowInt(a, v.asInstanceOf[Int])
-      case "countBelowLong" =>
-        SortedCountBelow.countBelowLong(a, v.asInstanceOf[Long])
-      case "countBelowFloat" =>
-        SortedCountBelow.countBelowFloat(a, v.asInstanceOf[Float])
-      case "countBelowDouble" =>
-        SortedCountBelow.countBelowDouble(a, v.asInstanceOf[Double])
-      case "countBelowIntNullable" =>
-        SortedCountBelow.countBelowIntNullable(a, v.asInstanceOf[Int])
-      case "countBelowLongNullable" =>
-        SortedCountBelow.countBelowLongNullable(a, v.asInstanceOf[Long])
-      case "countBelowFloatNullable" =>
-        SortedCountBelow.countBelowFloatNullable(a, v.asInstanceOf[Float])
-      case "countBelowDoubleNullable" =>
-        SortedCountBelow.countBelowDoubleNullable(a, v.asInstanceOf[Double])
+  // interpreted-path dispatch resolved ONCE per expression instance —
+  // a per-row match on the type tuple would be pure overhead on the
+  // non-codegen paths (constant folding, codegen fallback)
+  @transient private lazy val evalFn: (ArrayData, Any) => Any =
+    (elemType, nullableElems) match {
+      case (IntegerType, false) =>
+        (a, v) => SortedCountBelow.countBelowInt(a, v.asInstanceOf[Int])
+      case (LongType, false) =>
+        (a, v) => SortedCountBelow.countBelowLong(a, v.asInstanceOf[Long])
+      case (FloatType, false) =>
+        (a, v) => SortedCountBelow.countBelowFloat(a, v.asInstanceOf[Float])
+      case (DoubleType, false) =>
+        (a, v) => SortedCountBelow.countBelowDouble(a, v.asInstanceOf[Double])
+      case (IntegerType, true) =>
+        (a, v) => SortedCountBelow.countBelowIntNullable(a, v.asInstanceOf[Int])
+      case (LongType, true) =>
+        (a, v) => SortedCountBelow.countBelowLongNullable(a, v.asInstanceOf[Long])
+      case (FloatType, true) =>
+        (a, v) => SortedCountBelow.countBelowFloatNullable(a, v.asInstanceOf[Float])
+      case (DoubleType, true) =>
+        (a, v) => SortedCountBelow.countBelowDoubleNullable(a, v.asInstanceOf[Double])
     }
-  }
+
+  override def nullSafeEval(arr: Any, v: Any): Any =
+    evalFn(arr.asInstanceOf[ArrayData], v)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =

@@ -247,7 +247,11 @@ object ThetaSetEstimate {
       val e = exprs(2)
       require(e.foldable && e.dataType == IntegerType,
         "theta_union_estimate: lgK must be an integer literal")
-      e.eval().asInstanceOf[Int]
+      val v = e.eval()
+      // a NULL literal is foldable IntegerType and would unbox to 0,
+      // misreporting as "lgK out of range: 0"
+      require(v != null, "theta_union_estimate: lgK must not be NULL")
+      v.asInstanceOf[Int]
     } else 12
     ThetaUnionEstimate(exprs(0), exprs(1), lgK)
   }
@@ -346,7 +350,10 @@ object ThetaSketchAgg {
       val e = exprs(1)
       require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
         "theta_sketch_agg: lgK must be an integer literal")
-      e.eval().asInstanceOf[Int]
+      val v = e.eval()
+      // NULL is foldable IntegerType; unboxing would misreport as lgK=0
+      require(v != null, "theta_sketch_agg: lgK must not be NULL")
+      v.asInstanceOf[Int]
     } else 12
     ThetaSketchAgg(exprs.head, lgK)
   }

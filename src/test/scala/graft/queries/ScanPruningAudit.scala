@@ -58,16 +58,6 @@ object ScanPruning {
       case n => Seq(n)
     }.flatten
 
-  /** `IsNotNull(<expr containing a ScalaUDF>)` predicates anywhere in the
-    * plan. These are almost never user-written: they appear when a
-    * NULLABLE UDF output becomes a join/agg key and Catalyst's constraint
-    * propagation pushes the key's not-null requirement back through the
-    * alias — re-evaluating the UDF as a data filter at the scan, i.e. a
-    * silent 2-3× repeat of exactly the per-row work the operator is made
-    * of (observed: d3b's fingerprint UDFs ran 3× per row). A UDF that
-    * never returns null must say so (`.asNonNullable()`); one that can
-    * should be materialized (persist/checkpoint) before keying on it.
-    */
   /** Expressions whose per-row evaluation is the operator's dominant cost:
     * Scala UDFs and the library's native Catalyst expressions (ngram
     * counts, shingle hashes, cosine, theta estimates, ... — exactly as
@@ -78,6 +68,17 @@ object ScanPruning {
     e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF] ||
       e.getClass.getName.startsWith("graft.")
 
+  /** `IsNotNull(<costly expr>)` predicates anywhere in the plan. These
+    * are almost never user-written: they appear when a NULLABLE costly
+    * output becomes a join/agg key and Catalyst's constraint propagation
+    * pushes the key's not-null requirement back through the alias —
+    * re-evaluating the expression as a data filter at the scan, i.e. a
+    * silent 2-3× repeat of exactly the per-row work the operator is made
+    * of (observed: d3b's fingerprint UDFs ran 3× per row). An expression
+    * that never returns null must say so (`.asNonNullable()` /
+    * `nullable = false`); one that can must be compared through a
+    * non-nullable sentinel or materialized before keying on it.
+    */
   def udfNullRefilters(p: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.IsNotNull
     nodes(p).flatMap { n =>

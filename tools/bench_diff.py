@@ -70,7 +70,11 @@ def main(old_path, new_path, threshold=1.25):
     moved = []
     for k in both:
         a, b = oq[k], nq[k]
-        if b <= 0:
+        if a <= 0 and b <= 0:
+            # broken in BOTH rounds: not this round's regression — rank
+            # below real movers so it never reads as a new failure
+            moved.append((0.0, "STILL", k, a, b))
+        elif b <= 0:
             moved.append((float("inf"), "FAIL ", k, a, b))  # newly failing
         elif a <= 0:
             moved.append((float("inf"), "FIXED", k, a, b))  # recovered
