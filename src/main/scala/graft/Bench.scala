@@ -32,9 +32,11 @@ import org.apache.spark.sql.SparkSession
   * The COMPLETE map is additionally written to `bench_full.json`
   * (override via SPARK_GRAFT_BENCH_FULL) so nothing is lost to the drop
   * rule and round-over-round comparison can cover every query; it also
-  * carries BOTH shots and a per-query system-load trace (see
-  * [[renderDetail]]) and is mirrored to a round-stamped
-  * `bench_full_r<N>.json` so every round's complete map gets committed.
+  * carries BOTH shots, a per-query system-load trace (see
+  * [[renderDetail]]) and a per-pass machine-speed calibration trace
+  * (see [[calibrate]]), and is mirrored to a round-stamped
+  * `bench_full_r<N>.json` (write-once — a rerun never clobbers the
+  * round's first stamp) so every round's complete map gets committed.
   */
 object Bench {
 
@@ -100,6 +102,42 @@ object Bench {
   def best(shots: Seq[Double]): Double = {
     val ok = shots.filter(_ >= 0)
     if (ok.isEmpty) -1.0 else ok.min
+  }
+
+  /** Deterministic machine-speed calibration probe: a fixed-iteration,
+    * IO-free, allocation-free xorshift64 loop timed on one thread.
+    * Identical work every call, every machine, every build — so the
+    * ratio of two runs' calibration times measures HOST speed (steal,
+    * thermal, contention), never code. This closes the attribution gap
+    * `tools/bench_diff.py`'s header documents: its ambient factor is
+    * the median per-query ratio over the measured queries themselves,
+    * so a global code regression (a session conf, a codegen change)
+    * shifts the median identically to host drift. The probe is outside
+    * Spark entirely; a round whose per-query median moved 1.3× while
+    * calibration moved 1.0× is a code regression, and vice versa.
+    *
+    * Single-threaded on purpose: host steal taxes every core, and one
+    * serial dependency chain (each iteration reads the last) is the
+    * cleanest steal detector — a parallel probe would also fold in the
+    * bench's own local[N] sizing. Measures ~0.86 s/call on this box
+    * (flat to ±2% across a session's runs); timed once per pass so the
+    * trace brackets every query's shots. Callers run one untimed call
+    * first (JIT warm) — see main.
+    */
+  def calibrate(): Double = {
+    val iters = 400000000L
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // data dependency on the fold result: the loop cannot be dead-code
+    // eliminated (xorshift64 never reaches 0 from a nonzero seed)
+    if (x == 0L) System.err.println("[bench] calibration fold broke")
+    dt
   }
 
   /** Render the single-line JSON report, capped at `maxLen` chars by
@@ -184,6 +222,8 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val load0 = loadAvg()
+    calibrate() // untimed: JIT-compile the probe loop itself
+    val calib0 = calibrate()
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
     // One timed (time, loadBefore) sample per query over the whole
     // catalog — the unit the pass-separated protocol composes.
@@ -203,20 +243,29 @@ object Bench {
     // one recovery chance before the -1 marker sticks.
     // The per-shot load samples land in the full artifact so a slow
     // entry can be attributed to ambient load, not a plan change.
+    val calib1 = calibrate()
     val p1 = passOver(names)
+    val calib2 = calibrate()
     val p2 = passOver(names)
     val unstable = names.filter { n =>
       val (a, _) = p1(n); val (b, _) = p2(n)
       a < 0 || b < 0 || math.abs(a - b) > 0.2 * math.min(a, b)
     }
+    val calib3 = calibrate()
     val p3 = passOver(unstable)
+    val calibEnd = calibrate()
     val shots = names.map { n =>
       n -> (Seq(p1(n), p2(n)) ++ p3.get(n))
     }
     val results = shots.map { case (n, rs) => n -> best(rs.map(_._1)) }
 
     val sfName = new java.io.File(sfDir).getName
-    val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]"""
+    // calib: the machine-speed probe timed pre-warmup, at the head of
+    // each timed pass, and after the last pass — the host-drift
+    // instrument bench_diff reads (see [[calibrate]])
+    val calibs = Seq(calib0, calib1, calib2, calib3, calibEnd)
+    val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]""" +
+      s""","calib":${calibs.map(fmt).mkString("[", ",", "]")}"""
     val out = renderLine(results, sfName, extra = extra)
     // Full-map artifact: every query's timing (plus both shots and the
     // per-query load trace) survives even though the stdout line drops
@@ -249,13 +298,27 @@ object Bench {
     // Never stamp a FILTERED run: a SPARK_GRAFT_QUERIES profiling run is
     // a partial map, and stamping it would clobber the committed
     // complete snapshot with a 2-entry file (happened once).
+    // WRITE-ONCE: never overwrite an existing bench_full_r<N>.json
+    // either — in round 12 the driver's own full rerun re-stamped the
+    // same N and silently replaced the committed quiet-window snapshot
+    // (115.9 s over 107.5 s). The first full run of a round owns the
+    // stamp; later reruns keep their complete map in bench_full.json
+    // and a stderr note says where the stamp would have gone. This also
+    // defuses the mis-stamp risk of running from a cwd with stale or
+    // foreign BENCH_r files: a wrong N can no longer clobber anything.
     try if (only.isEmpty) {
       val re = """BENCH_r(\d+)\.json""".r
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => re.unapplySeq(f.getName).map(_.head.toInt))
-      if (rounds.nonEmpty) java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"bench_full_r${rounds.max + 1}%02d.json"),
-        fullJson)
+      if (rounds.nonEmpty) {
+        val stamp = java.nio.file.Paths.get(
+          f"bench_full_r${rounds.max + 1}%02d.json")
+        if (java.nio.file.Files.exists(stamp))
+          System.err.println(s"[bench] round snapshot $stamp exists — " +
+            "write-once, keeping the first stamp (full map is in " +
+            s"$fullPath)")
+        else java.nio.file.Files.writeString(stamp, fullJson)
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] round snapshot write failed: $e")
     }

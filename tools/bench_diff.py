@@ -12,11 +12,17 @@ whose NORMALIZED ratio (raw ratio / ambient) moved more than `threshold`
 (default 1.25x in either direction). A uniform slowdown therefore shows
 up once, as the ambient line, instead of as 60 spurious per-query
 regressions; a genuine per-query regression survives normalization.
-CAVEAT the ambient line states explicitly: a change that slows EVERY
-query alike (a session conf, a codegen regression) shifts the median
-exactly like machine drift and is normalized away too - when the
-ambient factor moves, read the load traces and ask whether the round's
-code plausibly touched every query before accepting "machine".
+When BOTH artifacts carry a "calib" trace (per-pass timings of Bench's
+deterministic, IO-free xorshift calibration probe — identical work every
+run, so its ratio measures host speed and never code), the tool compares
+the ambient factor against the calibration ratio: agreement attributes a
+uniform shift to the MACHINE; an ambient factor well above the
+calibration ratio is a CODE-GLOBAL regression (session conf, codegen) —
+the case the median alone cannot see. Without calib on both sides the
+old caveat stands: a change that slows EVERY query alike shifts the
+median exactly like machine drift — read the load traces and ask
+whether the round's code plausibly touched every query before accepting
+"machine".
 Recorded system load (whole-run endpoints, plus the per-query trace when
 the artifact carries one) is printed so ambient drift can be attributed.
 Exit code 0 always — this is a lens, not a gate.
@@ -52,21 +58,48 @@ def main(old_path, new_path, threshold=1.25):
             print(f"new-run per-shot load: min {min(vals):.2f}"
                   f"  median {statistics.median(vals):.2f}"
                   f"  max {max(vals):.2f}")
+    # Machine-speed calibration: the probe is identical work every run,
+    # so new/old of the per-pass MINIMUM (each run's least-disturbed
+    # probe — transient steal inflates, nothing deflates) is the host
+    # speed ratio the per-query ambient factor should match if the
+    # uniform shift is machine and not code.
+    calib_ratio = None
+    ocal = [c for c in (old.get("calib") or []) if c > 0]
+    ncal = [c for c in (new.get("calib") or []) if c > 0]
+    if ocal and ncal:
+        calib_ratio = min(ncal) / min(ocal)
+        print(f"calibration: {min(ocal):.3f}s -> {min(ncal):.3f}s  "
+              f"(host speed ratio {calib_ratio:.2f}x; per-pass old="
+              f"{[round(c, 2) for c in ocal]} new="
+              f"{[round(c, 2) for c in ncal]})")
     both = sorted(set(oq) & set(nq))
     ratios = [nq[k] / oq[k] for k in both
               if oq[k] > 0 and nq[k] > 0 and max(oq[k], nq[k]) >= 0.2]
     ambient = statistics.median(ratios) if len(ratios) >= 5 else 1.0
     if len(ratios) >= 5:
         # A shifted ambient factor means EVERY query moved together.
-        # That is usually machine state (check the load traces), but a
-        # global code change (session conf, codegen regression) shifts
-        # the median identically — the tool cannot tell them apart, so
-        # it says what to check rather than asserting a cause.
+        # With calibration on both sides the probe arbitrates between
+        # machine drift and a code-global change; without it the tool
+        # says what to check rather than asserting a cause.
+        attribution = ""
+        if abs(ambient - 1.0) > 0.1:
+            if calib_ratio is None:
+                attribution = ("  <- uniform shift: machine drift OR a "
+                               "global change; check load traces and "
+                               "whether code touched every query")
+            elif ambient / calib_ratio > 1.15:
+                attribution = (f"  <- ambient {ambient:.2f}x exceeds host "
+                               f"speed ratio {calib_ratio:.2f}x: "
+                               "CODE-GLOBAL regression suspected")
+            elif calib_ratio / ambient > 1.15:
+                attribution = (f"  <- host slowed {calib_ratio:.2f}x but "
+                               f"queries only {ambient:.2f}x: machine "
+                               "drift (queries less steal-sensitive)")
+            else:
+                attribution = (f"  <- matches host speed ratio "
+                               f"{calib_ratio:.2f}x: machine drift")
         print(f"ambient factor (median ratio, {len(ratios)} queries "
-              f">=0.2s): {ambient:.2f}x"
-              + ("  <- uniform shift: machine drift OR a global change;"
-                 " check load traces and whether code touched every query"
-                 if abs(ambient - 1.0) > 0.1 else ""))
+              f">=0.2s): {ambient:.2f}x" + attribution)
     moved = []
     for k in both:
         a, b = oq[k], nq[k]
