@@ -56,6 +56,18 @@ object BlockingBudget {
   /** Total candidate-pair volume Σ_k |L_k|·|R_k| of the equi-blocked
     * join of `left` and `right` on their block keys — the number the
     * join's per-pair work multiplies. 0 when no block key co-occurs.
+    *
+    * Counting convention (the costlyExprRefs cache-walk caveat's
+    * sibling): the volume counts ORDERED pairs INCLUDING self-pairs —
+    * for a self-join audit that passes the same frame as both sides,
+    * a bucket of size m contributes m² though the production join's
+    * `doc_a < doc_b` condition evaluates only m·(m−1)/2 of them, so
+    * the audited number overstates real per-pair work by ~2×+n there.
+    * Deliberate: m² and m(m−1)/2 have the SAME growth shape (the
+    * budget polices growth, and the specs' factors are calibrated
+    * against this measure), the measure stays symmetric in its
+    * arguments, and a cross-join audit (distinct sides) needs no
+    * diagonal correction to reason about.
     */
   def candidatePairVolume(left: DataFrame, leftKey: Column,
                           right: DataFrame, rightKey: Column): Long =
@@ -63,4 +75,47 @@ object BlockingBudget {
       .agg(coalesce(sum(col("pairs")), lit(0L))).head() match {
         case Row(v: Long) => v
       }
+
+  /** PRODUCTION preflight: fail fast — with the hot blocks named —
+    * when a blocked join's candidate-pair volume exceeds
+    * `maxPairFactor · refRows`, BEFORE the join burns a cluster on a
+    * silently-degraded blocking key. This is the scheduled-pipeline
+    * form of the spec-side budgets (`FuzzyBlockingBudgetSpec`,
+    * `LshBucketBudgetSpec`): a corpus drifting toward boilerplate, a
+    * collapsing vocabulary, or an empty-field default crowds blocks
+    * with NO plan-shape change — only the pair volume sees it. Wired
+    * as an opt-in `maxPairFactor` parameter on every blocked-join
+    * entry point ([[graft.operators.TextDedup.minHashLshPairs]]-family,
+    * `simHashPairs`/`simHashPairs128`, [[graft.operators.TextDedup.prefixBlockedLinkage]]);
+    * `None` (the default) costs nothing and changes no plan.
+    *
+    * Cost when enabled: two count aggregations over compact keys plus
+    * a small top-k collect on failure — O(n) with a tiny constant,
+    * amortized against the join it guards. `refRows` is the caller's
+    * budget denominator (its spec convention: banded key rows for the
+    * LSH families, corpus rows for prefix linkage).
+    *
+    * @throws IllegalStateException naming the measured factor and the
+    *         heaviest blocks (the [[blockProfile]] attribution) when
+    *         the budget is exceeded
+    */
+  def preflight(left: DataFrame, leftKey: Column,
+                right: DataFrame, rightKey: Column,
+                maxPairFactor: Double, refRows: Long, op: String): Unit = {
+    require(maxPairFactor > 0, s"maxPairFactor must be > 0: $maxPairFactor")
+    require(refRows >= 0, s"refRows must be >= 0: $refRows")
+    val vol = candidatePairVolume(left, leftKey, right, rightKey)
+    val budget = maxPairFactor * refRows
+    if (vol > budget) {
+      val hot = blockProfile(left, leftKey, right, rightKey).limit(5)
+        .collect()
+        .map(r => s"${r.get(0)} (left ${r.get(1)} x right ${r.get(2)} = " +
+          s"${r.get(3)} pairs)")
+        .mkString("; ")
+      throw new IllegalStateException(
+        s"$op blocking preflight failed: candidate-pair volume $vol " +
+          s"exceeds $maxPairFactor x $refRows rows = ${budget.toLong} — " +
+          s"the blocking key has degraded (hottest blocks: $hot)")
+    }
+  }
 }

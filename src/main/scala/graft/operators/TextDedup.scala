@@ -210,15 +210,31 @@ object TextDedup {
     *   filter recomputes the candidate subplan, which at small corpus
     *   sizes costs more than the full-set shuffle it saves — hence off by
     *   default and correct either way (spec-asserted equal).
+    * @param maxPairFactor opt-in production preflight
+    *   ([[BlockingBudget.preflight]]): when set, the band buckets'
+    *   candidate-pair volume is measured EAGERLY (two count
+    *   aggregations over the band keys, before the join is returned)
+    *   and the call throws — naming the hot buckets — if it exceeds
+    *   `maxPairFactor · (banded key rows)`, the `LshBucketBudgetSpec`
+    *   accounting. The guard a scheduled dedup job wants against a
+    *   corpus drifting toward boilerplate: bucket crowding reverts the
+    *   join toward n² with no plan-shape change. Default `None`: no
+    *   extra work, no plan change.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 32, bands: Int = 16,
                       minJaccard: Double = 0.5,
-                      verifyCandidatesOnly: Boolean = false): DataFrame = {
+                      verifyCandidatesOnly: Boolean = false,
+                      maxPairFactor: Option[Double] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
     val banded = bandedKeys(sigs, bands, r)
+    maxPairFactor.foreach { f =>
+      val k = banded.select(struct(col("band"), col("bh")).as("k"))
+      BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
+        "minHashLshPairs")
+    }
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -288,16 +304,28 @@ object TextDedup {
     * takes the raw corpus and builds both in-plan, which is the same plan
     * with the storage round-trip elided.
     */
+  /** @param maxPairFactor opt-in [[BlockingBudget.preflight]] (see
+    *   [[minHashLshPairs]]): budget is `maxPairFactor · max(corpus,
+    *   batch banded key rows)` — the larger side, so the bound stays
+    *   linear in the corpus an append-only ingest loop accumulates.
+    */
   def crossMinHashLshPairs(corpus: DataFrame, batch: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 5, numHashes: Int = 32, bands: Int = 16,
-                           minJaccard: Double = 0.5): DataFrame = {
+                           minJaccard: Double = 0.5,
+                           maxPairFactor: Option[Double] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val cb = bandedKeys(minHashSignatures(corpus, idCol, textCol, n, numHashes),
       bands, r)
     val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
       bands, r)
+    maxPairFactor.foreach { f =>
+      val ck = cb.select(struct(col("band"), col("bh")).as("k"))
+      val bk = bb.select(struct(col("band"), col("bh")).as("k"))
+      BlockingBudget.preflight(ck, col("k"), bk, col("k"), f,
+        math.max(ck.count(), bk.count()), "crossMinHashLshPairs")
+    }
     val candidates = cb.as("a")
       .join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
@@ -688,13 +716,23 @@ object TextDedup {
     * remains for the 64-bit fingerprint contract.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxPairFactor: Option[Double] = None): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantee holds up to 3")
     val sigs = simHashes(df, idCol, textCol)
     val banded = sigs.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bv")))
+    // opt-in preflight (see minHashLshPairs): for THIS form it doubles
+    // as the regime check — 16-bit bands crowd on low-entropy corpora
+    // (the documented bound that motivated simHashPairs128), and a
+    // budgeted caller finds out before the join, not after
+    maxPairFactor.foreach { f =>
+      val k = banded.select(struct(col("band"), col("bv")).as("k"))
+      BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
+        "simHashPairs")
+    }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -730,10 +768,18 @@ object TextDedup {
     * surface) are found by both.
     */
   def simHashPairs128(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxPairFactor: Option[Double] = None): DataFrame = {
     require(maxHamming <= 3,
       "5-piece / 2-clean combination guarantee holds up to 3")
     val banded = simHash128BandKeys(simHashes128(df, idCol, textCol))
+    // opt-in preflight over the exact combination-band keys the join
+    // uses — the production form of LshBucketBudgetSpec's d3b budget
+    maxPairFactor.foreach { f =>
+      val k = banded.select(struct(col("band"), col("bv")).as("k"))
+      BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
+        "simHashPairs128")
+    }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -791,4 +837,58 @@ object TextDedup {
         explode(combo128Udf(col("sh_hi"), col("sh_lo"))).as("c"))
       .select(col("doc"), col("sh_hi"), col("sh_lo"),
         col("c._1").as("band"), col("c._2").as("bv"))
+
+  /** PREFIX-BLOCKED fuzzy record linkage — the fz1 query's shape as a
+    * reusable entry point: match each query string against the corpus
+    * records sharing its first `prefixLen` characters, keeping pairs
+    * within edit distance `maxEdit`. Blocking turns the would-be cross
+    * join into an equi-join over small buckets (candidate volume
+    * Σ blocksize², not |queries|·|corpus|) at the price of missing
+    * matches whose corruption falls INSIDE the prefix — so `prefixLen`
+    * must be chosen from the corruption model (fz1: the planted
+    * corruption drops character 15, so 14 chars survive verbatim), and
+    * it should be the MAXIMAL invariant prefix: key entropy is what
+    * keeps the join linear (the round-12 lesson — an 8-char key
+    * saturated a ~31-word vocabulary and went quadratic with n behind
+    * a benign wall-clock).
+    *
+    * Output: (`qIdCol`, match_id, edit_distance) — one row per
+    * (query, corpus record) pair within `maxEdit`. The two frames'
+    * column names must not collide (the join keeps both sides' text
+    * columns in scope for the levenshtein projection).
+    *
+    * The edit distance is computed ONCE in a projection then filtered:
+    * it is the dominant per-pair cost and Spark does not CSE a filter
+    * expression with a later select's copy.
+    *
+    * @param maxPairFactor opt-in [[BlockingBudget.preflight]] over the
+    *   exact block keys this join uses, budget `maxPairFactor ·
+    *   |corpus|` (the `FuzzyBlockingBudgetSpec` accounting) — the
+    *   guard a scheduled linkage job wants against corpus drift
+    *   degrading the prefix (one dominant boilerplate head, an
+    *   empty-field default). Fails with the hot prefixes named, before
+    *   any per-pair work. Default `None`: no extra work, no plan
+    *   change.
+    */
+  def prefixBlockedLinkage(queries: DataFrame, qIdCol: String,
+                           qTextCol: String,
+                           corpus: DataFrame, idCol: String, textCol: String,
+                           prefixLen: Int, maxEdit: Int,
+                           maxPairFactor: Option[Double] = None): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    require(maxEdit >= 0, s"maxEdit must be >= 0: $maxEdit")
+    maxPairFactor.foreach { f =>
+      BlockingBudget.preflight(
+        queries, substring(col(qTextCol), 1, prefixLen),
+        corpus, substring(col(textCol), 1, prefixLen),
+        f, corpus.count(), "prefixBlockedLinkage")
+    }
+    queries.join(corpus,
+        substring(col(qTextCol), 1, prefixLen)
+          === substring(col(textCol), 1, prefixLen))
+      .withColumn("edit_distance",
+        levenshtein(col(qTextCol), col(textCol)).cast("int"))
+      .filter(col("edit_distance") <= maxEdit)
+      .select(col(qIdCol), col(idCol).as("match_id"), col("edit_distance"))
+  }
 }

@@ -260,16 +260,12 @@ object TrainPrepQueries {
         .select(col("doc_id").as("q_id"),
           concat(substring(col("title"), 1, 14),
             substring(col("title"), 16, 30)).as("q_title"))
-      batch.join(titles,
-          substring(col("q_title"), 1, 14) === substring(col("title"), 1, 14))
-        // computed ONCE in a projection then filtered — the edit distance
-        // is the dominant per-pair cost, and Spark does not CSE a filter
-        // expression with a later select's copy
-        .withColumn("edit_distance",
-          levenshtein(col("q_title"), col("title")).cast("int"))
-        .filter(col("edit_distance") <= 2)
-        .select(col("q_id"), col("doc_id").as("match_id"),
-          col("edit_distance"))
+      // round-13: the join body moved to the reusable operator (same
+      // plan expression-for-expression); production callers opt into
+      // the pair-volume preflight via maxPairFactor — the oracle form
+      // keeps it off (the budget lives in FuzzyBlockingBudgetSpec)
+      graft.operators.TextDedup.prefixBlockedLinkage(batch, "q_id", "q_title",
+        titles, "doc_id", "title", prefixLen = 14, maxEdit = 2)
     }),
 
     // weighted sample per source (quality-weighted subsample): A-Res
