@@ -54,6 +54,18 @@ object Similarity {
     * same rows with one evaluation. Sentinel −2 is below every cosine,
     * and [[requireCosineThreshold]] pins t inside [-1, 1] so the
     * sentinel can never satisfy the comparison.
+    *
+    * Edge at t = −1: a defined cosine of an antiparallel pair can
+    * round one ulp BELOW −1.0 in the double fold and is then excluded
+    * even though its mathematical value is −1 — both engines compute
+    * the identical fold, so oracle parity holds, but "admit every
+    * defined pair" is NOT expressible as a threshold (t = −1 misses
+    * the ulp-below stragglers, and out-of-range sentinels like −2 are
+    * rejected by the bound — deliberately, since a below-sentinel
+    * threshold would admit NULL cosines as pairs). A caller wanting
+    * all defined pairs should filter `c.isNotNull` on the projected
+    * cosine COLUMN (after `withColumn` — not inside a join condition,
+    * where the refilter above bites) instead of thresholding.
     */
   def cosineAtLeast(c: Column, t: Double): Column = {
     requireCosineThreshold(t)

@@ -110,9 +110,17 @@ object ThetaSketches {
       Bridge.expression(a), Bridge.expression(b)))
 
   /** In-plan |A ∪ B| estimate over two compact-sketch BINARY columns.
-    * `lgK` bounds the union's nominal entries — use the lgK the sketches
-    * were built with (a smaller one degrades, never corrupts, the
-    * estimate: theta unions are resolution-monotone).
+    * `lgK` bounds the union's nominal entries — ALWAYS pass the lgK
+    * the sketches were built with. The default (12, the datasketches
+    * library default) does NOT match this catalog's sketch builds
+    * (th1 builds at lgK=16 for exact-mode headroom): unioning lgK-16
+    * sketches at the 12 default silently caps the union at 4096
+    * retained entries, degrading — never corrupting — the estimate
+    * once either input exceeds that (theta unions are
+    * resolution-monotone, so the failure is quiet extra error, which
+    * is why this doc shouts instead). The mismatch is not detectable
+    * at plan-construction time: lgK must be a literal here, but the
+    * blobs are runtime values.
     */
   def thetaUnionEstimate(a: Column, b: Column, lgK: Int = 12): Column =
     Bridge.column(ThetaUnionEstimate(

@@ -25,13 +25,37 @@ object Sf1Tier {
   def skipped: Boolean = sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
 
   /** Generate-if-absent under a process-wide gate (suites share the test
-    * JVM; concurrent calls must not race the overwrite writes).
+    * JVM; concurrent calls must not race the overwrite writes) AND a
+    * cross-process file lock: two concurrent test JVMs on one machine
+    * (parallel sbt invocations, CI sharding) could otherwise both see
+    * the marker absent and race overwrite-mode generation into the same
+    * directory — mixed files from two writers, markered complete by
+    * whichever finished last. The lock serializes generation; the
+    * marker re-check after acquiring means the loser of the race finds
+    * the winner's completed tier and generates nothing (the
+    * stateBuildGate double-check, cross-JVM form). Marker-last
+    * discipline is unchanged: a crash mid-generation leaves no marker
+    * and the next caller regenerates in place.
     * Returns true when the tier is present and complete.
     */
   def available(spark: SparkSession): Boolean = synchronized {
     if (skipped && !marker.isFile) false
     else {
-      if (!marker.isFile) TestDataGen.generate(spark, dir, 10.0)
+      if (!marker.isFile) {
+        val base = new java.io.File(dir).getAbsoluteFile
+        base.getParentFile.mkdirs()
+        val lockPath = new java.io.File(base.getParentFile,
+          base.getName + ".lock").toPath
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock() // blocks until a concurrent generator exits
+          try {
+            if (!marker.isFile) TestDataGen.generate(spark, dir, 10.0)
+          } finally lk.release()
+        } finally ch.close()
+      }
       marker.isFile
     }
   }
