@@ -292,9 +292,13 @@ object Bench {
     // ours. Skipped silently when no BENCH_r files exist (dev runs
     // outside the repo root). Numbering semantics: BENCH_r<N> lands
     // AFTER round N's bench runs, so during round N the max is N-1 and
-    // the stamp is N; a rerun after the round closes stamps N+1 —
-    // deliberate, because that run happens inside round N+1's build and
-    // is the baseline the N+1 driver run will overwrite.
+    // the stamp is N. With write-once (below) the FIRST full run after
+    // round N closes owns the N+1 stamp — so a throwaway full run early
+    // in a round claims the file and the later canonical run only gets
+    // the stderr note. The remedy is manual and cheap (delete the stale
+    // stamp, or copy bench_full.json over it, before committing); the
+    // old auto-overwrite "remedy" was what silently destroyed round
+    // 12's committed quiet-window snapshot.
     // Never stamp a FILTERED run: a SPARK_GRAFT_QUERIES profiling run is
     // a partial map, and stamping it would clobber the committed
     // complete snapshot with a 2-entry file (happened once).

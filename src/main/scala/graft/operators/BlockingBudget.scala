@@ -91,9 +91,13 @@ object BlockingBudget {
     *
     * Cost when enabled: two count aggregations over compact keys plus
     * a small top-k collect on failure — O(n) with a tiny constant,
-    * amortized against the join it guards. `refRows` is the caller's
-    * budget denominator (its spec convention: banded key rows for the
-    * LSH families, corpus rows for prefix linkage).
+    * amortized against the join it guards. The callers persist their
+    * keyed frames for the guard's lifetime, so the expensive key
+    * derivation (signatures, fingerprints, banding) materializes ONCE
+    * and the row count, the volume aggregation, and the failure
+    * profile all read the cache. `refRows` is the caller's budget
+    * denominator (its spec convention: banded key rows for the LSH
+    * families, corpus rows for prefix linkage).
     *
     * @throws IllegalStateException naming the measured factor and the
     *         heaviest blocks (the [[blockProfile]] attribution) when

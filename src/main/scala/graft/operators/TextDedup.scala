@@ -231,9 +231,14 @@ object TextDedup {
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
     val banded = bandedKeys(sigs, bands, r)
     maxPairFactor.foreach { f =>
-      val k = banded.select(struct(col("band"), col("bh")).as("k"))
-      BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
+      // persisted for the guard's lifetime: the row count, the volume
+      // aggregation, and (on failure) the hot-block profile all read
+      // one materialization of the expensive signature+banding work
+      // instead of re-running it per action
+      val k = banded.select(struct(col("band"), col("bh")).as("k")).persist()
+      try BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
         "minHashLshPairs")
+      finally k.unpersist(false)
     }
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -321,10 +326,13 @@ object TextDedup {
     val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
       bands, r)
     maxPairFactor.foreach { f =>
-      val ck = cb.select(struct(col("band"), col("bh")).as("k"))
-      val bk = bb.select(struct(col("band"), col("bh")).as("k"))
-      BlockingBudget.preflight(ck, col("k"), bk, col("k"), f,
+      // persisted for the guard (see minHashLshPairs): one signature+
+      // banding materialization per side serves counts, volume, profile
+      val ck = cb.select(struct(col("band"), col("bh")).as("k")).persist()
+      val bk = bb.select(struct(col("band"), col("bh")).as("k")).persist()
+      try BlockingBudget.preflight(ck, col("k"), bk, col("k"), f,
         math.max(ck.count(), bk.count()), "crossMinHashLshPairs")
+      finally { ck.unpersist(false); bk.unpersist(false) }
     }
     val candidates = cb.as("a")
       .join(bb.as("b"),
@@ -729,9 +737,10 @@ object TextDedup {
     // (the documented bound that motivated simHashPairs128), and a
     // budgeted caller finds out before the join, not after
     maxPairFactor.foreach { f =>
-      val k = banded.select(struct(col("band"), col("bv")).as("k"))
-      BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
+      val k = banded.select(struct(col("band"), col("bv")).as("k")).persist()
+      try BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
         "simHashPairs")
+      finally k.unpersist(false)
     }
     banded.as("a")
       .join(banded.as("b"),
@@ -776,9 +785,10 @@ object TextDedup {
     // opt-in preflight over the exact combination-band keys the join
     // uses — the production form of LshBucketBudgetSpec's d3b budget
     maxPairFactor.foreach { f =>
-      val k = banded.select(struct(col("band"), col("bv")).as("k"))
-      BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
+      val k = banded.select(struct(col("band"), col("bv")).as("k")).persist()
+      try BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
         "simHashPairs128")
+      finally k.unpersist(false)
     }
     banded.as("a")
       .join(banded.as("b"),
@@ -878,10 +888,16 @@ object TextDedup {
     require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
     require(maxEdit >= 0, s"maxEdit must be >= 0: $maxEdit")
     maxPairFactor.foreach { f =>
-      BlockingBudget.preflight(
-        queries, substring(col(qTextCol), 1, prefixLen),
-        corpus, substring(col(textCol), 1, prefixLen),
-        f, corpus.count(), "prefixBlockedLinkage")
+      // persisted slim key projections: the corpus row count (same rows
+      // as the raw frame), the volume aggregation, and the failure
+      // profile share one scan of each input instead of three
+      val qk = queries
+        .select(substring(col(qTextCol), 1, prefixLen).as("k")).persist()
+      val ck = corpus
+        .select(substring(col(textCol), 1, prefixLen).as("k")).persist()
+      try BlockingBudget.preflight(qk, col("k"), ck, col("k"), f,
+        ck.count(), "prefixBlockedLinkage")
+      finally { qk.unpersist(false); ck.unpersist(false) }
     }
     queries.join(corpus,
         substring(col(qTextCol), 1, prefixLen)

@@ -110,19 +110,21 @@ object ThetaSketches {
       Bridge.expression(a), Bridge.expression(b)))
 
   /** In-plan |A ∪ B| estimate over two compact-sketch BINARY columns.
-    * `lgK` bounds the union's nominal entries — ALWAYS pass the lgK
-    * the sketches were built with. The default (12, the datasketches
-    * library default) does NOT match this catalog's sketch builds
-    * (th1 builds at lgK=16 for exact-mode headroom): unioning lgK-16
-    * sketches at the 12 default silently caps the union at 4096
-    * retained entries, degrading — never corrupting — the estimate
-    * once either input exceeds that (theta unions are
-    * resolution-monotone, so the failure is quiet extra error, which
-    * is why this doc shouts instead). The mismatch is not detectable
-    * at plan-construction time: lgK must be a literal here, but the
-    * blobs are runtime values.
+    * `lgK` bounds the union's nominal entries — pass the lgK the
+    * sketches were built with. NO default, deliberately: the builders
+    * default to 12 but the catalog's own th1 builds at 16 (exact-mode
+    * headroom), and unioning lgK-16 sketches at 12 silently caps the
+    * union at 4096 retained entries, degrading — never corrupting —
+    * the estimate once either input exceeds that (theta unions are
+    * resolution-monotone, so the failure is quiet extra error). The
+    * mismatch is not detectable at plan-construction time (lgK must
+    * be a literal here, the blobs are runtime values), so the API
+    * forces the caller to state it instead of defaulting into it.
+    * The SQL form `theta_union_estimate(a, b[, lgK])` keeps its
+    * optional third argument (falling back to 12) for ad-hoc use —
+    * the registered signature is a compatibility surface.
     */
-  def thetaUnionEstimate(a: Column, b: Column, lgK: Int = 12): Column =
+  def thetaUnionEstimate(a: Column, b: Column, lgK: Int): Column =
     Bridge.column(ThetaUnionEstimate(
       Bridge.expression(a), Bridge.expression(b), lgK))
 

@@ -116,7 +116,7 @@ class ThetaSpec extends SparkSpec {
         ThetaSketches.thetaIntersectEstimate(
           col("x.theta"), col("y.theta")).as("inter"),
         ThetaSketches.thetaUnionEstimate(
-          col("x.theta"), col("y.theta")).as("uni"),
+          col("x.theta"), col("y.theta"), 12).as("uni"),
         ThetaSketches.thetaDifferenceEstimate(
           col("x.theta"), col("y.theta")).as("diff"))
       .as[(Double, Double, Double)].collect()
@@ -150,7 +150,7 @@ class ThetaSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(0)), "null sketch must estimate null")
     val ex = intercept[Exception] {
       sk.select(ThetaSketches.thetaUnionEstimate(
-        col("theta"), col("grp"))).collect()
+        col("theta"), col("grp"), 12)).collect()
     }
     assert(ex.getMessage.contains("theta_union_estimate"), ex.getMessage)
   }

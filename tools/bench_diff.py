@@ -87,17 +87,30 @@ def main(old_path, new_path, threshold=1.25):
                 attribution = ("  <- uniform shift: machine drift OR a "
                                "global change; check load traces and "
                                "whether code touched every query")
-            elif ambient / calib_ratio > 1.15:
-                attribution = (f"  <- ambient {ambient:.2f}x exceeds host "
-                               f"speed ratio {calib_ratio:.2f}x: "
-                               "CODE-GLOBAL regression suspected")
-            elif calib_ratio / ambient > 1.15:
-                attribution = (f"  <- host slowed {calib_ratio:.2f}x but "
-                               f"queries only {ambient:.2f}x: machine "
-                               "drift (queries less steal-sensitive)")
             else:
-                attribution = (f"  <- matches host speed ratio "
-                               f"{calib_ratio:.2f}x: machine drift")
+                # Symmetric residual: what's left of the uniform shift
+                # after dividing out the measured host-speed change.
+                # Direction matters — residual > 1 is a code-global
+                # slowdown, residual < 1 a code-global SPEEDUP (e.g. a
+                # costly session conf removed); the earlier asymmetric
+                # branches labeled the speedup case "machine drift".
+                residual = ambient / calib_ratio
+                if abs(residual - 1.0) <= 0.15:
+                    attribution = (f"  <- matches host speed ratio "
+                                   f"{calib_ratio:.2f}x: machine drift")
+                elif residual > 1:
+                    attribution = (f"  <- ambient {ambient:.2f}x exceeds "
+                                   f"host speed ratio {calib_ratio:.2f}x "
+                                   f"(residual {residual:.2f}x): "
+                                   "CODE-GLOBAL regression suspected")
+                else:
+                    attribution = (f"  <- ambient {ambient:.2f}x is below "
+                                   f"host speed ratio {calib_ratio:.2f}x "
+                                   f"(residual {residual:.2f}x): "
+                                   "CODE-GLOBAL improvement suspected "
+                                   "(or the queries are less sensitive "
+                                   "to this host change than the CPU "
+                                   "probe - check load traces)")
         print(f"ambient factor (median ratio, {len(ratios)} queries "
               f">=0.2s): {ambient:.2f}x" + attribution)
     moved = []
