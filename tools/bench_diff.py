@@ -26,6 +26,8 @@ whether the round's code plausibly touched every query before accepting
 Recorded system load (whole-run endpoints, plus the per-query trace when
 the artifact carries one) is printed so ambient drift can be attributed.
 Exit code 0 always — this is a lens, not a gate.
+The attribution semantics are frozen by tools/test_bench_diff.py (plain
+python, no deps) — run it after editing the ambient/calibration logic.
 """
 import json
 import statistics

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Regression tests for bench_diff.py's attribution semantics.
+
+Run: python3 tools/test_bench_diff.py   (prints PASS per case; exit 1 on
+any failure). Plain stdlib — no pytest in this environment.
+
+Why this exists: the calibration attribution had a real asymmetry bug
+(a uniform code-global SPEEDUP — ambient below a flat host-speed ratio
+— was labeled "machine drift" by a branch whose wording only fit a
+slowed host). The semantics are now frozen here as executable cases:
+each builds two synthetic bench_full artifacts and asserts on the
+attribution line the tool prints. The tool is a lens the round-over-
+round performance story leans on; its failure mode is a WRONG STORY,
+which no Spark-side spec can catch.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+TOOL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "bench_diff.py")
+
+BASE_QUERIES = {f"q{i}_case": 0.4 + 0.1 * i for i in range(8)}
+
+
+def artifact(scale=1.0, calib=None, bump=None):
+    """A synthetic bench_full map: BASE_QUERIES x scale, one optional
+    per-query bump on top, optional per-pass calib trace."""
+    qs = {k: round(v * scale, 3) for k, v in BASE_QUERIES.items()}
+    if bump:
+        name, factor = bump
+        qs[name] = round(qs[name] * factor, 3)
+    d = {"metric": "total", "value": round(sum(qs.values()), 2),
+         "unit": "sec", "queries": qs, "load": [1.0, 1.0], "sf": "sf0.1"}
+    if calib is not None:
+        d["calib"] = [round(calib * f, 3) for f in (1.02, 1.0, 1.01, 1.0, 1.03)]
+    return d
+
+
+def run(old, new):
+    with tempfile.TemporaryDirectory() as td:
+        op, np_ = os.path.join(td, "old.json"), os.path.join(td, "new.json")
+        json.dump(old, open(op, "w"))
+        json.dump(new, open(np_, "w"))
+        r = subprocess.run([sys.executable, TOOL, op, np_],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+
+FAILURES = []
+
+
+def case(name, out, must, must_not=()):
+    missing = [m for m in must if m not in out]
+    present = [m for m in must_not if m in out]
+    if missing or present:
+        FAILURES.append(name)
+        print(f"FAIL {name}")
+        if missing:
+            print(f"  missing: {missing}")
+        if present:
+            print(f"  unexpectedly present: {present}")
+        print("  ---- output ----")
+        print("  " + out.replace("\n", "\n  "))
+    else:
+        print(f"PASS {name}")
+
+
+# 1. Uniform slowdown WITH a matching host-speed shift: machine drift.
+out = run(artifact(calib=0.85), artifact(scale=1.30, calib=0.85 * 1.30))
+case("uniform+calib-matches -> machine drift", out,
+     must=["machine drift"],
+     must_not=["CODE-GLOBAL"])
+
+# 2. Uniform slowdown on a FLAT host: code-global regression.
+out = run(artifact(calib=0.85), artifact(scale=1.45, calib=0.85))
+case("uniform+calib-flat -> code-global regression", out,
+     must=["CODE-GLOBAL regression suspected"],
+     must_not=["improvement", "machine drift"])
+
+# 3. Uniform SPEEDUP on a flat host: code-global improvement — the case
+# the pre-fix asymmetric branches mislabeled as machine drift.
+out = run(artifact(calib=0.85), artifact(scale=0.70, calib=0.85))
+case("uniform-speedup+calib-flat -> code-global improvement", out,
+     must=["CODE-GLOBAL improvement suspected"],
+     must_not=["regression suspected", "machine drift"])
+
+# 4. Calib on one side only: the tool must fall back to the honest
+# can't-tell caveat, not invent an attribution.
+out = run(artifact(), artifact(scale=1.30, calib=0.85))
+case("calib-one-side -> can't-tell caveat", out,
+     must=["machine drift OR a global change"],
+     must_not=["CODE-GLOBAL", "host speed ratio"])
+
+# 5. A single genuine mover must survive ambient normalization and be
+# named; the flat queries must not be listed as movers.
+out = run(artifact(calib=0.85),
+          artifact(scale=1.0, calib=0.85, bump=("q3_case", 3.0)))
+case("single mover named, flat queries not", out,
+     must=["q3_case"],
+     must_not=["q1_case:", "CODE-GLOBAL"])
+
+# 6. Nothing moved: no attribution suffix at all, explicit quiet line.
+out = run(artifact(calib=0.85), artifact(scale=1.0, calib=0.85))
+case("flat run -> no attribution, quiet line", out,
+     must=["no query moved more than"],
+     must_not=["CODE-GLOBAL", "machine drift"])
+
+if FAILURES:
+    sys.exit(f"{len(FAILURES)} case(s) failed: {FAILURES}")
+print("all cases passed")
