@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True when the session's CacheManager holds no cached plans — the
+    * signal the cache-leak sweep needs ([[graft]]'s persist discipline:
+    * an operator that `.persist()`s during construction must either
+    * unpersist before returning or document the cache as part of its
+    * contract). `DataFrame.persist` REGISTERS in the CacheManager
+    * eagerly (materialization is lazy), so this is a plan-time check —
+    * no public Catalog API exposes "anything cached?", hence the
+    * bridge.
+    */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

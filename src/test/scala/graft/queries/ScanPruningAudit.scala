@@ -161,26 +161,40 @@ object CatalogPlans {
 
   val defaultSf = "/root/testdata/sf0.001"
 
-  /** Plan every catalog query matching `only` (None = all) against `dir`.
-    * The cache is cleared before each construction: CacheManager plan
-    * substitution from a previously-constructed query (rf1 caches during
-    * construction) would otherwise swap cached fragments into later
-    * plans, making scan/shuffle counts dependent on sweep order.
+  /** Plan every catalog query matching `only` (None = all) against `dir`,
+    * recording per query whether its CONSTRUCTION left entries in the
+    * CacheManager (the [[CacheLeakSpec]] signal — `persist()` registers
+    * eagerly, so this is a plan-time check). The cache is cleared before
+    * each construction: CacheManager plan substitution from a previously-
+    * constructed query (rf1 caches during construction) would otherwise
+    * swap cached fragments into later plans, making scan/shuffle counts
+    * dependent on sweep order — and the leak flag would smear across
+    * queries.
     */
-  def compute(spark: SparkSession, dir: String,
-              only: Option[Set[String]] = None): Seq[(String, SparkPlan)] =
+  def computeDetailed(spark: SparkSession, dir: String,
+                      only: Option[Set[String]] = None)
+      : Seq[(String, SparkPlan, Boolean)] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, q) =>
         spark.catalog.clearCache()
-        n -> q(spark, dir).queryExecution.executedPlan
+        val plan = q(spark, dir).queryExecution.executedPlan
+        (n, plan,
+          !org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark))
       }
+
+  def compute(spark: SparkSession, dir: String,
+              only: Option[Set[String]] = None): Seq[(String, SparkPlan)] =
+    computeDetailed(spark, dir, only).map { case (n, p, _) => (n, p) }
 
   /** The shared full-catalog pass at the spec tier, computed once per
     * test JVM under the suites' shared session.
     */
+  lazy val executedPlansDetailed: Seq[(String, SparkPlan, Boolean)] =
+    computeDetailed(graft.SparkSpec.session, defaultSf)
+
   lazy val executedPlans: Seq[(String, SparkPlan)] =
-    compute(graft.SparkSpec.session, defaultSf)
+    executedPlansDetailed.map { case (n, p, _) => (n, p) }
 }
 
 /** One-off audit: print, for every catalog query, which heavy columns its
