@@ -189,7 +189,13 @@ object FlagshipQueries {
       table(s, d, "lineitem")
         .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        // supplier grows linearly with SF (10k·SF rows): no broadcast
+        // HINT — a hint forces the build side at ANY size (the latent
+        // 100 TB OOM), while the unhinted join broadcasts while under
+        // the size threshold and degrades to a shuffle join at scale.
+        // Hints stay only on the fixed-cardinality dims (region 5,
+        // nation 25 rows by data-model spec, forever).
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .filter(col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))

@@ -72,7 +72,10 @@ object StreamMiscQueries {
     // list (string-joined for engine-stable comparison)
     "la1_list_agg" -> ((s, d) =>
       table(s, d, "lineitem")
-        .join(broadcast(table(s, d, "part")),
+        // part grows linearly with SF (200k·SF rows): no broadcast HINT
+        // (forced build side = latent scale OOM); size-based planning
+        // broadcasts while small, shuffles at scale (see h2)
+        .join(table(s, d, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_join(sort_array(collect_list(col("p_brand"))), ",")

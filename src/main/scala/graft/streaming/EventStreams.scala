@@ -155,7 +155,15 @@ object EventStreams {
       .select(col("c_custkey").as("user_id"), col("n_name"))
     val src = if (events.isStreaming) events.withWatermark("ts", watermark)
               else events
-    src.join(broadcast(dim), Seq("user_id"))
+    // the user dim derives from CUSTOMER, which grows with the user
+    // base: no broadcast HINT (a hint forces the static side into every
+    // executor at ANY size — the latent OOM of long-lived streaming
+    // enrichment jobs, where the dim only ever grows). Unhinted, the
+    // stream-static join broadcasts while the dim sits under the size
+    // threshold and shuffles per micro-batch once it outgrows it —
+    // slower but alive, and the right default for a job that runs for
+    // months
+    src.join(dim, Seq("user_id"))
       .groupBy(window(col("ts"), windowLength), col("n_name"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
