@@ -90,10 +90,17 @@ object ThetaSketches {
     i.getResult.getEstimate
   }
 
-  /** |A ∪ B| estimate from two compact sketches. */
+  /** |A ∪ B| estimate from two compact sketches. Shares
+    * [[ThetaSetEstimates.union]]'s floor semantics: `lgK` auto-raises
+    * to cover the inputs' retained entries, so the default can no
+    * longer downsample a union of higher-resolution sketches.
+    */
   def unionEstimate(a: CompactSketch, b: CompactSketch,
                     lgK: Int = 12): Double = {
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    val eff = ThetaSetEstimates.effectiveLgK(
+      a.getRetainedEntries(true).toLong + b.getRetainedEntries(true).toLong,
+      lgK)
+    val u = SetOperation.builder().setLogNominalEntries(eff).buildUnion()
     u.union(a)
     u.union(b)
     u.getResult.getEstimate
@@ -110,21 +117,20 @@ object ThetaSketches {
       Bridge.expression(a), Bridge.expression(b)))
 
   /** In-plan |A ∪ B| estimate over two compact-sketch BINARY columns.
-    * `lgK` bounds the union's nominal entries — pass the lgK the
-    * sketches were built with. NO default, deliberately: the builders
-    * default to 12 but the catalog's own th1 builds at 16 (exact-mode
-    * headroom), and unioning lgK-16 sketches at 12 silently caps the
-    * union at 4096 retained entries, degrading — never corrupting —
-    * the estimate once either input exceeds that (theta unions are
-    * resolution-monotone, so the failure is quiet extra error). The
-    * mismatch is not detectable at plan-construction time (lgK must
-    * be a literal here, the blobs are runtime values), so the API
-    * forces the caller to state it instead of defaulting into it.
-    * The SQL form `theta_union_estimate(a, b[, lgK])` keeps its
-    * optional third argument (falling back to 12) for ad-hoc use —
-    * the registered signature is a compatibility surface.
+    * `lgK` is a FLOOR on the union's log-nominal-entries, not a cap:
+    * the eval core ([[ThetaSetEstimates.union]]) auto-raises the
+    * effective value to cover the inputs' combined retained entries,
+    * so the default can no longer silently downsample a union of
+    * higher-resolution sketches (the old foot-gun: the builders
+    * default to 12 but th1 builds at 16, and a 12-capped union of
+    * lgK-16 sketches quietly degraded past 4096 entries — a mismatch
+    * undetectable at plan time because lgK must be a literal while
+    * the blobs are runtime values, hence the eval-time fix). Exact
+    * inputs union exactly; estimation-mode inputs keep at least
+    * their own resolution; the lgK argument survives as the floor
+    * for callers that want extra headroom.
     */
-  def thetaUnionEstimate(a: Column, b: Column, lgK: Int): Column =
+  def thetaUnionEstimate(a: Column, b: Column, lgK: Int = 12): Column =
     Bridge.column(ThetaUnionEstimate(
       Bridge.expression(a), Bridge.expression(b), lgK))
 
@@ -156,10 +162,37 @@ object ThetaSetEstimates {
     i.getResult.getEstimate
   }
 
+  /** `lgK` is a FLOOR, not a cap: the effective log-nominal-entries is
+    * auto-raised to cover the inputs' combined retained entries
+    * (ceil(log2(rA+rB)), capped at the library max 26), so a too-small
+    * lgK can never silently downsample the union below its inputs'
+    * resolution — the default-12-vs-lgK-16-build foot-gun the SQL form
+    * cannot express a guard for (lgK must be a plan-time literal, the
+    * blobs are runtime values; this closes it at eval time instead).
+    * Exact-mode inputs therefore always union exactly; estimation-mode
+    * inputs keep at least their own resolution. Transient memory is
+    * 8·2^eff bytes per PAIR row — bounded by the inputs' own build size,
+    * not by the cap.
+    */
+  /** The floor computation: smallest lgK whose nominal entries cover
+    * `retained` hash values, never below the caller's `lgK` request,
+    * capped at the library max.
+    */
+  def effectiveLgK(retained: Long, lgK: Int): Int = {
+    val need =
+      if (retained <= 1L) 4
+      else 64 - java.lang.Long.numberOfLeadingZeros(retained - 1)
+    math.min(26, math.max(lgK, need))
+  }
+
   def union(a: Array[Byte], b: Array[Byte], lgK: Int): Double = {
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-    u.union(wrap(a))
-    u.union(wrap(b))
+    val wa = wrap(a)
+    val wb = wrap(b)
+    val eff = effectiveLgK(wa.getRetainedEntries(true).toLong +
+      wb.getRetainedEntries(true).toLong, lgK)
+    val u = SetOperation.builder().setLogNominalEntries(eff).buildUnion()
+    u.union(wa)
+    u.union(wb)
     u.getResult.getEstimate
   }
 

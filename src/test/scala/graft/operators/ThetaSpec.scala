@@ -50,6 +50,34 @@ class ThetaSpec extends SparkSpec {
     assert(ThetaSketches.unionEstimate(sk("a"), sk("b")) == 1600.0)
   }
 
+  test("union lgK is a floor: a default-12 union of lgK-16 sketches past " +
+    "4096 retained entries stays EXACT (the closed foot-gun)") {
+    // A = [0, 6000), B = [4000, 10000) at lgK=16: exact mode, 6000
+    // retained each — a 12-CAPPED union (nominal 4096 < 12000 combined)
+    // would downsample and almost surely miss |A∪B| = 10000 exactly;
+    // the floor semantics auto-raise to ceil(log2(12000)) = 14 and the
+    // union stays exact at the DEFAULT, through both the driver helper
+    // and the in-plan scalar expression
+    val df = ((0L until 6000L).map(("a", _)) ++
+      (4000L until 10000L).map(("b", _))).toDF("grp", "k")
+    val sk16 = ThetaSketches.groupSketches(df, "grp", "k", lgK = 16)
+    assert(ThetaSketches.unionEstimate(sk16("a"), sk16("b")) == 10000.0)
+    val skF = ThetaSketches.groupSketchFrame(df, "grp", "k", lgK = 16)
+    val inPlan = skF.as("x").join(skF.as("y"), col("x.grp") < col("y.grp"))
+      .select(ThetaSketches.thetaUnionEstimate(
+        col("x.theta"), col("y.theta")).as("uni"))
+      .as[Double].collect()
+    assert(inPlan.toSeq == Seq(10000.0))
+    // the floor itself: a caller's larger lgK is respected, the cap holds
+    assert(graft.operators.ThetaSetEstimates.effectiveLgK(0L, 12) == 12)
+    assert(graft.operators.ThetaSetEstimates.effectiveLgK(1L, 4) == 4)
+    assert(graft.operators.ThetaSetEstimates.effectiveLgK(4096L, 12) == 12)
+    assert(graft.operators.ThetaSetEstimates.effectiveLgK(4097L, 12) == 13)
+    assert(graft.operators.ThetaSetEstimates.effectiveLgK(12000L, 16) == 16)
+    assert(graft.operators.ThetaSetEstimates.effectiveLgK(Long.MaxValue, 12)
+      == 26)
+  }
+
   test("estimates are partitioning-invariant (merge order can't matter)") {
     val df = (0L until 3000L).map(("g", _)).toDF("grp", "k")
     val e1 = ThetaSketches.groupSketches(df.repartition(1), "grp", "k")("g")
@@ -116,7 +144,7 @@ class ThetaSpec extends SparkSpec {
         ThetaSketches.thetaIntersectEstimate(
           col("x.theta"), col("y.theta")).as("inter"),
         ThetaSketches.thetaUnionEstimate(
-          col("x.theta"), col("y.theta"), 12).as("uni"),
+          col("x.theta"), col("y.theta")).as("uni"),
         ThetaSketches.thetaDifferenceEstimate(
           col("x.theta"), col("y.theta")).as("diff"))
       .as[(Double, Double, Double)].collect()
@@ -150,7 +178,7 @@ class ThetaSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(0)), "null sketch must estimate null")
     val ex = intercept[Exception] {
       sk.select(ThetaSketches.thetaUnionEstimate(
-        col("theta"), col("grp"), 12)).collect()
+        col("theta"), col("grp"))).collect()
     }
     assert(ex.getMessage.contains("theta_union_estimate"), ex.getMessage)
   }
