@@ -90,20 +90,19 @@ object ThetaSketches {
     i.getResult.getEstimate
   }
 
-  /** |A ∪ B| estimate from two compact sketches. Shares
-    * [[ThetaSetEstimates.union]]'s floor semantics: `lgK` auto-raises
+  /** |A ∪ B| estimate from two compact sketches. Delegates to
+    * [[ThetaSetEstimates.union]]'s floor semantics (`lgK` auto-raises
     * to cover the inputs' retained entries, so the default can no
-    * longer downsample a union of higher-resolution sketches.
+    * longer downsample a union of higher-resolution sketches) — ONE
+    * body for the driver-side and in-plan surfaces, and the same
+    * range validation as the Column form ([[thetaUnionEstimate]]
+    * rejects lgK outside [4, 26]; the floor must not quietly clamp a
+    * typo'd request).
     */
   def unionEstimate(a: CompactSketch, b: CompactSketch,
                     lgK: Int = 12): Double = {
-    val eff = ThetaSetEstimates.effectiveLgK(
-      a.getRetainedEntries(true).toLong + b.getRetainedEntries(true).toLong,
-      lgK)
-    val u = SetOperation.builder().setLogNominalEntries(eff).buildUnion()
-    u.union(a)
-    u.union(b)
-    u.getResult.getEstimate
+    require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
+    ThetaSetEstimates.union(a, b, lgK)
   }
 
   /** In-plan |A ∩ B| estimate over two compact-sketch BINARY columns —
@@ -162,18 +161,6 @@ object ThetaSetEstimates {
     i.getResult.getEstimate
   }
 
-  /** `lgK` is a FLOOR, not a cap: the effective log-nominal-entries is
-    * auto-raised to cover the inputs' combined retained entries
-    * (ceil(log2(rA+rB)), capped at the library max 26), so a too-small
-    * lgK can never silently downsample the union below its inputs'
-    * resolution — the default-12-vs-lgK-16-build foot-gun the SQL form
-    * cannot express a guard for (lgK must be a plan-time literal, the
-    * blobs are runtime values; this closes it at eval time instead).
-    * Exact-mode inputs therefore always union exactly; estimation-mode
-    * inputs keep at least their own resolution. Transient memory is
-    * 8·2^eff bytes per PAIR row — bounded by the inputs' own build size,
-    * not by the cap.
-    */
   /** The floor computation: smallest lgK whose nominal entries cover
     * `retained` hash values, never below the caller's `lgK` request,
     * capped at the library max.
@@ -185,16 +172,29 @@ object ThetaSetEstimates {
     math.min(26, math.max(lgK, need))
   }
 
-  def union(a: Array[Byte], b: Array[Byte], lgK: Int): Double = {
-    val wa = wrap(a)
-    val wb = wrap(b)
-    val eff = effectiveLgK(wa.getRetainedEntries(true).toLong +
-      wb.getRetainedEntries(true).toLong, lgK)
+  /** `lgK` is a FLOOR, not a cap ([[effectiveLgK]]): auto-raised to
+    * cover the inputs' combined retained entries, so a too-small lgK
+    * can never silently downsample the union below its inputs'
+    * resolution — the default-12-vs-lgK-16-build foot-gun the SQL form
+    * cannot express a guard for (lgK must be a plan-time literal, the
+    * blobs are runtime values; this closes it at eval time instead).
+    * Exact-mode inputs therefore always union exactly; estimation-mode
+    * inputs keep at least their own resolution. Transient memory is
+    * 8·2^eff bytes per PAIR row — bounded by the inputs' own build size,
+    * not by the cap. [[graft.operators.ThetaSketches.unionEstimate]]
+    * delegates here so driver-side and in-plan unions share one floor.
+    */
+  def union(a: CompactSketch, b: CompactSketch, lgK: Int): Double = {
+    val eff = effectiveLgK(a.getRetainedEntries(true).toLong +
+      b.getRetainedEntries(true).toLong, lgK)
     val u = SetOperation.builder().setLogNominalEntries(eff).buildUnion()
-    u.union(wa)
-    u.union(wb)
+    u.union(a)
+    u.union(b)
     u.getResult.getEstimate
   }
+
+  def union(a: Array[Byte], b: Array[Byte], lgK: Int): Double =
+    union(wrap(a), wrap(b), lgK)
 
   def aNotB(a: Array[Byte], b: Array[Byte]): Double =
     SetOperation.builder().buildANotB()

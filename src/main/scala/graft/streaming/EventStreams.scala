@@ -136,13 +136,18 @@ object EventStreams {
 
   /** Stream-static enrichment (§2.7 extension): the event stream joined
     * to a slowly-changing dimension (customer→nation), then windowed per
-    * nation. The dim side is BATCH — Spark re-reads/broadcasts it per
-    * micro-batch (no state, no watermark needed on the static side),
-    * which is exactly how a 100 TB deployment enriches a click stream
-    * with a reference table: the stream shuffles nothing for the join
-    * (broadcast hash), only the windowed agg keeps state, bounded by the
-    * watermark. The identical expressions run on a batch events frame —
-    * the catalog's oracle-checked twin (`st5_stream_static_enrich`).
+    * nation. The dim side is BATCH — Spark re-reads it per micro-batch
+    * (no state, no watermark needed on the static side), which is how a
+    * 100 TB deployment enriches a click stream with a reference table.
+    * Join strategy is deliberately size-based, NOT hinted: while the
+    * dim sits under the broadcast threshold the stream shuffles nothing
+    * for the join (broadcast hash); once a growing user dim outgrows
+    * it, the join degrades to a per-micro-batch shuffle — slower but
+    * alive, where a forced broadcast would OOM a months-lived job (see
+    * the inline note at the join). Only the windowed agg keeps state,
+    * bounded by the watermark. The identical expressions run on a batch
+    * events frame — the catalog's oracle-checked twin
+    * (`st5_stream_static_enrich`).
     */
   def nationWindowedActivity(events: DataFrame, customer: DataFrame,
                              nation: DataFrame,

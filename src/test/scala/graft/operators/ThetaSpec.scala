@@ -76,6 +76,11 @@ class ThetaSpec extends SparkSpec {
     assert(graft.operators.ThetaSetEstimates.effectiveLgK(12000L, 16) == 16)
     assert(graft.operators.ThetaSetEstimates.effectiveLgK(Long.MaxValue, 12)
       == 26)
+    // the floor must not quietly clamp a typo'd request: the driver
+    // helper validates the range like the Column form does
+    val bad = intercept[IllegalArgumentException](
+      ThetaSketches.unionEstimate(sk16("a"), sk16("b"), lgK = 30))
+    assert(bad.getMessage.contains("lgK out of range"), bad.getMessage)
   }
 
   test("estimates are partitioning-invariant (merge order can't matter)") {

@@ -42,8 +42,10 @@ def artifact(scale=1.0, calib=None, bump=None):
 def run(old, new):
     with tempfile.TemporaryDirectory() as td:
         op, np_ = os.path.join(td, "old.json"), os.path.join(td, "new.json")
-        json.dump(old, open(op, "w"))
-        json.dump(new, open(np_, "w"))
+        with open(op, "w") as f:
+            json.dump(old, f)
+        with open(np_, "w") as f:
+            json.dump(new, f)
         r = subprocess.run([sys.executable, TOOL, op, np_],
                            capture_output=True, text=True)
         assert r.returncode == 0, r.stderr
