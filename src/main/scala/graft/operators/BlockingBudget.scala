@@ -40,7 +40,19 @@ object BlockingBudget {
     * surfaces that bucket for attribution.
     */
   def blockProfile(left: DataFrame, leftKey: Column,
-                   right: DataFrame, rightKey: Column): DataFrame = {
+                   right: DataFrame, rightKey: Column): DataFrame =
+    blockProfileUnsorted(left, leftKey, right, rightKey)
+      .orderBy(col("pairs").desc)
+
+  /** [[blockProfile]] without the heaviest-first sort — the form
+    * [[preflight]] persists, so the one materialization serves both the
+    * volume sum (order-free) and the failure path's top-5 (a cheap
+    * top-k over the cache); sorting ALL blocks up front would add a
+    * full-profile shuffle that only the failure path's first 5 rows
+    * ever need.
+    */
+  private def blockProfileUnsorted(left: DataFrame, leftKey: Column,
+                                   right: DataFrame, rightKey: Column): DataFrame = {
     val lc = left.groupBy(leftKey.as("block"))
       .agg(count(lit(1)).as("left_n")).filter(col("block").isNotNull)
     val rc = right.groupBy(rightKey.as("block"))
@@ -50,7 +62,6 @@ object BlockingBudget {
     lc.join(rc, lc("block") === rc("block"))
       .select(lc("block"), col("left_n"), col("right_n"),
         (col("left_n") * col("right_n")).as("pairs"))
-      .orderBy(col("pairs").desc)
   }
 
   /** Total candidate-pair volume Σ_k |L_k|·|R_k| of the equi-blocked
@@ -91,13 +102,18 @@ object BlockingBudget {
     *
     * Cost when enabled: two count aggregations over compact keys plus
     * a small top-k collect on failure — O(n) with a tiny constant,
-    * amortized against the join it guards. The callers persist their
-    * keyed frames for the guard's lifetime, so the expensive key
-    * derivation (signatures, fingerprints, banding) materializes ONCE
-    * and the row count, the volume aggregation, and the failure
-    * profile all read the cache. `refRows` is the caller's budget
-    * denominator (its spec convention: banded key rows for the LSH
-    * families, corpus rows for prefix linkage).
+    * amortized against the join it guards. The LSH-family callers
+    * persist the banding frame the guard AND the returned join both
+    * read (the shared-materialization contract documented at each call
+    * site), so the expensive key derivation (signatures, fingerprints,
+    * banding) materializes ONCE for guard plus join. The preflight
+    * itself persists its block PROFILE for its own scope: the volume
+    * sum and (on failure) the hottest-blocks attribution read one
+    * execution of the per-block counts, so the volume the exception
+    * reports and the blocks it names can never disagree — regardless
+    * of whether the caller cached its inputs. `refRows` is the
+    * caller's budget denominator (its spec convention: banded key rows
+    * for the LSH families, corpus rows for prefix linkage).
     *
     * @throws IllegalStateException naming the measured factor and the
     *         heaviest blocks (the [[blockProfile]] attribution) when
@@ -108,10 +124,57 @@ object BlockingBudget {
                 maxPairFactor: Double, refRows: Long, op: String): Unit = {
     require(maxPairFactor > 0, s"maxPairFactor must be > 0: $maxPairFactor")
     require(refRows >= 0, s"refRows must be >= 0: $refRows")
-    val vol = candidatePairVolume(left, leftKey, right, rightKey)
+    val profile = blockProfileUnsorted(left, leftKey, right, rightKey)
+      .persist()
+    try {
+      val vol = profile.agg(coalesce(sum(col("pairs")), lit(0L)))
+        .head() match { case Row(v: Long) => v }
+      failIfOverBudget(profile, vol, maxPairFactor, refRows, op)
+    } finally profile.unpersist(false)
+  }
+
+  /** [[preflight]] specialized to SELF-joins (left = right = `frame`) —
+    * the LSH families' guard shape, engineered for minimum overhead on
+    * the PASSING path: ONE groupBy pass over the (typically persisted)
+    * frame derives the per-block counts, from which pairs = n² per
+    * block, the volume Σ n², the budget denominator refRows = Σ n (the
+    * frame's non-null-key rows — identical to its row count for the
+    * never-null banding keys), and on failure the hottest blocks — so
+    * the guard costs one aggregation over the cache instead of the
+    * general form's two groupBys + count-table join + separate row
+    * count, and every reported number comes from one execution. Result
+    * is exactly [[candidatePairVolume]]`(frame, key, frame, key)`
+    * (equivalence frozen in `BlockingPreflightSpec`): when both sides
+    * are the same frame, the count-table self-join pairs each block
+    * with itself, n·n.
+    */
+  def preflightSelf(frame: DataFrame, key: Column,
+                    maxPairFactor: Double, op: String): Unit = {
+    require(maxPairFactor > 0, s"maxPairFactor must be > 0: $maxPairFactor")
+    val profile = frame.groupBy(key.as("block"))
+      .agg(count(lit(1)).as("n")).filter(col("block").isNotNull)
+      .select(col("block"), col("n").as("left_n"), col("n").as("right_n"),
+        (col("n") * col("n")).as("pairs"))
+      .persist()
+    try {
+      val head = profile.agg(
+        coalesce(sum(col("pairs")), lit(0L)),
+        coalesce(sum(col("left_n")), lit(0L))).head()
+      failIfOverBudget(profile, head.getLong(0), maxPairFactor,
+        head.getLong(1), op)
+    } finally profile.unpersist(false)
+  }
+
+  /** The shared budget check + hottest-blocks attribution — `profile`
+    * must be the (persisted) frame the reported volume came from, so
+    * the exception's numbers and its named blocks cannot disagree.
+    */
+  private def failIfOverBudget(profile: DataFrame, vol: Long,
+                               maxPairFactor: Double, refRows: Long,
+                               op: String): Unit = {
     val budget = maxPairFactor * refRows
     if (vol > budget) {
-      val hot = blockProfile(left, leftKey, right, rightKey).limit(5)
+      val hot = profile.orderBy(col("pairs").desc).limit(5)
         .collect()
         .map(r => s"${r.get(0)} (left ${r.get(1)} x right ${r.get(2)} = " +
           s"${r.get(3)} pairs)")

@@ -212,34 +212,38 @@ object TextDedup {
     *   default and correct either way (spec-asserted equal).
     * @param maxPairFactor opt-in production preflight
     *   ([[BlockingBudget.preflight]]): when set, the band buckets'
-    *   candidate-pair volume is measured EAGERLY (two count
-    *   aggregations over the band keys, before the join is returned)
-    *   and the call throws — naming the hot buckets — if it exceeds
-    *   `maxPairFactor · (banded key rows)`, the `LshBucketBudgetSpec`
-    *   accounting. The guard a scheduled dedup job wants against a
-    *   corpus drifting toward boilerplate: bucket crowding reverts the
-    *   join toward n² with no plan-shape change. Default `None`: no
-    *   extra work, no plan change.
+    *   candidate-pair volume is measured EAGERLY (before the join is
+    *   returned) and the call throws — naming the hot buckets — if it
+    *   exceeds `maxPairFactor · (banded key rows)`, the
+    *   `LshBucketBudgetSpec` accounting. The guard a scheduled dedup
+    *   job wants against a corpus drifting toward boilerplate: bucket
+    *   crowding reverts the join toward n² with no plan-shape change.
+    *   Default `None`: no extra work, no plan change.
+    *
+    *   SHARED MATERIALIZATION — the guarded call persists the
+    *   [[minHashBandedKeys]] frame and the RETURNED join plan reads
+    *   that cache, so signatures+banding (the dominant derivation
+    *   cost) materialize once for guard plus join instead of twice
+    *   (measured: the guard-scoped form paid ~1.8× on a probe-shaped
+    *   pipeline, `PreflightOverheadProbe`). The cache therefore
+    *   outlives the call — release it after consuming the result via
+    *   the handle: `minHashBandedKeys(df, …same args…).unpersist()`
+    *   (the CacheManager matches equivalent plans; spec-proven in
+    *   `BlockingPreflightSpec`). The il2/`bloomNewDocs` contract
+    *   shape: a documented caller-released cache, not a leak — it is
+    *   banding-sized ((doc, band, hash) per band per doc, never
+    *   document text), and a FAILED preflight releases it before
+    *   throwing.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 32, bands: Int = 16,
                       minJaccard: Double = 0.5,
                       verifyCandidatesOnly: Boolean = false,
                       maxPairFactor: Option[Double] = None): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
-    val banded = bandedKeys(sigs, bands, r)
-    maxPairFactor.foreach { f =>
-      // persisted for the guard's lifetime: the row count, the volume
-      // aggregation, and (on failure) the hot-block profile all read
-      // one materialization of the expensive signature+banding work
-      // instead of re-running it per action
-      val k = banded.select(struct(col("band"), col("bh")).as("k")).persist()
-      try BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
-        "minHashLshPairs")
-      finally k.unpersist(false)
-    }
+    val banded0 = minHashBandedKeys(df, idCol, textCol, n, numHashes, bands)
+    val banded = maxPairFactor.fold(banded0)(f =>
+      guardBanded(banded0, struct(col("band"), col("bh")), f,
+        "minHashLshPairs"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -295,6 +299,44 @@ object TextDedup {
           slice(col("sig"), bI * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("band", "bh")))
 
+  /** The (doc, band, bh) banded LSH bucket keys of [[minHashLshPairs]] /
+    * [[crossMinHashLshPairs]] end-to-end from the raw corpus — public for
+    * two jobs: (a) building a STORED LSH index (sign once per corpus
+    * generation, join increments against the saved frame — the il1/il2
+    * ingest shape); (b) the guard-cache RELEASE HANDLE — a guarded call
+    * (`maxPairFactor`) persists exactly this frame and the returned join
+    * reads the cache, so the caller releases it after consuming the
+    * result by calling `.unpersist()` on an equivalently-constructed
+    * frame (Spark's CacheManager matches plans structurally, so
+    * `minHashBandedKeys(df, …same args…).unpersist()` drops the
+    * operator's internal cache — spec-proven in `BlockingPreflightSpec`).
+    */
+  def minHashBandedKeys(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, numHashes: Int = 32,
+                        bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedKeys(minHashSignatures(df, idCol, textCol, n, numHashes),
+      bands, numHashes / bands)
+  }
+
+  /** The guarded families' shared materialization: persist the banded-key
+    * frame, preflight its pair volume ([[BlockingBudget.preflightSelf]]
+    * — its one profile aggregation doubles as the cache's materializing
+    * action), and hand the PERSISTED frame back for the join plan to
+    * read. On preflight failure the cache is released before the throw
+    * (nothing to reuse — no join is returned); on success it stays, per
+    * the caller-releases contract documented on each `maxPairFactor`
+    * param.
+    */
+  private def guardBanded(banded: DataFrame, key: Column, maxPairFactor: Double,
+                          op: String): DataFrame = {
+    val b = banded.persist()
+    try {
+      BlockingBudget.preflightSelf(b, key, maxPairFactor, op)
+      b
+    } catch { case t: Throwable => b.unpersist(false); throw t }
+  }
+
   /** INCREMENTAL near-dup scan: a NEW batch against an EXISTING corpus via
     * banded MinHash — the ingest-time shape of [[minHashLshPairs]]. Only
     * (corpus doc, batch doc) bucket collisions become candidates and the
@@ -313,26 +355,35 @@ object TextDedup {
     *   [[minHashLshPairs]]): budget is `maxPairFactor · max(corpus,
     *   batch banded key rows)` — the larger side, so the bound stays
     *   linear in the corpus an append-only ingest loop accumulates.
+    *   Shared materialization as in [[minHashLshPairs]]: BOTH sides'
+    *   [[minHashBandedKeys]] frames are persisted, the returned join
+    *   reads the caches, and the caller releases them after consuming
+    *   (`minHashBandedKeys(corpus, …).unpersist();
+    *   minHashBandedKeys(batch, …).unpersist()`). A failed preflight
+    *   releases both before throwing.
     */
   def crossMinHashLshPairs(corpus: DataFrame, batch: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 5, numHashes: Int = 32, bands: Int = 16,
                            minJaccard: Double = 0.5,
                            maxPairFactor: Option[Double] = None): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val cb = bandedKeys(minHashSignatures(corpus, idCol, textCol, n, numHashes),
-      bands, r)
-    val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
-      bands, r)
-    maxPairFactor.foreach { f =>
-      // persisted for the guard (see minHashLshPairs): one signature+
-      // banding materialization per side serves counts, volume, profile
-      val ck = cb.select(struct(col("band"), col("bh")).as("k")).persist()
-      val bk = bb.select(struct(col("band"), col("bh")).as("k")).persist()
-      try BlockingBudget.preflight(ck, col("k"), bk, col("k"), f,
-        math.max(ck.count(), bk.count()), "crossMinHashLshPairs")
-      finally { ck.unpersist(false); bk.unpersist(false) }
+    val cb0 = minHashBandedKeys(corpus, idCol, textCol, n, numHashes, bands)
+    val bb0 = minHashBandedKeys(batch, idCol, textCol, n, numHashes, bands)
+    val (cb, bb) = maxPairFactor match {
+      case Some(f) =>
+        // one signature+banding materialization per side serves the
+        // guard's counts/volume/profile AND the returned join
+        val c = cb0.persist()
+        val b = bb0.persist()
+        try {
+          BlockingBudget.preflight(c, struct(col("band"), col("bh")),
+            b, struct(col("band"), col("bh")), f,
+            math.max(c.count(), b.count()), "crossMinHashLshPairs")
+          (c, b)
+        } catch { case t: Throwable =>
+          c.unpersist(false); b.unpersist(false); throw t
+        }
+      case None => (cb0, bb0)
     }
     val candidates = cb.as("a")
       .join(bb.as("b"),
@@ -695,6 +746,19 @@ object TextDedup {
     simHash128(if (toks == null) Nil else toks)
   }.asNonNullable()
 
+  /** The (doc, simhash, band, bv) 16-bit band-bucket keys of
+    * [[simHashPairs]] — public as that form's stored-index block and
+    * guard-cache release handle (see [[minHashBandedKeys]]: a guarded
+    * call persists exactly this frame;
+    * `simHashBandedKeys(df, …).unpersist()` releases it).
+    */
+  def simHashBandedKeys(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    simHashes(df, idCol, textCol).select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bv")))
+
   /** (doc, sh_hi, sh_lo) 128-bit fingerprints for [[simHashPairs128]]. */
   def simHashes128(df: DataFrame, idCol: String,
                    textCol: String): DataFrame =
@@ -727,21 +791,15 @@ object TextDedup {
                    maxHamming: Int = 3,
                    maxPairFactor: Option[Double] = None): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantee holds up to 3")
-    val sigs = simHashes(df, idCol, textCol)
-    val banded = sigs.select(col("doc"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "bv")))
-    // opt-in preflight (see minHashLshPairs): for THIS form it doubles
-    // as the regime check — 16-bit bands crowd on low-entropy corpora
-    // (the documented bound that motivated simHashPairs128), and a
-    // budgeted caller finds out before the join, not after
-    maxPairFactor.foreach { f =>
-      val k = banded.select(struct(col("band"), col("bv")).as("k")).persist()
-      try BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
-        "simHashPairs")
-      finally k.unpersist(false)
-    }
+    // opt-in preflight (see minHashLshPairs, incl. the shared-cache /
+    // caller-releases contract): for THIS form it doubles as the
+    // regime check — 16-bit bands crowd on low-entropy corpora (the
+    // documented bound that motivated simHashPairs128), and a budgeted
+    // caller finds out before the join, not after
+    val banded0 = simHashBandedKeys(df, idCol, textCol)
+    val banded = maxPairFactor.fold(banded0)(f =>
+      guardBanded(banded0, struct(col("band"), col("bv")), f,
+        "simHashPairs"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -781,15 +839,13 @@ object TextDedup {
                       maxPairFactor: Option[Double] = None): DataFrame = {
     require(maxHamming <= 3,
       "5-piece / 2-clean combination guarantee holds up to 3")
-    val banded = simHash128BandKeys(simHashes128(df, idCol, textCol))
     // opt-in preflight over the exact combination-band keys the join
-    // uses — the production form of LshBucketBudgetSpec's d3b budget
-    maxPairFactor.foreach { f =>
-      val k = banded.select(struct(col("band"), col("bv")).as("k")).persist()
-      try BlockingBudget.preflight(k, col("k"), k, col("k"), f, k.count(),
-        "simHashPairs128")
-      finally k.unpersist(false)
-    }
+    // uses — the production form of LshBucketBudgetSpec's d3b budget;
+    // shared-cache / caller-releases contract as in minHashLshPairs
+    val banded0 = simHashBandedKeys128(df, idCol, textCol)
+    val banded = maxPairFactor.fold(banded0)(f =>
+      guardBanded(banded0, struct(col("band"), col("bv")), f,
+        "simHashPairs128"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -848,6 +904,14 @@ object TextDedup {
       .select(col("doc"), col("sh_hi"), col("sh_lo"),
         col("c._1").as("band"), col("c._2").as("bv"))
 
+  /** [[simHash128BandKeys]] end-to-end from the raw corpus — public as
+    * [[simHashPairs128]]'s stored-index block and guard-cache release
+    * handle (see [[minHashBandedKeys]]).
+    */
+  def simHashBandedKeys128(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    simHash128BandKeys(simHashes128(df, idCol, textCol))
+
   /** PREFIX-BLOCKED fuzzy record linkage — the fz1 query's shape as a
     * reusable entry point: match each query string against the corpus
     * records sharing its first `prefixLen` characters, keeping pairs
@@ -865,7 +929,10 @@ object TextDedup {
     * Output: (`qIdCol`, match_id, edit_distance) — one row per
     * (query, corpus record) pair within `maxEdit`. The two frames'
     * column names must not collide (the join keeps both sides' text
-    * columns in scope for the levenshtein projection).
+    * columns in scope for the levenshtein projection) — enforced with
+    * a `require` at the API boundary, because the failure mode is
+    * otherwise an ambiguous-reference AnalysisException deep inside
+    * the join rather than an actionable message.
     *
     * The edit distance is computed ONCE in a projection then filtered:
     * it is the dominant per-pair cost and Spark does not CSE a filter
@@ -887,10 +954,23 @@ object TextDedup {
                            maxPairFactor: Option[Double] = None): DataFrame = {
     require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
     require(maxEdit >= 0, s"maxEdit must be >= 0: $maxEdit")
+    locally {
+      // case-insensitive like Spark's default column resolution
+      val collide = queries.columns.map(_.toLowerCase)
+        .intersect(corpus.columns.map(_.toLowerCase))
+      require(collide.isEmpty,
+        s"queries and corpus must not share column names — the join " +
+          s"keeps both sides' columns in scope for the levenshtein " +
+          s"projection; colliding: ${collide.mkString(", ")}")
+    }
     maxPairFactor.foreach { f =>
-      // persisted slim key projections: the corpus row count (same rows
-      // as the raw frame), the volume aggregation, and the failure
-      // profile share one scan of each input instead of three
+      // guard-SCOPED persist (not the LSH families' shared cache): here
+      // the guard's derivation is a cheap substring projection, not the
+      // join's dominant work — the join must read the FULL text columns
+      // for levenshtein, so a shared cache would have to hold corpus-
+      // sized text to save one prefix scan. Slim key projections are
+      // persisted so the corpus row count (same rows as the raw frame)
+      // and the preflight share one scan of each input, then released.
       val qk = queries
         .select(substring(col(qTextCol), 1, prefixLen).as("k")).persist()
       val ck = corpus

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * operators themselves, so a SCHEDULED job can fail fast on corpus
   * drift instead of silently squaring its shuffle.
   *
-  * Per family this spec proves all three contract points:
+  * Per family this spec proves all four contract points:
   * (1) a PLANTED crowding corpus (boilerplate-identical text — every
   * signature lands in the same buckets, volume ~n² against an O(n)
   * budget) FAILS the preflight, and the error names the hot block
@@ -19,11 +19,30 @@ import org.apache.spark.sql.functions._
   * (2) a benign corpus PASSES with the spec-calibrated factor and
   * returns the identical result as the unguarded call;
   * (3) the default (`None`) runs the planted corpus WITHOUT the guard
-  * — opt-in means oracle plans and legacy callers are untouched.
+  * — opt-in means oracle plans and legacy callers are untouched;
+  * (4) the SHARED-MATERIALIZATION cache contract (round 14 — the
+  * measured fix for the guard's ~1.8× premium): a passing guarded LSH
+  * call persists its banded-keys frame so the returned join reads the
+  * guard's one materialization instead of re-deriving
+  * signatures+banding; the cache is RELEASED by `.unpersist()` on an
+  * equivalently-constructed public banded-keys frame (the CacheManager
+  * matches plans structurally — this is the caller's documented
+  * handle), and a FAILING preflight releases it before throwing, so
+  * the failure path leaks nothing. The il2/`bloomNewDocs` pattern:
+  * a documented caller-released cache, audited HERE rather than in
+  * `CacheLeakSpec`'s allowlist because the guard is opt-in and no
+  * catalog query constructs with it. `prefixBlockedLinkage` is the
+  * deliberate exception — its guard stays self-scoped (persisting
+  * slim prefix keys; sharing would require caching corpus-sized TEXT
+  * for the levenshtein join), proven leak-free on both paths.
   */
 class BlockingPreflightSpec extends SparkSpec {
 
   import spark.implicits._
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  private def assertCacheEmpty(clue: String): Unit =
+    assert(Bridge.cacheIsEmpty(spark), clue)
 
   /** ~n² crowding: every doc is the same boilerplate text, so every
     * signature/fingerprint/prefix collides. The drift mode the
@@ -58,37 +77,60 @@ class BlockingPreflightSpec extends SparkSpec {
 
   test("minHashLshPairs: planted crowding fails the preflight with the " +
     "hot bucket named; default off runs it; benign passes unchanged") {
+    spark.catalog.clearCache()
     val crowd = plantedCrowd(200)
     assertTrips(
       TextDedup.minHashLshPairs(crowd, "doc_id", "text",
         maxPairFactor = Some(4.0)),
       "minHashLshPairs")
+    assertCacheEmpty("a FAILED preflight must release the shared " +
+      "banding cache before throwing — no join is returned to read it")
     // default None: same corpus, no guard — the call constructs and runs
     val unguarded = TextDedup.minHashLshPairs(crowd, "doc_id", "text")
     assert(unguarded.count() == 200L * 199 / 2) // all-identical: every pair
+    assertCacheEmpty("the unguarded call must not cache")
     val ok = TextDedup.minHashLshPairs(benign(200), "doc_id", "text",
       maxPairFactor = Some(4.0))
+    // contract point (4): the passing guard left the banding cache the
+    // returned join reads — documented, caller-released
+    assert(!Bridge.cacheIsEmpty(spark),
+      "a passing guarded call must leave the shared banding cache for " +
+        "the returned join to read")
     val plain = TextDedup.minHashLshPairs(benign(200), "doc_id", "text")
     assert(ok.collect().toSet == plain.collect().toSet)
+    // the documented release handle: unpersist an equivalently-
+    // constructed public banded-keys frame — plan-matched by the
+    // CacheManager, no reference to the operator's internal val needed
+    TextDedup.minHashBandedKeys(benign(200), "doc_id", "text").unpersist()
+    assertCacheEmpty("the public banded-keys handle must release the " +
+      "guard's cache (equivalent-plan unpersist)")
   }
 
   test("crossMinHashLshPairs: planted crowding fails the preflight; " +
     "benign batch-vs-corpus passes with the guard on") {
+    spark.catalog.clearCache()
     val corpus = plantedCrowd(200)
     val batch = plantedCrowd(20)
     assertTrips(
       TextDedup.crossMinHashLshPairs(corpus, batch, "doc_id", "text",
         maxPairFactor = Some(4.0)),
       "crossMinHashLshPairs")
+    assertCacheEmpty("a failed cross preflight must release BOTH sides'" +
+      " banding caches before throwing")
     val ok = TextDedup.crossMinHashLshPairs(benign(200), benign(20),
       "doc_id", "text", maxPairFactor = Some(4.0))
     val plain = TextDedup.crossMinHashLshPairs(benign(200), benign(20),
       "doc_id", "text")
     assert(ok.collect().toSet == plain.collect().toSet)
+    // release both sides through the documented handle
+    TextDedup.minHashBandedKeys(benign(200), "doc_id", "text").unpersist()
+    TextDedup.minHashBandedKeys(benign(20), "doc_id", "text").unpersist()
+    assertCacheEmpty("both cross-side caches must release via the handle")
   }
 
   test("simHashPairs: planted crowding fails the preflight (the 16-bit " +
     "band regime check, now enforceable at the call site)") {
+    spark.catalog.clearCache()
     assertTrips(
       TextDedup.simHashPairs(plantedCrowd(200), "doc_id", "text",
         maxPairFactor = Some(4.0)),
@@ -101,18 +143,25 @@ class BlockingPreflightSpec extends SparkSpec {
       maxPairFactor = Some(32.0))
     val plain = TextDedup.simHashPairs(benign(200), "doc_id", "text")
     assert(ok.collect().toSet == plain.collect().toSet)
+    TextDedup.simHashBandedKeys(benign(200), "doc_id", "text").unpersist()
+    assertCacheEmpty("simHashPairs guard cache must release via its handle")
   }
 
   test("simHashPairs128: planted crowding fails the preflight over the " +
     "combination-band keys; benign passes unchanged") {
+    spark.catalog.clearCache()
     assertTrips(
       TextDedup.simHashPairs128(plantedCrowd(200), "doc_id", "text",
         maxPairFactor = Some(4.0)),
       "simHashPairs128")
+    assertCacheEmpty("failed 128-bit preflight must release its cache")
     val ok = TextDedup.simHashPairs128(benign(200), "doc_id", "text",
       maxPairFactor = Some(4.0))
     val plain = TextDedup.simHashPairs128(benign(200), "doc_id", "text")
     assert(ok.collect().toSet == plain.collect().toSet)
+    TextDedup.simHashBandedKeys128(benign(200), "doc_id", "text").unpersist()
+    assertCacheEmpty("simHashPairs128 guard cache must release via its " +
+      "handle")
   }
 
   test("prefixBlockedLinkage: a degenerate shared prefix fails the " +
@@ -121,6 +170,7 @@ class BlockingPreflightSpec extends SparkSpec {
     // every title opens with the same >=14 chars — the
     // FuzzyBlockingBudgetSpec planted shape, now tripping INSIDE the
     // operator instead of only in the audit
+    spark.catalog.clearCache()
     val n = 2000
     val titles = spark.range(n).select(col("id").as("doc_id"),
       concat(lit("SAME BOILERPLATE HEAD "), col("id").cast("string"))
@@ -144,9 +194,64 @@ class BlockingPreflightSpec extends SparkSpec {
     val ok = TextDedup.prefixBlockedLinkage(goodQ, "q_id", "q_title",
       good, "doc_id", "title", prefixLen = 14, maxEdit = 2,
       maxPairFactor = Some(4.0))
+    // the deliberate NON-shared family: its guard persists only slim
+    // prefix keys and releases them before returning (sharing would
+    // have to cache corpus-sized text), so BOTH paths are leak-free
+    assertCacheEmpty("prefixBlockedLinkage's guard is self-scoped — " +
+      "no cache may survive the call on either path")
     val plain = TextDedup.prefixBlockedLinkage(goodQ, "q_id", "q_title",
       good, "doc_id", "title", prefixLen = 14, maxEdit = 2)
     assert(ok.collect().toSet == plain.collect().toSet)
     assert(plain.count() >= n / 10) // every query finds its canonical
+  }
+
+  test("preflightSelf's one-pass accounting equals the general " +
+    "candidatePairVolume on the same frame and key (the self-join " +
+    "specialization the LSH guards run)") {
+    // mixed block sizes incl. a hot one, plus null keys (excluded by
+    // both forms — SQL equality never matches null)
+    val frame = spark.range(100).select(
+      when(col("id") < 60, lit("hot"))
+        .when(col("id") < 80, concat(lit("b"), (col("id") % 5).cast("string")))
+        .otherwise(lit(null)).as("k"))
+    val general = BlockingBudget.candidatePairVolume(
+      frame, col("k"), frame, col("k"))
+    assert(general == 60L * 60 + 5L * (4L * 4)) // 3620
+    // preflightSelf reports the same volume in its failure message
+    val e = intercept[IllegalStateException] {
+      BlockingBudget.preflightSelf(frame, col("k"), 1.0, "equiv")
+    }
+    assert(e.getMessage.contains(s"candidate-pair volume $general"),
+      e.getMessage)
+    // and the same refRows denominator: 80 non-null-keyed rows
+    assert(e.getMessage.contains("x 80 rows"), e.getMessage)
+    // a budget just above volume/refRows passes
+    BlockingBudget.preflightSelf(frame, col("k"), general / 80.0 + 0.01,
+      "equiv")
+  }
+
+  test("prefixBlockedLinkage: colliding column names fail fast at the " +
+    "API boundary, not as an ambiguous-reference AnalysisException " +
+    "inside the join") {
+    val corpus = spark.range(10).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("title"))
+    // same names both sides — the realistic mistake (joining a frame
+    // against a filtered copy of itself without renaming)
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.prefixBlockedLinkage(corpus, "doc_id", "title",
+        corpus, "doc_id", "title", prefixLen = 4, maxEdit = 2)
+    }
+    assert(e.getMessage.contains("must not share column names"),
+      e.getMessage)
+    assert(e.getMessage.contains("doc_id"), e.getMessage)
+    // resolution is case-insensitive by default — so is the require
+    val shouting = corpus.select(col("doc_id").as("Q_ID"),
+      col("title").as("q_title"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextDedup.prefixBlockedLinkage(shouting, "Q_ID", "q_title",
+        corpus.withColumnRenamed("doc_id", "q_id"), "q_id", "title",
+        prefixLen = 4, maxEdit = 2)
+    }
+    assert(e2.getMessage.contains("q_id"), e2.getMessage)
   }
 }

@@ -43,6 +43,18 @@ import graft.SparkSpec
   * il2 does (and lands here with a justification). An allowlisted entry
   * that STOPS leaking should be removed — the spec flags that too, so
   * the list can only shrink or be re-justified, never rot.
+  *
+  * Round 14 note — a second il2-pattern cache exists OUTSIDE this
+  * sweep's sight: the guarded LSH entry points (`maxPairFactor` on
+  * [[graft.operators.TextDedup.minHashLshPairs]]-family) persist their
+  * banded-keys frame so the preflight and the returned join share one
+  * signature+banding materialization, released by the caller through
+  * the public banded-keys handle. It does NOT get an allowlist entry
+  * here because no catalog query constructs with the guard (it is
+  * production-opt-in), so an entry would trip this spec's own anti-rot
+  * assertion; the cache contract — present after a passing guarded
+  * call, absent after a failed one, released by the handle — is frozen
+  * in `BlockingPreflightSpec` instead.
   */
 class CacheLeakSpec extends SparkSpec {
 
