@@ -33,12 +33,39 @@ import org.apache.spark.sql.SparkSession
   * (override via SPARK_GRAFT_BENCH_FULL) so nothing is lost to the drop
   * rule and round-over-round comparison can cover every query; it also
   * carries BOTH shots, a per-query system-load trace (see
-  * [[renderDetail]]) and a per-pass machine-speed calibration trace
-  * (see [[calibrate]]), and is mirrored to a round-stamped
-  * `bench_full_r<N>.json` (write-once — a rerun never clobbers the
-  * round's first stamp) so every round's complete map gets committed.
+  * [[renderDetail]]), a per-pass machine-speed calibration trace
+  * (see [[calibrate]]) and the [[volatileClass]] membership, and — on
+  * an explicit `SPARK_GRAFT_STAMP=1` run only — is mirrored to a
+  * round-stamped `bench_full_r<N>.json` (still write-once: a rerun
+  * never clobbers the round's first stamp) so each round's canonical
+  * complete map gets committed deliberately rather than
+  * first-writer-wins.
   */
 object Bench {
+
+  /** The AMBIENT-VOLATILE query class — the round-13 A/B's finding
+    * (SCALE_SF1.md §Round-13): sub-second queries whose timed body is
+    * dominated by scoped-tmp small-file state reads plus eager
+    * driver-side collects (semd2/sim4/zo2's index-riding shape) or by
+    * many tiny salted shuffle partitions (sk3) measure a SAME-CODE
+    * spread up to 1.40× across windows of one session — host
+    * contention taxes them harder than the CPU-bound queries that set
+    * `bench_diff`'s ambient median, so they can read 1.5-1.9×
+    * "normalized" with zero code change. The protocol de-noises them
+    * two ways (round 14): (1) STATE PRE-WARM — after the sf0.001
+    * warmup they run once untimed against the TARGET dir, so the
+    * compute-if-absent index build and the first-touch of its tmp
+    * files land outside every timed shot (previously shot 1 carried
+    * the build and the adaptive pass merely re-measured); (2) a
+    * MANDATORY third shot — min-of-3 true state-riding samples
+    * instead of min-of-2-where-one-held-the-build. The class is
+    * recorded in the artifacts as `"volatile"` so `bench_diff` can
+    * label their movements as needing a same-harness A/B before being
+    * chased as regressions.
+    */
+  val volatileClass: Set[String] = Set(
+    "semd2_incremental_semantic", "sim4_ivf_persisted",
+    "zo2_zorder_skipping", "sk3_power_law_agg")
 
   /** Compact fixed-point seconds: ms precision under 10s, cs under 100s.
     * Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -225,6 +252,14 @@ object Bench {
     calibrate() // untimed: JIT-compile the probe loop itself
     val calib0 = calibrate()
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
+    // State pre-warm for the ambient-volatile class (see volatileClass):
+    // one untimed TARGET-dir run builds their compute-if-absent scoped-tmp
+    // state and touches its files, so no timed shot below carries the
+    // one-time build — the same outside-the-timed-body placement as
+    // hygiene()
+    names.filter(volatileClass).foreach { n =>
+      materialize(n, sfDir); hygiene()
+    }
     // One timed (time, loadBefore) sample per query over the whole
     // catalog — the unit the pass-separated protocol composes.
     def passOver(qs: Seq[String]): Map[String, (Double, Double)] =
@@ -247,9 +282,15 @@ object Bench {
     val p1 = passOver(names)
     val calib2 = calibrate()
     val p2 = passOver(names)
+    // Third-pass membership: the two-shot disagreement rule, any failed
+    // shot, and — unconditionally — the ambient-volatile class, whose
+    // same-code spread (1.40× measured) means two agreeing shots can
+    // still both sit on a contended window; min-of-3 is the cheapest
+    // estimator that beats it (three whole-catalog-separated samples)
     val unstable = names.filter { n =>
       val (a, _) = p1(n); val (b, _) = p2(n)
-      a < 0 || b < 0 || math.abs(a - b) > 0.2 * math.min(a, b)
+      volatileClass(n) ||
+        a < 0 || b < 0 || math.abs(a - b) > 0.2 * math.min(a, b)
     }
     val calib3 = calibrate()
     val p3 = passOver(unstable)
@@ -264,8 +305,14 @@ object Bench {
     // each timed pass, and after the last pass — the host-drift
     // instrument bench_diff reads (see [[calibrate]])
     val calibs = Seq(calib0, calib1, calib2, calib3, calibEnd)
+    // volatile: which of this run's entries got the de-noised protocol
+    // (pre-warmed state + mandatory third shot) — recorded so a diff
+    // tool can caveat the class's movements instead of flagging them
+    val volat = names.filter(volatileClass)
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]""" +
-      s""","calib":${calibs.map(fmt).mkString("[", ",", "]")}"""
+      s""","calib":${calibs.map(fmt).mkString("[", ",", "]")}""" +
+      s""","volatile":$volat"""
     val out = renderLine(results, sfName, extra = extra)
     // Full-map artifact: every query's timing (plus both shots and the
     // per-query load trace) survives even though the stdout line drops
@@ -284,33 +331,34 @@ object Bench {
       System.err.println(s"[bench] full-map artifact write failed: $e")
     }
     // Round-stamped snapshot (bench_full_r<N>.json, N = max existing
-    // BENCH_r<M>.json + 1): the driver's own per-round bench run leaves
-    // a commit-ready complete map beside the round artifacts, so
-    // round-over-round diffs always compare like against like (the r11
-    // committed snapshot predated three queries). Detection, not an env
-    // contract: the harness controls its argv/env, the cwd layout is
-    // ours. Skipped silently when no BENCH_r files exist (dev runs
-    // outside the repo root). Numbering semantics: BENCH_r<N> lands
-    // AFTER round N's bench runs, so during round N the max is N-1 and
-    // the stamp is N. With write-once (below) the FIRST full run after
-    // round N closes owns the N+1 stamp — so a throwaway full run early
-    // in a round claims the file and the later canonical run only gets
-    // the stderr note. The remedy is manual and cheap (delete the stale
-    // stamp, or copy bench_full.json over it, before committing); the
-    // old auto-overwrite "remedy" was what silently destroyed round
-    // 12's committed quiet-window snapshot.
-    // Never stamp a FILTERED run: a SPARK_GRAFT_QUERIES profiling run is
-    // a partial map, and stamping it would clobber the committed
-    // complete snapshot with a 2-entry file (happened once).
-    // WRITE-ONCE: never overwrite an existing bench_full_r<N>.json
-    // either — in round 12 the driver's own full rerun re-stamped the
+    // BENCH_r<M>.json + 1): a commit-ready complete map beside the
+    // round artifacts, so round-over-round diffs always compare like
+    // against like (the r11 committed snapshot predated three queries).
+    // Skipped silently when no BENCH_r files exist (dev runs outside
+    // the repo root). Numbering semantics: BENCH_r<N> lands AFTER round
+    // N's bench runs, so during round N the max is N-1 and the stamp
+    // is N.
+    // OPT-IN (round 14, closing the write-once rule's inverse risk):
+    // stamping now requires SPARK_GRAFT_STAMP=1. First-writer-wins
+    // write-once meant ANY first full run after a round closed —
+    // including a throwaway or debug run — permanently claimed the
+    // round file, and the later canonical quiet-window run only got a
+    // stderr note; the committed snapshot could silently be the wrong
+    // run. The stamp is a deliberate act now: run the canonical bench
+    // with SPARK_GRAFT_STAMP=1 (the builder's round protocol, see
+    // SCALE.md), every other run leaves only bench_full.json.
+    // Never stamp a FILTERED run even when opted in: a
+    // SPARK_GRAFT_QUERIES profiling run is a partial map, and stamping
+    // it would clobber the committed complete snapshot with a 2-entry
+    // file (happened once).
+    // WRITE-ONCE still holds: never overwrite an existing
+    // bench_full_r<N>.json — in round 12 a full rerun re-stamped the
     // same N and silently replaced the committed quiet-window snapshot
-    // (115.9 s over 107.5 s). The first full run of a round owns the
-    // stamp; later reruns keep their complete map in bench_full.json
-    // and a stderr note says where the stamp would have gone. This also
-    // defuses the mis-stamp risk of running from a cwd with stale or
-    // foreign BENCH_r files: a wrong N can no longer clobber anything.
-    try if (only.isEmpty) {
+    // (115.9 s over 107.5 s). Opt-in narrows who stamps; write-once
+    // keeps even opted-in reruns from clobbering. This also defuses
+    // the mis-stamp risk of running from a cwd with stale or foreign
+    // BENCH_r files: a wrong N can no longer clobber anything.
+    try if (only.isEmpty && sys.env.get("SPARK_GRAFT_STAMP").contains("1")) {
       val re = """BENCH_r(\d+)\.json""".r
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => re.unapplySeq(f.getName).map(_.head.toInt))

@@ -86,6 +86,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("shots"), line)
   }
 
+  test("the volatile class names real catalog queries, and the " +
+    "artifact's volatile field renders as a JSON string array") {
+    // membership rot check: a renamed/removed query would silently
+    // un-de-noise itself — the set must stay inside the live catalog
+    Bench.volatileClass.foreach { n =>
+      assert(SparkEntry.queries.contains(n),
+        s"volatileClass entry $n is not a catalog query")
+    }
+    // the extra section shape Bench.main renders (schema growth is
+    // append-only: load, calib, volatile, then detail)
+    val volat = Bench.volatileClass.toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
+    val full = Bench.renderFull(Seq("q_a" -> 0.1), "sf0.1",
+      extra = s""","load":[1.5,2.25],"calib":[0.88],"volatile":$volat""")
+    assert(full.contains(""""volatile":["""), full)
+    assert(full.endsWith(""","sf":"sf0.1"}"""), full)
+  }
+
   test("fmt keeps ms precision under 10s and stays short above") {
     assert(Bench.fmt(0.123456) == "0.123")
     assert(Bench.fmt(12.3456) == "12.35")

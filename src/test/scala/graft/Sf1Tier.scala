@@ -50,7 +50,23 @@ object Sf1Tier {
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
         try {
-          val lk = ch.lock() // blocks until a concurrent generator exits
+          // lock() blocks for locks held by OTHER processes, but THROWS
+          // OverlappingFileLockException for one held elsewhere in THIS
+          // JVM (JVM-level file-lock semantics). The object-level
+          // synchronized above serializes callers only while suites run
+          // in one classloader world — an in-process/layered-classloader
+          // test runner (sbt with fork:=false) would load a second
+          // Sf1Tier object whose synchronized doesn't exclude ours. So
+          // same-JVM overlap gets a retry-until-free loop equivalent to
+          // the blocking wait; the post-acquire marker re-check makes
+          // the eventual winner-or-loser outcome identical.
+          def acquire(): java.nio.channels.FileLock =
+            try ch.lock()
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException =>
+                Thread.sleep(500); acquire()
+            }
+          val lk = acquire() // blocks until a concurrent generator exits
           try {
             if (!marker.isFile) TestDataGen.generate(spark, dir, 10.0)
           } finally lk.release()

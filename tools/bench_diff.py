@@ -25,6 +25,11 @@ whether the round's code plausibly touched every query before accepting
 "machine".
 Recorded system load (whole-run endpoints, plus the per-query trace when
 the artifact carries one) is printed so ambient drift can be attributed.
+Residuals near the 0.15 attribution band edge (within +/-0.05) print as
+"borderline" in both directions instead of flipping between verdicts
+run-to-run. Queries in either artifact's "volatile" list (the bench's
+ambient-volatile class — measured same-code spread up to 1.40x) carry
+an A/B-before-chasing caveat on their mover lines.
 Exit code 0 always — this is a lens, not a gate.
 The attribution semantics are frozen by tools/test_bench_diff.py (plain
 python, no deps) — run it after editing the ambient/calibration logic.
@@ -97,9 +102,23 @@ def main(old_path, new_path, threshold=1.25):
                 # costly session conf removed); the earlier asymmetric
                 # branches labeled the speedup case "machine drift".
                 residual = ambient / calib_ratio
-                if abs(residual - 1.0) <= 0.15:
+                # Edge-of-band attributions are soft: with few eligible
+                # queries the residual jitters run-to-run, and the
+                # single-threaded CPU probe under-represents IO/memory-
+                # bandwidth host drift — so a residual within +/-0.05 of
+                # the 0.15 threshold gets a "borderline" label in BOTH
+                # directions instead of flipping between verdicts.
+                dist = abs(residual - 1.0)
+                if dist <= 0.10:
                     attribution = (f"  <- matches host speed ratio "
                                    f"{calib_ratio:.2f}x: machine drift")
+                elif dist <= 0.20:
+                    side = ("above" if residual > 1 else "below")
+                    attribution = (f"  <- residual {residual:.2f}x is "
+                                   f"borderline ({side} host speed ratio "
+                                   f"{calib_ratio:.2f}x, near the 0.15 "
+                                   "band edge): check load traces before "
+                                   "calling it machine or code")
                 elif residual > 1:
                     attribution = (f"  <- ambient {ambient:.2f}x exceeds "
                                    f"host speed ratio {calib_ratio:.2f}x "
@@ -130,6 +149,12 @@ def main(old_path, new_path, threshold=1.25):
             norm = (b / a) / ambient
             if norm > threshold or 1 / norm > threshold:
                 moved.append((norm, f"{norm:5.2f}x", k, a, b))
+    # Ambient-volatile class (Bench.volatileClass, carried as "volatile"
+    # in round-14+ artifacts): queries whose SAME-CODE spread measured up
+    # to 1.40x across windows (scoped-tmp state riders + tiny-partition
+    # salted aggs). Their movements get a caveat, not silence — chase
+    # them only after an alternating same-harness A/B.
+    volatile = set(new.get("volatile") or []) | set(old.get("volatile") or [])
     for _, tag, k, a, b in sorted(moved, key=lambda t: -t[0]):
         shot = new.get("shots", {}).get(k)
         ld = loads.get(k)
@@ -137,6 +162,9 @@ def main(old_path, new_path, threshold=1.25):
         if shot is not None:
             detail = f"  shots={shot}" + (f" load={ld}" if ld is not None
                                           else "")
+        if k in volatile:
+            detail += ("  [volatile class: same-code spread up to 1.40x "
+                       "measured - A/B before chasing]")
         print(f"  {tag}  {k}: {a} -> {b}{detail}")
     if not moved:
         print(f"  no query moved more than {threshold}x normalized (>=0.2s)")

@@ -25,9 +25,10 @@ TOOL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 BASE_QUERIES = {f"q{i}_case": 0.4 + 0.1 * i for i in range(8)}
 
 
-def artifact(scale=1.0, calib=None, bump=None):
+def artifact(scale=1.0, calib=None, bump=None, volatile=None):
     """A synthetic bench_full map: BASE_QUERIES x scale, one optional
-    per-query bump on top, optional per-pass calib trace."""
+    per-query bump on top, optional per-pass calib trace, optional
+    volatile-class list."""
     qs = {k: round(v * scale, 3) for k, v in BASE_QUERIES.items()}
     if bump:
         name, factor = bump
@@ -36,6 +37,8 @@ def artifact(scale=1.0, calib=None, bump=None):
          "unit": "sec", "queries": qs, "load": [1.0, 1.0], "sf": "sf0.1"}
     if calib is not None:
         d["calib"] = [round(calib * f, 3) for f in (1.02, 1.0, 1.01, 1.0, 1.03)]
+    if volatile is not None:
+        d["volatile"] = volatile
     return d
 
 
@@ -110,6 +113,35 @@ out = run(artifact(calib=0.85), artifact(scale=1.0, calib=0.85))
 case("flat run -> no attribution, quiet line", out,
      must=["no query moved more than"],
      must_not=["CODE-GLOBAL", "machine drift"])
+
+# 7. Residual near the band edge (uniform 1.30x on a 1.15x host ->
+# residual ~1.13, inside (1.10, 1.20]): borderline in BOTH directions,
+# never a hard verdict that flips run-to-run.
+out = run(artifact(calib=0.85), artifact(scale=1.30, calib=0.85 * 1.15))
+case("residual near band edge -> borderline, not a verdict", out,
+     must=["borderline", "check load traces"],
+     must_not=["CODE-GLOBAL", "machine drift"])
+
+# 7b. The mirror side: uniform 0.85x speedup on a flat host -> residual
+# ~0.85 (dist ~0.15, at the old hard threshold), borderline from below.
+out = run(artifact(calib=0.85), artifact(scale=0.85, calib=0.85))
+case("borderline below the band edge", out,
+     must=["borderline", "below host speed ratio"],
+     must_not=["CODE-GLOBAL", "machine drift"])
+
+# 8. A mover in the artifact's volatile class carries the A/B caveat;
+# a non-volatile mover does not.
+out = run(artifact(calib=0.85, volatile=["q3_case"]),
+          artifact(scale=1.0, calib=0.85, bump=("q3_case", 3.0),
+                   volatile=["q3_case"]))
+case("volatile mover carries the A/B caveat", out,
+     must=["q3_case", "volatile class", "A/B before chasing"])
+out = run(artifact(calib=0.85, volatile=["q1_case"]),
+          artifact(scale=1.0, calib=0.85, bump=("q3_case", 3.0),
+                   volatile=["q1_case"]))
+case("non-volatile mover carries no caveat", out,
+     must=["q3_case"],
+     must_not=["volatile class"])
 
 if FAILURES:
     sys.exit(f"{len(FAILURES)} case(s) failed: {FAILURES}")
