@@ -927,12 +927,14 @@ object TextDedup {
     * a benign wall-clock).
     *
     * Output: (`qIdCol`, match_id, edit_distance) — one row per
-    * (query, corpus record) pair within `maxEdit`. The two frames'
-    * column names must not collide (the join keeps both sides' text
-    * columns in scope for the levenshtein projection) — enforced with
-    * a `require` at the API boundary, because the failure mode is
-    * otherwise an ambiguous-reference AnalysisException deep inside
-    * the join rather than an actionable message.
+    * (query, corpus record) pair within `maxEdit`. The columns this
+    * join REFERENCES must not collide across the two frames (each
+    * side's id/text columns must be absent from the other side; the
+    * join keeps both sides in scope for the levenshtein projection) —
+    * enforced with a `require` at the API boundary, because the
+    * failure mode is otherwise an ambiguous-reference
+    * AnalysisException deep inside the join rather than an actionable
+    * message. Shared column names the join never touches are fine.
     *
     * The edit distance is computed ONCE in a projection then filtered:
     * it is the dominant per-pair cost and Spark does not CSE a filter
@@ -955,13 +957,26 @@ object TextDedup {
     require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
     require(maxEdit >= 0, s"maxEdit must be >= 0: $maxEdit")
     locally {
-      // case-insensitive like Spark's default column resolution
-      val collide = queries.columns.map(_.toLowerCase)
-        .intersect(corpus.columns.map(_.toLowerCase))
+      // Fail fast only on collisions the join actually REFERENCES —
+      // a shared passenger column the plan never touches is legal
+      // (Spark raises ambiguity on reference, not on presence), so
+      // rejecting ANY shared name would break valid callers. The
+      // referenced set: each side's id/text columns must not exist on
+      // the other side (covers qIdCol == idCol), and `edit_distance`
+      // must not be present on BOTH sides (the withColumn replace
+      // would be ambiguous). Case-insensitive like Spark's default
+      // resolution.
+      val qCols = queries.columns.map(_.toLowerCase).toSet
+      val cCols = corpus.columns.map(_.toLowerCase).toSet
+      val collide =
+        Seq(qIdCol, qTextCol).map(_.toLowerCase).filter(cCols) ++
+          Seq(idCol, textCol).map(_.toLowerCase).filter(qCols) ++
+          (if (qCols("edit_distance") && cCols("edit_distance"))
+            Seq("edit_distance") else Nil)
       require(collide.isEmpty,
-        s"queries and corpus must not share column names — the join " +
-          s"keeps both sides' columns in scope for the levenshtein " +
-          s"projection; colliding: ${collide.mkString(", ")}")
+        s"queries and corpus must not share the columns this join " +
+          s"references (ambiguous in the join/projection); colliding: " +
+          s"${collide.distinct.mkString(", ")}")
     }
     maxPairFactor.foreach { f =>
       // guard-SCOPED persist (not the LSH families' shared cache): here

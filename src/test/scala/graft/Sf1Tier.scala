@@ -60,12 +60,20 @@ object Sf1Tier {
           // same-JVM overlap gets a retry-until-free loop equivalent to
           // the blocking wait; the post-acquire marker re-check makes
           // the eventual winner-or-loser outcome identical.
-          def acquire(): java.nio.channels.FileLock =
-            try ch.lock()
-            catch {
-              case _: java.nio.channels.OverlappingFileLockException =>
-                Thread.sleep(500); acquire()
+          def acquire(): java.nio.channels.FileLock = {
+            var lk: java.nio.channels.FileLock = null
+            while (lk == null) {
+              // a loop, not catch-block recursion: scalac can't TCO a
+              // recursive call inside a catch, and a long wait would
+              // otherwise grow the stack one frame per retry
+              try lk = ch.lock()
+              catch {
+                case _: java.nio.channels.OverlappingFileLockException =>
+                  Thread.sleep(500)
+              }
             }
+            lk
+          }
           val lk = acquire() // blocks until a concurrent generator exits
           try {
             if (!marker.isFile) TestDataGen.generate(spark, dir, 10.0)

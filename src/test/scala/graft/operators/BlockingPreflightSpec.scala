@@ -135,6 +135,7 @@ class BlockingPreflightSpec extends SparkSpec {
       TextDedup.simHashPairs(plantedCrowd(200), "doc_id", "text",
         maxPairFactor = Some(4.0)),
       "simHashPairs")
+    assertCacheEmpty("failed simHashPairs preflight must release its cache")
     // 32, not 4: even this varied corpus measures ~19·rows — 16-bit
     // bands crowd on any shared-template text (the documented regime
     // bound that motivated simHashPairs128, visible here in miniature);
@@ -241,8 +242,8 @@ class BlockingPreflightSpec extends SparkSpec {
       TextDedup.prefixBlockedLinkage(corpus, "doc_id", "title",
         corpus, "doc_id", "title", prefixLen = 4, maxEdit = 2)
     }
-    assert(e.getMessage.contains("must not share column names"),
-      e.getMessage)
+    assert(e.getMessage.contains("must not share the columns this join " +
+      "references"), e.getMessage)
     assert(e.getMessage.contains("doc_id"), e.getMessage)
     // resolution is case-insensitive by default — so is the require
     val shouting = corpus.select(col("doc_id").as("Q_ID"),
@@ -253,5 +254,15 @@ class BlockingPreflightSpec extends SparkSpec {
         prefixLen = 4, maxEdit = 2)
     }
     assert(e2.getMessage.contains("q_id"), e2.getMessage)
+    // the require covers only columns the join REFERENCES: a shared
+    // passenger column the plan never touches stays legal (Spark
+    // raises ambiguity on reference, not presence — rejecting any
+    // shared name would break valid callers)
+    val qWithTs = corpus.select(col("doc_id").as("q_id"),
+      col("title").as("q_title"), lit("2026-01-01").as("ingest_ts"))
+    val cWithTs = corpus.withColumn("ingest_ts", lit("2026-01-02"))
+    val okRows = TextDedup.prefixBlockedLinkage(qWithTs, "q_id", "q_title",
+      cWithTs, "doc_id", "title", prefixLen = 4, maxEdit = 0)
+    assert(okRows.count() == 10) // every record matches itself exactly
   }
 }
