@@ -330,12 +330,44 @@ object TextDedup {
     */
   private def guardBanded(banded: DataFrame, key: Column, maxPairFactor: Double,
                           op: String): DataFrame = {
+    // Default StorageLevel (MEMORY_AND_DISK, compressed columnar) —
+    // right for the guard's job-scoped life. A pipeline that wants the
+    // banding to OUTLIVE a job (the true 100 TB posture: sign once per
+    // corpus generation, reuse across increments) should SAVE the
+    // public banded-keys frame as a table instead of relying on this
+    // cache — executor storage is per-application and a cached 100 TB
+    // corpus's banding (~tens of bytes × bands per doc) belongs in
+    // storage, not memory pressure.
     val b = banded.persist()
     try {
       BlockingBudget.preflightSelf(b, key, maxPairFactor, op)
       b
     } catch { case t: Throwable => b.unpersist(false); throw t }
   }
+
+  /** Loan-pattern release for guarded calls — the MECHANISM form of the
+    * caller-releases cache contract: run `body`, then unconditionally
+    * `unpersist` every given banded-keys handle, so a loop issuing
+    * guarded calls over CHANGING inputs (per-batch ingest) cannot
+    * accumulate cache entries even if it forgets the release. Handles
+    * are the public banded-keys frames ([[minHashBandedKeys]] /
+    * [[simHashBandedKeys]] / [[simHashBandedKeys128]]) constructed
+    * with the same arguments as the guarded call — plan-equivalence
+    * does the matching; releasing a handle that was never persisted is
+    * a no-op, so the wrapper is safe around code whose guard may trip
+    * (the failure path already released).
+    *
+    * {{{
+    * TextDedup.releasingGuardCaches(
+    *     TextDedup.minHashBandedKeys(batch, "id", "text")) {
+    *   TextDedup.minHashLshPairs(batch, "id", "text",
+    *     maxPairFactor = Some(32.0)).count()
+    * }
+    * }}}
+    */
+  def releasingGuardCaches[T](handles: DataFrame*)(body: => T): T =
+    try body
+    finally handles.foreach(_.unpersist(false))
 
   /** INCREMENTAL near-dup scan: a NEW batch against an EXISTING corpus via
     * banded MinHash — the ingest-time shape of [[minHashLshPairs]]. Only

@@ -206,6 +206,36 @@ class BlockingPreflightSpec extends SparkSpec {
     assert(plain.count() >= n / 10) // every query finds its canonical
   }
 
+  test("releasingGuardCaches: a loop of guarded calls over CHANGING " +
+    "inputs leaks nothing (the loan-pattern mechanism on top of the " +
+    "caller-releases contract)") {
+    spark.catalog.clearCache()
+    // per-batch ingest shape: each iteration's corpus differs, so each
+    // guarded call persists a NEW plan — without the wrapper these
+    // would accumulate across the loop
+    (1 to 3).foreach { i =>
+      val batch = benign(100 + i)
+      val n = TextDedup.releasingGuardCaches(
+          TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+        TextDedup.minHashLshPairs(batch, "doc_id", "text",
+          maxPairFactor = Some(4.0)).count()
+      }
+      assert(n >= 0)
+      assertCacheEmpty(s"iteration $i must release its guard cache")
+    }
+    // safe around a tripping guard too: the failure path already
+    // released, so the wrapper's unpersist is a no-op, and the
+    // exception propagates
+    intercept[IllegalStateException] {
+      TextDedup.releasingGuardCaches(
+          TextDedup.minHashBandedKeys(plantedCrowd(150), "doc_id", "text")) {
+        TextDedup.minHashLshPairs(plantedCrowd(150), "doc_id", "text",
+          maxPairFactor = Some(4.0)).count()
+      }
+    }
+    assertCacheEmpty("tripping guard inside the wrapper leaks nothing")
+  }
+
   test("preflightSelf's one-pass accounting equals the general " +
     "candidatePairVolume on the same frame and key (the self-join " +
     "specialization the LSH guards run)") {

@@ -51,26 +51,27 @@ object PreflightOverheadProbe {
       println(f"$label%-14s best-of-3 $best%.2f s  (rows ${runs.head._2})")
       best
     }
-    def releaseGuardCache(): Unit =
-      TextDedup.minHashBandedKeys(docs, "doc_id", "text").unpersist(true)
+    def guardHandle = TextDedup.minHashBandedKeys(docs, "doc_id", "text")
 
     val lshU = time("lsh unguarded") {
       TextDedup.minHashLshPairs(docs, "doc_id", "text").count()
     }
+    // release inside the timed body via the loan-pattern wrapper — the
+    // caller's contract, and production pays it
     val lshG = time("lsh guarded") {
-      val n = TextDedup.minHashLshPairs(docs, "doc_id", "text",
-        maxPairFactor = Some(64.0)).count()
-      releaseGuardCache() // the caller's contract — production pays it
-      n
+      TextDedup.releasingGuardCaches(guardHandle) {
+        TextDedup.minHashLshPairs(docs, "doc_id", "text",
+          maxPairFactor = Some(64.0)).count()
+      }
     }
     val curU = time("cur unguarded") {
       Curation.curate(docs, "doc_id", "text").count()
     }
     val curG = time("cur guarded") {
-      val n = Curation.curate(docs, "doc_id", "text",
-        maxPairFactor = Some(64.0)).count()
-      releaseGuardCache()
-      n
+      TextDedup.releasingGuardCaches(guardHandle) {
+        Curation.curate(docs, "doc_id", "text",
+          maxPairFactor = Some(64.0)).count()
+      }
     }
     println(f"premium: lsh ${lshG / lshU}%.2fx  cur ${curG / curU}%.2fx")
     spark.stop()
