@@ -58,10 +58,19 @@ object BlockingBudget {
     val rc = right.groupBy(rightKey.as("block"))
       .agg(count(lit(1)).as("right_n")).filter(col("block").isNotNull)
     // inner join on the block: keys present on one side only produce no
-    // candidate pairs, exactly as in the real equi-join
+    // candidate pairs, exactly as in the real equi-join.
+    // The per-block PRODUCT is computed in DOUBLE, deliberately: counts
+    // are exact longs, but a fully-degenerated corpus at scale can crowd
+    // >3.04e9 rows into one block, where a long n·n either throws
+    // ArithmeticException mid-preflight (ANSI on, Spark 4's default —
+    // the guard dies with an overflow error instead of naming the hot
+    // block) or wraps silently (ANSI off — the guard FAILS OPEN at the
+    // exact extreme it exists to catch). A double product is exact to
+    // 2^53 pairs and order-preserving beyond, which is all a budget
+    // threshold and a heaviest-first attribution need.
     lc.join(rc, lc("block") === rc("block"))
       .select(lc("block"), col("left_n"), col("right_n"),
-        (col("left_n") * col("right_n")).as("pairs"))
+        (col("left_n").cast("double") * col("right_n")).as("pairs"))
   }
 
   /** Total candidate-pair volume Σ_k |L_k|·|R_k| of the equi-blocked
@@ -79,12 +88,18 @@ object BlockingBudget {
     * against this measure), the measure stays symmetric in its
     * arguments, and a cross-join audit (distinct sides) needs no
     * diagonal correction to reason about.
+    *
+    * Exact for volumes ≤ 2^53 (every audit and any budget a caller
+    * would hold); beyond that the double-summed profile (see
+    * [[blockProfile]]'s overflow note) loses ULPs and the result
+    * saturates at `Long.MaxValue` — still monotone, still over any
+    * sane budget.
     */
   def candidatePairVolume(left: DataFrame, leftKey: Column,
                           right: DataFrame, rightKey: Column): Long =
     blockProfile(left, leftKey, right, rightKey)
-      .agg(coalesce(sum(col("pairs")), lit(0L))).head() match {
-        case Row(v: Long) => v
+      .agg(coalesce(sum(col("pairs")), lit(0d))).head() match {
+        case Row(v: Double) => math.min(v, Long.MaxValue.toDouble).toLong
       }
 
   /** PRODUCTION preflight: fail fast — with the hot blocks named —
@@ -127,8 +142,8 @@ object BlockingBudget {
     val profile = blockProfileUnsorted(left, leftKey, right, rightKey)
       .persist()
     try {
-      val vol = profile.agg(coalesce(sum(col("pairs")), lit(0L)))
-        .head() match { case Row(v: Long) => v }
+      val vol = profile.agg(coalesce(sum(col("pairs")), lit(0d)))
+        .head() match { case Row(v: Double) => v }
       failIfOverBudget(profile, vol, maxPairFactor, refRows, op)
     } finally profile.unpersist(false)
   }
@@ -153,14 +168,15 @@ object BlockingBudget {
     require(maxPairFactor > 0, s"maxPairFactor must be > 0: $maxPairFactor")
     val profile = frame.groupBy(key.as("block"))
       .agg(count(lit(1)).as("n")).filter(col("block").isNotNull)
+      // double product: same overflow rationale as blockProfile
       .select(col("block"), col("n").as("left_n"), col("n").as("right_n"),
-        (col("n") * col("n")).as("pairs"))
+        (col("n").cast("double") * col("n")).as("pairs"))
       .persist()
     try {
       val head = profile.agg(
-        coalesce(sum(col("pairs")), lit(0L)),
+        coalesce(sum(col("pairs")), lit(0d)),
         coalesce(sum(col("left_n")), lit(0L))).head()
-      failIfOverBudget(profile, head.getLong(0), maxPairFactor,
+      failIfOverBudget(profile, head.getDouble(0), maxPairFactor,
         head.getLong(1), op)
     } finally profile.unpersist(false)
   }
@@ -169,20 +185,25 @@ object BlockingBudget {
     * must be the (persisted) frame the reported volume came from, so
     * the exception's numbers and its named blocks cannot disagree.
     */
-  private def failIfOverBudget(profile: DataFrame, vol: Long,
+  private def failIfOverBudget(profile: DataFrame, vol: Double,
                                maxPairFactor: Double, refRows: Long,
                                op: String): Unit = {
     val budget = maxPairFactor * refRows
+    // integer rendering (Locale.ROOT — never a comma decimal): the
+    // volume is a pair COUNT, double-typed only against overflow
+    def whole(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     if (vol > budget) {
       val hot = profile.orderBy(col("pairs").desc).limit(5)
         .collect()
         .map(r => s"${r.get(0)} (left ${r.get(1)} x right ${r.get(2)} = " +
-          s"${r.get(3)} pairs)")
+          s"${whole(r.getDouble(3))} pairs)")
         .mkString("; ")
       throw new IllegalStateException(
-        s"$op blocking preflight failed: candidate-pair volume $vol " +
-          s"exceeds $maxPairFactor x $refRows rows = ${budget.toLong} — " +
-          s"the blocking key has degraded (hottest blocks: $hot)")
+        s"$op blocking preflight failed: candidate-pair volume " +
+          s"${whole(vol)} exceeds $maxPairFactor x $refRows rows = " +
+          s"${budget.toLong} — the blocking key has degraded " +
+          s"(hottest blocks: $hot)")
     }
   }
 }

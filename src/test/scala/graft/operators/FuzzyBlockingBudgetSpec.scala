@@ -94,14 +94,20 @@ class FuzzyBlockingBudgetSpec extends SparkSpec {
     import spark.implicits._
     val left = Seq("aa", "aa", "ab", null).toDF("k")
     val right = Seq("aa", "ab", "ab", "zz", null).toDF("k")
-    val prof = BlockingBudget.blockProfile(
+    val profDf = BlockingBudget.blockProfile(
       left, col("k"), right, col("k"))
-      .as[(String, Long, Long, Long)].collect()
+    // pairs is DOUBLE by design: a >3e9-row degenerate block would make
+    // a long n·n throw under ANSI (Spark 4 default) or wrap — fail the
+    // guard OPEN — under non-ANSI; the double product can do neither
+    // (exact to 2^53, order-preserving beyond). Plan-level guarantee:
+    assert(profDf.schema("pairs").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val prof = profDf.as[(String, Long, Long, Double)].collect()
     // aa: 2×1=2, ab: 1×2=2; zz right-only → absent; null keys produce
     // NO pairs (SQL = never matches null — matching every production
     // join audited by this tool)
-    assert(prof.toSet == Set(("aa", 2L, 1L, 2L), ("ab", 1L, 2L, 2L)))
-    assert(prof.head._4 == 2L)
+    assert(prof.toSet == Set(("aa", 2L, 1L, 2.0), ("ab", 1L, 2L, 2.0)))
+    assert(prof.head._4 == 2.0)
     assert(BlockingBudget.candidatePairVolume(
       left, col("k"), right, col("k")) == 4L)
   }
