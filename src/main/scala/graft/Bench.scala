@@ -62,6 +62,15 @@ object Bench {
     * recorded in the artifacts as `"volatile"` so `bench_diff` can
     * label their movements as needing a same-harness A/B before being
     * chased as regressions.
+    *
+    * Membership criterion (so the set can grow honestly, not by
+    * vibes): a query joins when an ALTERNATING SAME-CODE A/B — the
+    * SCALE_SF1.md §Round-13 method, same harness both sides — shows a
+    * window spread ≳1.3× that its code cannot explain; it leaves when
+    * a protocol change (e.g. hoisting its state build, as round 10 did
+    * for dc2) removes the sensitivity. `BenchFormatSpec` pins every
+    * entry to a live catalog query so renames can't silently
+    * un-de-noise one.
     */
   val volatileClass: Set[String] = Set(
     "semd2_incremental_semantic", "sim4_ivf_persisted",

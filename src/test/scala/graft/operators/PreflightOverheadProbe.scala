@@ -73,7 +73,22 @@ object PreflightOverheadProbe {
           maxPairFactor = Some(64.0)).count()
       }
     }
-    println(f"premium: lsh ${lshG / lshU}%.2fx  cur ${curG / curU}%.2fx")
+    // cross-corpus family (the il1 ingest shape: corpus vs 10% batch) —
+    // the guard persists BOTH sides' banded keys; both handles released
+    // inside the timed body
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val xU = time("xlsh unguarded") {
+      TextDedup.crossMinHashLshPairs(docs, batch, "doc_id", "text").count()
+    }
+    val xG = time("xlsh guarded") {
+      TextDedup.releasingGuardCaches(guardHandle,
+          TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+        TextDedup.crossMinHashLshPairs(docs, batch, "doc_id", "text",
+          maxPairFactor = Some(64.0)).count()
+      }
+    }
+    println(f"premium: lsh ${lshG / lshU}%.2fx  cur ${curG / curU}%.2fx" +
+      f"  xlsh ${xG / xU}%.2fx")
     spark.stop()
   }
 }
