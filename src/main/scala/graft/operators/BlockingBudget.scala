@@ -199,10 +199,14 @@ object BlockingBudget {
         .map(r => s"${r.get(0)} (left ${r.get(1)} x right ${r.get(2)} = " +
           s"${whole(r.getDouble(3))} pairs)")
         .mkString("; ")
+      // budget keeps its fraction (maxPairFactor is a double; .toLong
+      // would under-state the threshold the volume was checked against)
+      val budgetStr =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(budget))
       throw new IllegalStateException(
         s"$op blocking preflight failed: candidate-pair volume " +
           s"${whole(vol)} exceeds $maxPairFactor x $refRows rows = " +
-          s"${budget.toLong} — the blocking key has degraded " +
+          s"$budgetStr — the blocking key has degraded " +
           s"(hottest blocks: $hot)")
     }
   }

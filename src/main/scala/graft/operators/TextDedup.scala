@@ -357,6 +357,14 @@ object TextDedup {
     * a no-op, so the wrapper is safe around code whose guard may trip
     * (the failure path already released).
     *
+    * CONTRACT: the body must CONSUME the guarded result (run an action
+    * — count/collect/write — as the example does). Returning the lazy
+    * DataFrame out of the wrapper defeats the shared materialization:
+    * the cache is released before the join ever executes, and the
+    * deferred action silently re-derives signatures+banding from
+    * scratch — correct results, but paying the exact premium the
+    * sharing exists to eliminate.
+    *
     * {{{
     * TextDedup.releasingGuardCaches(
     *     TextDedup.minHashBandedKeys(batch, "id", "text")) {

@@ -220,8 +220,11 @@ class BlockingPreflightSpec extends SparkSpec {
         TextDedup.minHashLshPairs(batch, "doc_id", "text",
           maxPairFactor = Some(4.0)).count()
       }
-      assert(n >= 0)
       assertCacheEmpty(s"iteration $i must release its guard cache")
+      // behavior, not just leakage: the guarded count equals the
+      // unguarded one on the same batch
+      val plain = TextDedup.minHashLshPairs(batch, "doc_id", "text").count()
+      assert(n == plain, s"iteration $i: guarded $n vs unguarded $plain")
     }
     // safe around a tripping guard too: the failure path already
     // released, so the wrapper's unpersist is a no-op, and the
