@@ -459,19 +459,62 @@ object Similarity {
     * (it lives in exactly one centroid bucket). [[ivfTopK]] ranks this;
     * [[contrastivePairs]]'s IVF negative path filters it by threshold
     * first — same scan, different consumers.
+    *
+    * `maxPairFactor` (opt-in, default `None`) runs the cross pair-volume
+    * preflight over the exact blocking key this join scans on — probe id
+    * vs home centroid id (see [[guardIvfCells]]).
     */
   private def ivfScored(index: IvfIndex, queries: DataFrame, idCol: String,
-                        vecCol: String, nProbe: Int): DataFrame = {
+                        vecCol: String, nProbe: Int,
+                        maxPairFactor: Option[Double] = None,
+                        op: String = ""): DataFrame = {
     val q0 = withNorm(queries, idCol, vecCol)
     val q = assign(q0, index.centroids, nProbe)
       .select(col("vid").as("qid"), col("v").as("qv"),
         explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
           .as("probe"))
+    guardIvfCells(q, index, maxPairFactor,
+      refRows = queries.count() * nProbe, op)
     index.vectors
       .join(broadcast(q),
         col("centroid") === col("probe") && col("vid") =!= col("qid"))
       .withColumn("cosine", cosine(col("v"), col("qv")))
   }
+
+  /** The IVF families' pair-volume preflight ([[BlockingBudget.preflight]]
+    * on the CELL id — the ANN analogue of the text-blocking guards): the
+    * candidate volume of a probe join is Σ_c |probes(c)|·|home(c)|, and a
+    * degenerate embedding space (a broken upstream encoder emitting
+    * constant or zero vectors) crowds every row into ONE k-means cell
+    * REGARDLESS of the C ≈ √n auto-sizing — the scan degrades toward
+    * |queries|·n with no plan-shape change; only the pair volume sees it.
+    *
+    * Budget is `maxPairFactor · max(corpus rows, query probe rows)` — the
+    * larger side, the `crossMinHashLshPairs` convention. FACTOR
+    * SEMANTICS: a balanced layout measures volume/refRows ≈
+    * nProbe · E|cell| = nProbe · n/C (≈ nProbe·√n at the auto-sizing), so
+    * the budget is a small multiple of the cell size the caller's sizing
+    * implies — not a corpus-independent constant like the LSH factors;
+    * degeneration drives the ratio toward n.
+    *
+    * Cost when on: one per-side count aggregation over the cell ids. The
+    * home side reads `index.vectors`'s `centroid` column — a pruned
+    * columnar scan when the index is LOADED from storage (the production
+    * repeated-run posture, [[loadIvfIndex]]); for an in-query index it
+    * re-runs the assignment UDF once more (the scoped-guard cost,
+    * deliberate: the cell frames carry corpus EMBEDDINGS, so the LSH
+    * families' shared-materialization persist would cache corpus-sized
+    * vector data — the `prefixBlockedLinkage` class). `refRows` is
+    * by-name so the side counts are only paid when the guard is on.
+    */
+  private def guardIvfCells(q: DataFrame, index: IvfIndex,
+                            maxPairFactor: Option[Double],
+                            refRows: => Long, op: String): Unit =
+    maxPairFactor.foreach { f =>
+      BlockingBudget.preflight(q, col("probe"),
+        index.vectors, col("centroid"), f,
+        math.max(index.vectors.count(), refRows), op)
+    }
 
   /** Per-vector cluster memberships under an index's coarse quantizer:
     * each row of `df` exploded to its `probes` nearest centroids as
@@ -493,10 +536,17 @@ object Similarity {
   /** Approximate top-k via IVF: queries probe their `nProbe` nearest
     * centroid partitions only; within the probed buckets ranking is exact.
     * Scanned-vector count drops from n to ~n·nProbe/nCentroids.
+    *
+    * @param maxPairFactor opt-in cell pair-volume preflight
+    *   ([[guardIvfCells]]): fail fast, hottest cells named, when a
+    *   degenerate embedding space crowds the probe join. Default `None`:
+    *   no extra work, plan byte-identical.
     */
   def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nProbe: Int): DataFrame =
-    ivfScored(index, queries, idCol, vecCol, nProbe)
+              vecCol: String, k: Int, nProbe: Int,
+              maxPairFactor: Option[Double] = None): DataFrame =
+    ivfScored(index, queries, idCol, vecCol, nProbe, maxPairFactor,
+      "ivfTopK")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vid"))))
@@ -531,8 +581,14 @@ object Similarity {
     * ≤ nProbe·k survivors per node shuffle to the final per-node window.
     * Ordering matches [[ivfTopK]]: full-precision cosine desc, neighbor
     * id asc tie-break; DECIMAL(18,4) on output only.
+    *
+    * @param maxPairFactor opt-in cell pair-volume preflight
+    *   ([[guardIvfCells]]) over the probe-vs-home join this build runs;
+    *   budget `maxPairFactor · n · nProbe`. Default `None`: plan
+    *   byte-identical.
     */
-  def knnGraphApprox(index: IvfIndex, k: Int, nProbe: Int): DataFrame = {
+  def knnGraphApprox(index: IvfIndex, k: Int, nProbe: Int,
+                     maxPairFactor: Option[Double] = None): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(nProbe >= 1, s"nProbe must be positive: $nProbe")
     val q = assign(index.vectors.select(col("vid"), col("v"), col("nrm")),
@@ -540,6 +596,11 @@ object Similarity {
       .select(col("vid").as("qid"), col("v").as("qv"),
         explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
           .as("probe"))
+    // queries = corpus here, so both refRows candidates are the corpus
+    // side; the factor's healthy reading is nProbe·E|cell| (≈ nProbe·√n
+    // at C≈√n — the documented n^1.5 candidate volume), per guardIvfCells
+    guardIvfCells(q, index, maxPairFactor,
+      refRows = index.vectors.count() * nProbe, "knnGraphApprox")
     val scored = index.vectors
       .select(col("vid"), col("v"), col("centroid"))
       .join(q, col("centroid") === col("probe") && col("vid") =!= col("qid"))
@@ -619,13 +680,17 @@ object Similarity {
 
   /** [[ivfTopK]] over the persisted tables — the increment's entry point.
     * By construction this path CANNOT train: it only reads the stored
-    * centroid matrix and the stored assignments.
+    * centroid matrix and the stored assignments. With `maxPairFactor`
+    * set, the guard's corpus side is a pruned columnar scan of the
+    * stored `centroid` column — the production-cheap form of
+    * [[guardIvfCells]] (no assignment UDF re-run on the corpus).
     */
   def ivfTopKFromIndex(centroidsDf: DataFrame, vectorsDf: DataFrame,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nProbe: Int): DataFrame =
+                       k: Int, nProbe: Int,
+                       maxPairFactor: Option[Double] = None): DataFrame =
     ivfTopK(loadIvfIndex(centroidsDf, vectorsDf), queries, idCol, vecCol,
-      k, nProbe)
+      k, nProbe, maxPairFactor)
 
   /** CONTRASTIVE training-pair assembly — the pair-mining step of an
     * embedding-model pipeline, composed from the two similarity families:
@@ -671,14 +736,15 @@ object Similarity {
         c.join(broadcast(q), col("vid") =!= col("anchor"))
           .select(col("anchor"), col("vid"),
             cosine(col("v"), col("qv")).as("_cp_cos"))
-      case NegativesIvf(nCentroids, nProbe, seed) =>
+      case NegativesIvf(nCentroids, nProbe, seed, maxPairFactor) =>
         val index = ivfIndex(df, idCol, vecCol, nCentroids, seed)
-        ivfScored(index, anchors, idCol, vecCol, nProbe)
+        ivfScored(index, anchors, idCol, vecCol, nProbe, maxPairFactor,
+          "contrastivePairs")
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
-      case NegativesFromIndex(centroidsDf, vectorsDf, nProbe) =>
+      case NegativesFromIndex(centroidsDf, vectorsDf, nProbe, maxPairFactor) =>
         ivfScored(loadIvfIndex(centroidsDf, vectorsDf), anchors, idCol,
-          vecCol, nProbe)
+          vecCol, nProbe, maxPairFactor, "contrastivePairs")
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
     }
@@ -716,17 +782,25 @@ case object NegativesBruteForce extends NegativeMining
   * against a stable corpus should build once ([[Similarity.saveIvfIndex]])
   * and mine with [[NegativesFromIndex]], which cannot train by
   * construction.
+  *
+  * `maxPairFactor` opts the negative-mining probe join into the cell
+  * pair-volume preflight (the `Similarity.guardIvfCells` contract).
   */
 final case class NegativesIvf(nCentroids: Int, nProbe: Int,
-                              seed: Long = 42L) extends NegativeMining
+                              seed: Long = 42L,
+                              maxPairFactor: Option[Double] = None)
+    extends NegativeMining
 
 /** Probe a PERSISTED IVF index (the [[Similarity.saveIvfIndex]] layout):
   * the repeated-mining form of [[NegativesIvf]] — reads the stored
-  * centroid matrix and assignments, trains nothing.
+  * centroid matrix and assignments, trains nothing; its `maxPairFactor`
+  * guard reads the stored `centroid` column at pruned-scan cost.
   */
 final case class NegativesFromIndex(centroidsDf: DataFrame,
                                     vectorsDf: DataFrame,
-                                    nProbe: Int) extends NegativeMining
+                                    nProbe: Int,
+                                    maxPairFactor: Option[Double] = None)
+    extends NegativeMining
 
 /** Vectors tagged with their centroid partition + the centroid matrix. */
 final case class IvfIndex(vectors: DataFrame, centroids: Array[Array[Double]])

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for large-scale training-data pipelines.
@@ -341,8 +341,32 @@ object TextDedup {
     val b = banded.persist()
     try {
       BlockingBudget.preflightSelf(b, key, maxPairFactor, op)
+      warnIfGuardCachesAccumulate(b, op)
       b
     } catch { case t: Throwable => b.unpersist(false); throw t }
+  }
+
+  /** Leak early-warning for the caller-releases cache contract: a loop of
+    * guarded calls over CHANGING inputs that never releases accumulates
+    * one materialized cache entry per iteration — correct results, growing
+    * executor storage, and nothing fails until memory pressure does. The
+    * passing-guard path checks the session's persisted-RDD count (each
+    * cached frame materializes exactly one columnar-buffer RDD, and the
+    * preflight's aggregation has just materialized this call's) and warns
+    * on stderr past [[GuardCacheWarnEntries]], naming the release
+    * mechanisms. A warning, not a failure: the count includes every
+    * deliberate persist in the application (il2's bloom gate, a user's own
+    * caches), so a busy session can legitimately sit at the threshold.
+    */
+  private val GuardCacheWarnEntries = 4
+
+  private def warnIfGuardCachesAccumulate(df: DataFrame, op: String): Unit = {
+    val n = df.sparkSession.sparkContext.getPersistentRDDs.size
+    if (n >= GuardCacheWarnEntries)
+      Console.err.println(s"[graft] $op: $n datasets persisted after this " +
+        "guarded call - a loop of guarded calls must release each " +
+        "iteration's cache via the public banded-keys handles or " +
+        "TextDedup.releasingGuardCaches (see the maxPairFactor contract)")
   }
 
   /** Loan-pattern release for guarded calls — the MECHANISM form of the
@@ -357,13 +381,20 @@ object TextDedup {
     * a no-op, so the wrapper is safe around code whose guard may trip
     * (the failure path already released).
     *
-    * CONTRACT: the body must CONSUME the guarded result (run an action
-    * — count/collect/write — as the example does). Returning the lazy
-    * DataFrame out of the wrapper defeats the shared materialization:
-    * the cache is released before the join ever executes, and the
-    * deferred action silently re-derives signatures+banding from
-    * scratch — correct results, but paying the exact premium the
-    * sharing exists to eliminate.
+    * CONTRACT — ENFORCED BY MECHANISM: the body must CONSUME the
+    * guarded result (run an action — count/collect/write — as the
+    * example does). Returning the lazy `Dataset` out of the wrapper
+    * would defeat the shared materialization: the cache is released
+    * before the join ever executes, and the deferred action silently
+    * re-derives signatures+banding from scratch — correct results,
+    * but paying the exact premium the sharing exists to eliminate.
+    * Because that misuse is invisible (nothing fails, everything is
+    * just slower), the wrapper REJECTS a `Dataset`-typed body result
+    * with `IllegalArgumentException` instead of documenting the rule
+    * away (the lgK-floor/double-product pattern: close the foot-gun in
+    * code). A caller that genuinely wants the lazy frame to outlive
+    * the caches should not use the loan wrapper — hold the handles and
+    * release them after consuming, per the `maxPairFactor` contract.
     *
     * {{{
     * TextDedup.releasingGuardCaches(
@@ -374,8 +405,17 @@ object TextDedup {
     * }}}
     */
   def releasingGuardCaches[T](handles: DataFrame*)(body: => T): T =
-    try body
-    finally handles.foreach(_.unpersist(false))
+    try {
+      val result = body
+      require(!result.isInstanceOf[Dataset[_]],
+        "releasingGuardCaches body returned a lazy Dataset: the wrapper " +
+          "releases the guard caches on exit, so the deferred plan would " +
+          "silently re-derive its banding from scratch — consume the " +
+          "result inside the body (count/collect/write) and return the " +
+          "consumed value, or skip the wrapper and release the " +
+          "banded-keys handles yourself after the action")
+      result
+    } finally handles.foreach(_.unpersist(false))
 
   /** INCREMENTAL near-dup scan: a NEW batch against an EXISTING corpus via
     * banded MinHash — the ingest-time shape of [[minHashLshPairs]]. Only
@@ -419,6 +459,7 @@ object TextDedup {
           BlockingBudget.preflight(c, struct(col("band"), col("bh")),
             b, struct(col("band"), col("bh")), f,
             math.max(c.count(), b.count()), "crossMinHashLshPairs")
+          warnIfGuardCachesAccumulate(c, "crossMinHashLshPairs")
           (c, b)
         } catch { case t: Throwable =>
           c.unpersist(false); b.unpersist(false); throw t

@@ -239,6 +239,60 @@ class BlockingPreflightSpec extends SparkSpec {
     assertCacheEmpty("tripping guard inside the wrapper leaks nothing")
   }
 
+  test("releasingGuardCaches: a body that returns the LAZY Dataset is " +
+    "rejected by mechanism (the consume contract, enforced) — and the " +
+    "caches are still released") {
+    spark.catalog.clearCache()
+    val batch = benign(120)
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.releasingGuardCaches(
+          TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+        // the misuse the round-14 doc could only shout about: the lazy
+        // frame escapes the wrapper, its cache is gone before any action
+        TextDedup.minHashLshPairs(batch, "doc_id", "text",
+          maxPairFactor = Some(4.0))
+      }
+    }
+    assert(e.getMessage.contains("returned a lazy Dataset"), e.getMessage)
+    assertCacheEmpty("the rejecting wrapper must still release the cache")
+    // non-Dataset results pass through unchanged (the documented use)
+    val n = TextDedup.releasingGuardCaches(
+        TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+      TextDedup.minHashLshPairs(batch, "doc_id", "text",
+        maxPairFactor = Some(4.0)).count()
+    }
+    assert(n == TextDedup.minHashLshPairs(batch, "doc_id", "text").count())
+    assertCacheEmpty("the passing wrapper releases as before")
+  }
+
+  test("guard-cache accumulation past the threshold warns on stderr " +
+    "naming the release mechanisms; a single guarded call stays silent") {
+    spark.catalog.clearCache()
+    val quiet = new java.io.ByteArrayOutputStream()
+    Console.withErr(quiet) {
+      TextDedup.minHashLshPairs(benign(101), "doc_id", "text",
+        maxPairFactor = Some(4.0))
+    }
+    assert(!quiet.toString.contains("releasingGuardCaches"),
+      s"one guarded call must not warn: ${quiet.toString}")
+    // the leak shape: three MORE guarded calls over changing inputs with
+    // no release — the fourth materialized cache crosses the threshold
+    val noisy = new java.io.ByteArrayOutputStream()
+    Console.withErr(noisy) {
+      (2 to 4).foreach(i =>
+        TextDedup.minHashLshPairs(benign(100 + i), "doc_id", "text",
+          maxPairFactor = Some(4.0)))
+    }
+    val warned = noisy.toString
+    assert(warned.contains("minHashLshPairs") &&
+      warned.contains("releasingGuardCaches"), s"expected the " +
+      s"accumulation warning naming the release mechanisms, got: $warned")
+    (1 to 4).foreach(i =>
+      TextDedup.minHashBandedKeys(benign(100 + i), "doc_id", "text")
+        .unpersist())
+    assertCacheEmpty("all four accumulated guard caches release via handles")
+  }
+
   test("preflightSelf's one-pass accounting equals the general " +
     "candidatePairVolume on the same frame and key (the self-join " +
     "specialization the LSH guards run)") {
