@@ -367,18 +367,28 @@ object Bench {
     // keeps even opted-in reruns from clobbering. This also defuses
     // the mis-stamp risk of running from a cwd with stale or foreign
     // BENCH_r files: a wrong N can no longer clobber anything.
-    try if (only.isEmpty && sys.env.get("SPARK_GRAFT_STAMP").contains("1")) {
+    try if (only.isEmpty) {
       val re = """BENCH_r(\d+)\.json""".r
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => re.unapplySeq(f.getName).map(_.head.toInt))
       if (rounds.nonEmpty) {
-        val stamp = java.nio.file.Paths.get(
-          f"bench_full_r${rounds.max + 1}%02d.json")
-        if (java.nio.file.Files.exists(stamp))
-          System.err.println(s"[bench] round snapshot $stamp exists — " +
-            "write-once, keeping the first stamp (full map is in " +
-            s"$fullPath)")
-        else java.nio.file.Files.writeString(stamp, fullJson)
+        if (!sys.env.get("SPARK_GRAFT_STAMP").contains("1"))
+          // an operator following the pre-r14 default-on protocol gets
+          // no bench_full_r<N>.json and, without this, no signal why —
+          // mirror the write-once note (ADVICE r14)
+          System.err.println("[bench] full run NOT round-stamped - set " +
+            s"SPARK_GRAFT_STAMP=1 on the canonical quiet-window run to " +
+            f"write bench_full_r${rounds.max + 1}%02d.json (full map is " +
+            s"in $fullPath)")
+        else {
+          val stamp = java.nio.file.Paths.get(
+            f"bench_full_r${rounds.max + 1}%02d.json")
+          if (java.nio.file.Files.exists(stamp))
+            System.err.println(s"[bench] round snapshot $stamp exists — " +
+              "write-once, keeping the first stamp (full map is in " +
+              s"$fullPath)")
+          else java.nio.file.Files.writeString(stamp, fullJson)
+        }
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] round snapshot write failed: $e")

@@ -66,8 +66,14 @@ object BlockingBudget {
     // the guard dies with an overflow error instead of naming the hot
     // block) or wraps silently (ANSI off — the guard FAILS OPEN at the
     // exact extreme it exists to catch). A double product is exact to
-    // 2^53 pairs and order-preserving beyond, which is all a budget
-    // threshold and a heaviest-first attribution need.
+    // 2^53 pairs and monotone (NON-strictly) beyond — distinct long
+    // products can round to the same double, so ties are possible but an
+    // order inversion is not — which is all a budget threshold and a
+    // heaviest-first attribution need.
+    // MIGRATION NOTE (round 14): this made blockProfile's `pairs` column
+    // DoubleType (was LongType); an external consumer pattern-matching
+    // Long rows must read getDouble — called out beside the round-14
+    // cache-contract change in ARCHITECTURE.md §Round-14.
     lc.join(rc, lc("block") === rc("block"))
       .select(lc("block"), col("left_n"), col("right_n"),
         (col("left_n").cast("double") * col("right_n")).as("pairs"))
@@ -92,8 +98,9 @@ object BlockingBudget {
     * Exact for volumes ≤ 2^53 (every audit and any budget a caller
     * would hold); beyond that the double-summed profile (see
     * [[blockProfile]]'s overflow note) loses ULPs and the result
-    * saturates at `Long.MaxValue` — still monotone, still over any
-    * sane budget.
+    * saturates at `Long.MaxValue` — still monotone (non-strictly:
+    * distinct true volumes can round equal, never invert), still over
+    * any sane budget.
     */
   def candidatePairVolume(left: DataFrame, leftKey: Column,
                           right: DataFrame, rightKey: Column): Long =

@@ -62,6 +62,7 @@ object Sf1Tier {
           // the eventual winner-or-loser outcome identical.
           def acquire(): java.nio.channels.FileLock = {
             var lk: java.nio.channels.FileLock = null
+            var waitedMs = 0L
             while (lk == null) {
               // a loop, not catch-block recursion: scalac can't TCO a
               // recursive call inside a catch, and a long wait would
@@ -70,6 +71,19 @@ object Sf1Tier {
               catch {
                 case _: java.nio.channels.OverlappingFileLockException =>
                   Thread.sleep(500)
+                  waitedMs += 500
+                  // a leaked same-JVM lock (a crashed suite holding the
+                  // channel open in a layered-classloader runner) would
+                  // otherwise hang the build silently forever at 500 ms
+                  // polls — log every minute so the wedge is diagnosable;
+                  // still wait (a real generator legitimately takes
+                  // minutes), never time out a healthy build
+                  if (waitedMs % 60000L == 0L)
+                    Console.err.println(s"[graft] Sf1Tier: still waiting " +
+                      s"for the sf1 generator file lock after " +
+                      s"${waitedMs / 1000}s - if no generator is running, " +
+                      s"a crashed suite may have leaked the lock on " +
+                      s"$lockPath")
               }
             }
             lk

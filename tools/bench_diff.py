@@ -30,6 +30,9 @@ Residuals near the 0.15 attribution band edge (within +/-0.05) print as
 run-to-run. Queries in either artifact's "volatile" list (the bench's
 ambient-volatile class — measured same-code spread up to 1.40x) carry
 an A/B-before-chasing caveat on their mover lines.
+When queries moved, the exact isolated quiet-window re-measure command
+for the top movers is printed under the list (the standing follow-up
+for load-correlated movers, made self-documenting).
 Exit code 0 always — this is a lens, not a gate.
 The attribution semantics are frozen by tools/test_bench_diff.py (plain
 python, no deps) — run it after editing the ambient/calibration logic.
@@ -113,10 +116,17 @@ def main(old_path, new_path, threshold=1.25):
                     attribution = (f"  <- matches host speed ratio "
                                    f"{calib_ratio:.2f}x: machine drift")
                 elif dist <= 0.20:
-                    side = ("above" if residual > 1 else "below")
+                    # the above-1 side keeps the CODE-GLOBAL wording
+                    # (softened to "possible") so a regression hunt that
+                    # greps for it still finds borderline slowdowns —
+                    # the band must soften the verdict, not hide the
+                    # direction (ADVICE r14)
+                    side = ("above host speed ratio "
+                            f"{calib_ratio:.2f}x - possible CODE-GLOBAL "
+                            "regression" if residual > 1 else
+                            f"below host speed ratio {calib_ratio:.2f}x")
                     attribution = (f"  <- residual {residual:.2f}x is "
-                                   f"borderline ({side} host speed ratio "
-                                   f"{calib_ratio:.2f}x, near the 0.15 "
+                                   f"borderline ({side}, near the 0.15 "
                                    "band edge): check load traces before "
                                    "calling it machine or code")
                 elif residual > 1:
@@ -168,6 +178,20 @@ def main(old_path, new_path, threshold=1.25):
         print(f"  {tag}  {k}: {a} -> {b}{detail}")
     if not moved:
         print(f"  no query moved more than {threshold}x normalized (>=0.2s)")
+    # Load-correlated movers are the common case on this class of host —
+    # the standing follow-up protocol is an ISOLATED quiet-window
+    # re-measure of the top movers under the same harness (SCALE.md's
+    # round-close checklist). Emit the exact command so the protocol is
+    # self-documenting instead of tribal knowledge.
+    top = sorted(((max(n, 1 / n), k) for n, _, k, _, _ in moved
+                  if 0 < n < float("inf")), reverse=True)[:3]
+    if top:
+        names = ",".join(k for _, k in top)
+        print("  re-measure the top movers in an isolated quiet window "
+              "(same harness):")
+        print(f"    SPARK_GRAFT_SF_DIR=$SPARK_GRAFT_SF_DIR "
+              f"SPARK_GRAFT_QUERIES={names} "
+              'sbt -batch "runMain graft.Bench"')
     for k in sorted(set(oq) - set(nq)):
         print(f"  only-old: {k} ({oq[k]}s)")
     for k in sorted(set(nq) - set(oq)):
