@@ -341,7 +341,7 @@ object TextDedup {
     val b = banded.persist()
     try {
       BlockingBudget.preflightSelf(b, key, maxPairFactor, op)
-      warnIfGuardCachesAccumulate(b, op)
+      warnIfGuardCachesAccumulate(op, b)
       b
     } catch { case t: Throwable => b.unpersist(false); throw t }
   }
@@ -350,23 +350,45 @@ object TextDedup {
     * guarded calls over CHANGING inputs that never releases accumulates
     * one materialized cache entry per iteration — correct results, growing
     * executor storage, and nothing fails until memory pressure does. The
-    * passing-guard path checks the session's persisted-RDD count (each
-    * cached frame materializes exactly one columnar-buffer RDD, and the
-    * preflight's aggregation has just materialized this call's) and warns
-    * on stderr past [[GuardCacheWarnEntries]], naming the release
-    * mechanisms. A warning, not a failure: the count includes every
-    * deliberate persist in the application (il2's bloom gate, a user's own
-    * caches), so a busy session can legitimately sit at the threshold.
+    * passing-guard path registers its cache here and warns on stderr when
+    * the OUTSTANDING guard caches reach [[GuardCacheWarnEntries]], naming
+    * the release mechanisms.
+    *
+    * The registry counts GUARD caches only, keyed by canonicalized plan
+    * (re-guarding the same input reuses one CacheManager entry, so the
+    * registry must too), and prunes released entries via
+    * `Dataset.storageLevel` — a public lookup that consults the
+    * CacheManager, so EVERY release path (handle `unpersist`, the loan
+    * wrapper, `clearCache`) empties it. The first cut counted the whole
+    * session's persistent RDDs instead, which false-alarmed after ONE
+    * guarded call whenever unrelated deliberate persists (il2's bloom
+    * gate, a user's own caches, a parallel test suite) were live —
+    * review-caught: a leak warning that cries wolf on a healthy session
+    * trains callers to ignore the one real signal it exists to give.
     */
   private val GuardCacheWarnEntries = 4
 
-  private def warnIfGuardCachesAccumulate(df: DataFrame, op: String): Unit = {
-    val n = df.sparkSession.sparkContext.getPersistentRDDs.size
+  private val guardCaches = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
+  private def warnIfGuardCachesAccumulate(op: String,
+                                          dfs: DataFrame*): Unit = {
+    val n = guardCaches.synchronized {
+      // Try guards a registry entry whose session has since stopped (its
+      // CacheManager lookup would throw) — a dead session holds no cache
+      guardCaches.filterInPlace((_, d) => scala.util.Try(
+        d.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .getOrElse(false))
+      dfs.foreach(df =>
+        guardCaches.update(df.queryExecution.analyzed.canonicalized, df))
+      guardCaches.size
+    }
     if (n >= GuardCacheWarnEntries)
-      Console.err.println(s"[graft] $op: $n datasets persisted after this " +
-        "guarded call - a loop of guarded calls must release each " +
-        "iteration's cache via the public banded-keys handles or " +
-        "TextDedup.releasingGuardCaches (see the maxPairFactor contract)")
+      Console.err.println(s"[graft] $op: $n guard banded-keys caches " +
+        "outstanding after this guarded call - a loop of guarded calls " +
+        "must release each iteration's cache via the public banded-keys " +
+        "handles or TextDedup.releasingGuardCaches (see the " +
+        "maxPairFactor contract)")
   }
 
   /** Loan-pattern release for guarded calls — the MECHANISM form of the
@@ -459,7 +481,8 @@ object TextDedup {
           BlockingBudget.preflight(c, struct(col("band"), col("bh")),
             b, struct(col("band"), col("bh")), f,
             math.max(c.count(), b.count()), "crossMinHashLshPairs")
-          warnIfGuardCachesAccumulate(c, "crossMinHashLshPairs")
+          // both sides' caches are the caller's to release — register both
+          warnIfGuardCachesAccumulate("crossMinHashLshPairs", c, b)
           (c, b)
         } catch { case t: Throwable =>
           c.unpersist(false); b.unpersist(false); throw t

@@ -266,31 +266,64 @@ class BlockingPreflightSpec extends SparkSpec {
   }
 
   test("guard-cache accumulation past the threshold warns on stderr " +
-    "naming the release mechanisms; a single guarded call stays silent") {
+    "naming the release mechanisms; a single guarded call stays silent " +
+    "even beside unrelated persists") {
+    spark.catalog.clearCache()
+    // the review finding frozen: the warning counts OUTSTANDING GUARD
+    // caches only — unrelated deliberate persists (il2's bloom gate, a
+    // user's own caches, a parallel suite in the shared test session)
+    // must not trip it after one guarded call. The first cut counted
+    // sc.getPersistentRDDs.size and false-alarmed exactly here.
+    val bystanders = (1 to 3).map(i => benign(200 + i).persist())
+    bystanders.foreach(_.count()) // materialized, like a real user cache
+    try {
+      val quiet = new java.io.ByteArrayOutputStream()
+      Console.withErr(quiet) {
+        TextDedup.minHashLshPairs(benign(101), "doc_id", "text",
+          maxPairFactor = Some(4.0))
+      }
+      assert(!quiet.toString.contains("releasingGuardCaches"),
+        s"one guarded call must not warn: ${quiet.toString}")
+      // the leak shape: three MORE guarded calls over changing inputs
+      // with no release — the fourth outstanding guard cache crosses the
+      // threshold
+      val noisy = new java.io.ByteArrayOutputStream()
+      Console.withErr(noisy) {
+        (2 to 4).foreach(i =>
+          TextDedup.minHashLshPairs(benign(100 + i), "doc_id", "text",
+            maxPairFactor = Some(4.0)))
+      }
+      val warned = noisy.toString
+      assert(warned.contains("minHashLshPairs") &&
+        warned.contains("releasingGuardCaches"), s"expected the " +
+        s"accumulation warning naming the release mechanisms, got: $warned")
+      assert(warned.contains("4 guard banded-keys caches"),
+        s"the count must be the guard caches, not every persist: $warned")
+      (1 to 4).foreach(i =>
+        TextDedup.minHashBandedKeys(benign(100 + i), "doc_id", "text")
+          .unpersist())
+    } finally bystanders.foreach(_.unpersist())
+    assertCacheEmpty("all four accumulated guard caches release via handles")
+  }
+
+  test("released guard caches leave the accumulation count: a loop that " +
+    "DOES release (the loan wrapper) never warns, however long it runs") {
     spark.catalog.clearCache()
     val quiet = new java.io.ByteArrayOutputStream()
     Console.withErr(quiet) {
-      TextDedup.minHashLshPairs(benign(101), "doc_id", "text",
-        maxPairFactor = Some(4.0))
+      (1 to 6).foreach { i =>
+        val batch = benign(300 + i)
+        TextDedup.releasingGuardCaches(
+            TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+          TextDedup.minHashLshPairs(batch, "doc_id", "text",
+            maxPairFactor = Some(4.0)).count()
+        }
+      }
     }
     assert(!quiet.toString.contains("releasingGuardCaches"),
-      s"one guarded call must not warn: ${quiet.toString}")
-    // the leak shape: three MORE guarded calls over changing inputs with
-    // no release — the fourth materialized cache crosses the threshold
-    val noisy = new java.io.ByteArrayOutputStream()
-    Console.withErr(noisy) {
-      (2 to 4).foreach(i =>
-        TextDedup.minHashLshPairs(benign(100 + i), "doc_id", "text",
-          maxPairFactor = Some(4.0)))
-    }
-    val warned = noisy.toString
-    assert(warned.contains("minHashLshPairs") &&
-      warned.contains("releasingGuardCaches"), s"expected the " +
-      s"accumulation warning naming the release mechanisms, got: $warned")
-    (1 to 4).foreach(i =>
-      TextDedup.minHashBandedKeys(benign(100 + i), "doc_id", "text")
-        .unpersist())
-    assertCacheEmpty("all four accumulated guard caches release via handles")
+      s"a releasing loop must never warn (its outstanding count is " +
+        s"always 1): ${quiet.toString}")
+    assertCacheEmpty("the releasing loop leaks nothing")
   }
 
   test("preflightSelf's one-pass accounting equals the general " +

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+/** One-off audit: measure what the round-15 ANN/IVF-cell pair-volume
+  * preflight actually costs on a real corpus — the wall-clock claims in
+  * the `maxPairFactor` scaladoc get measured at the biggest tier
+  * available, the same discipline [[PreflightOverheadProbe]] applied to
+  * the text-blocking guards in rounds 13/14.
+  *
+  * Four shapes, because the IVF guard has two distinct cost postures
+  * (unlike the text families there is NO shared materialization — the
+  * cell frames carry corpus embeddings, so nothing is persisted and
+  * nothing is released; the premium is pure recompute):
+  *
+  *  - `semd` (in-query self): [[SemanticDedup.semanticDupPairs]] at the
+  *    C ≈ √n auto-sizing. The guard's documented cost here is ONE extra
+  *    assignment-and-count pass over the membership frame — the
+  *    worst-case posture, since the k-means scoring re-runs.
+  *  - `semdIdx` (stored cross): [[SemanticDedup.incrementalPairsFromIndex]]
+  *    over a saved semantic index, 10% batch — the production
+  *    repeated-run posture, where the guard's corpus side reads the
+  *    STORED cell-id column at pruned-columnar-scan cost and only the
+  *    small batch is centroid-scored twice.
+  *  - `knnIdx` (loaded self): [[Similarity.knnGraphApprox]] over a
+  *    [[Similarity.loadIvfIndex]]-loaded index — guard side counts are
+  *    pruned scans of the stored `centroid` column.
+  *  - `knnLive` (in-query self): the same build over an in-query
+  *    [[Similarity.ivfIndex]], where `index.vectors` embeds the
+  *    assignment UDF and the guard's aggregation + count re-run it —
+  *    the "scoped-guard cost, deliberate" claim, quantified.
+  *
+  * Run: `sbt "Test/runMain graft.operators.IvfGuardOverheadProbe [dir]"`
+  * — dir defaults to the sf1 tier (generated on demand by the build
+  * gate); pass /root/testdata/sf0.1 for the small tier. Best-of-3 per
+  * form, guarded budget far above the corpus's real cell ratio so both
+  * forms run the identical join to completion.
+  */
+object IvfGuardOverheadProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkSpec.session
+    val dir = args.headOption.getOrElse {
+      require(graft.Sf1Tier.available(spark), "sf1 tier unavailable")
+      graft.Sf1Tier.dir
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    println(s"corpus: ${emb.count()} vectors @ $dir")
+    def time(label: String)(body: => Long): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val best = runs.map(_._1).min
+      println(f"$label%-16s best-of-3 $best%.2f s  (rows ${runs.head._2})")
+      best
+    }
+    // a budget no healthy-or-clustered corpus reaches (the probe measures
+    // overhead, not calibration — both forms must run the same join)
+    val generous = Some(1e6)
+
+    val semdU = time("semd unguarded") {
+      SemanticDedup.semanticDupPairs(emb, "vec_id", "embedding",
+        nClusters = 0, threshold = 0.85).count()
+    }
+    val semdG = time("semd guarded") {
+      SemanticDedup.semanticDupPairs(emb, "vec_id", "embedding",
+        nClusters = 0, threshold = 0.85, maxPairFactor = generous).count()
+    }
+
+    // stored-index setup (untimed): the repeated-run production posture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-probe")
+      .toString
+    SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
+      nClusters = 0, assignProbes = 2, path = s"$tmp/sem")
+    val semC = spark.read.parquet(s"$tmp/sem/centroids")
+    val semM = spark.read.parquet(s"$tmp/sem/members")
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val idxU = time("semdIdx unguarded") {
+      SemanticDedup.incrementalPairsFromIndex(semC, semM, batch,
+        "vec_id", "embedding", threshold = 0.85, assignProbes = 2).count()
+    }
+    val idxG = time("semdIdx guarded") {
+      SemanticDedup.incrementalPairsFromIndex(semC, semM, batch,
+        "vec_id", "embedding", threshold = 0.85, assignProbes = 2,
+        maxPairFactor = generous).count()
+    }
+
+    val live = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = Similarity.ivfSizing(emb.count()))
+    Similarity.saveIvfIndex(live, s"$tmp/ivf")
+    val loaded = Similarity.loadIvfIndex(
+      spark.read.parquet(s"$tmp/ivf/centroids"),
+      spark.read.parquet(s"$tmp/ivf/vectors"))
+    val knnIU = time("knnIdx unguarded") {
+      Similarity.knnGraphApprox(loaded, k = 5, nProbe = 2).count()
+    }
+    val knnIG = time("knnIdx guarded") {
+      Similarity.knnGraphApprox(loaded, k = 5, nProbe = 2,
+        maxPairFactor = generous).count()
+    }
+    val knnLU = time("knnLive unguarded") {
+      Similarity.knnGraphApprox(live, k = 5, nProbe = 2).count()
+    }
+    val knnLG = time("knnLive guarded") {
+      Similarity.knnGraphApprox(live, k = 5, nProbe = 2,
+        maxPairFactor = generous).count()
+    }
+    println(f"premium: semd ${semdG / semdU}%.2fx  " +
+      f"semdIdx ${idxG / idxU}%.2fx  knnIdx ${knnIG / knnIU}%.2fx  " +
+      f"knnLive ${knnLG / knnLU}%.2fx")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    spark.stop()
+  }
+}
