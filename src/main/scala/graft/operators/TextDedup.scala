@@ -414,9 +414,15 @@ object TextDedup {
     * just slower), the wrapper REJECTS a `Dataset`-typed body result
     * with `IllegalArgumentException` instead of documenting the rule
     * away (the lgK-floor/double-product pattern: close the foot-gun in
-    * code). A caller that genuinely wants the lazy frame to outlive
-    * the caches should not use the loan wrapper — hold the handles and
-    * release them after consuming, per the `maxPairFactor` contract.
+    * code). The check traverses SHALLOW containers — tuples/case
+    * classes (`Product`), `Iterable`s, and arrays — so `(count, df)`
+    * or `Some(df)` cannot smuggle the lazy frame out either; it does
+    * NOT chase arbitrary object graphs (a `Dataset` hidden in a custom
+    * class field passes — at that point the caller is working to
+    * defeat the guard rail, not tripping over it). A caller that
+    * genuinely wants the lazy frame to outlive the caches should not
+    * use the loan wrapper — hold the handles and release them after
+    * consuming, per the `maxPairFactor` contract.
     *
     * {{{
     * TextDedup.releasingGuardCaches(
@@ -429,15 +435,31 @@ object TextDedup {
   def releasingGuardCaches[T](handles: DataFrame*)(body: => T): T =
     try {
       val result = body
-      require(!result.isInstanceOf[Dataset[_]],
-        "releasingGuardCaches body returned a lazy Dataset: the wrapper " +
-          "releases the guard caches on exit, so the deferred plan would " +
-          "silently re-derive its banding from scratch — consume the " +
-          "result inside the body (count/collect/write) and return the " +
+      require(!containsLazyDataset(result),
+        "releasingGuardCaches body returned a lazy Dataset (directly or " +
+          "inside a tuple/Option/collection): the wrapper releases the " +
+          "guard caches on exit, so the deferred plan would silently " +
+          "re-derive its banding from scratch — consume the result " +
+          "inside the body (count/collect/write) and return the " +
           "consumed value, or skip the wrapper and release the " +
           "banded-keys handles yourself after the action")
       result
     } finally handles.foreach(_.unpersist(false))
+
+  /** Shallow container traversal for the consume-contract check: finds a
+    * `Dataset` at the top level or inside tuples/case classes,
+    * `Iterable`s, and arrays. `Row` is exempt — a collected `Row` is
+    * CONSUMED data (and `Row` is a `Product`, so without the exemption a
+    * `collect()`ed result would be walked field-by-field for nothing).
+    */
+  private def containsLazyDataset(x: Any): Boolean = x match {
+    case _: Dataset[_] => true
+    case _: org.apache.spark.sql.Row => false
+    case p: Product => p.productIterator.exists(containsLazyDataset)
+    case i: Iterable[_] => i.exists(containsLazyDataset)
+    case a: Array[_] => a.exists(containsLazyDataset)
+    case _ => false
+  }
 
   /** INCREMENTAL near-dup scan: a NEW batch against an EXISTING corpus via
     * banded MinHash — the ingest-time shape of [[minHashLshPairs]]. Only

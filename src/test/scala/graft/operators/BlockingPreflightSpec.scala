@@ -255,6 +255,27 @@ class BlockingPreflightSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("returned a lazy Dataset"), e.getMessage)
     assertCacheEmpty("the rejecting wrapper must still release the cache")
+    // the container smuggle: (count, df) and Some(df) are the same
+    // misuse one tuple deeper — the shallow traversal catches both
+    val e2 = intercept[IllegalArgumentException] {
+      TextDedup.releasingGuardCaches(
+          TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+        val df = TextDedup.minHashLshPairs(batch, "doc_id", "text",
+          maxPairFactor = Some(4.0))
+        (df.count(), df)
+      }
+    }
+    assert(e2.getMessage.contains("inside a tuple"), e2.getMessage)
+    assertCacheEmpty("the tuple-rejecting wrapper still releases")
+    val e3 = intercept[IllegalArgumentException] {
+      TextDedup.releasingGuardCaches(
+          TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+        Some(TextDedup.minHashLshPairs(batch, "doc_id", "text",
+          maxPairFactor = Some(4.0)))
+      }
+    }
+    assert(e3.getMessage.contains("lazy Dataset"), e3.getMessage)
+    assertCacheEmpty("the Option-rejecting wrapper still releases")
     // non-Dataset results pass through unchanged (the documented use)
     val n = TextDedup.releasingGuardCaches(
         TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
@@ -263,6 +284,15 @@ class BlockingPreflightSpec extends SparkSpec {
     }
     assert(n == TextDedup.minHashLshPairs(batch, "doc_id", "text").count())
     assertCacheEmpty("the passing wrapper releases as before")
+    // a collect()ed Array[Row] is CONSUMED data — the Row exemption
+    // keeps the check from rejecting (or pointlessly walking) real use
+    val rows = TextDedup.releasingGuardCaches(
+        TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
+      TextDedup.minHashLshPairs(batch, "doc_id", "text",
+        maxPairFactor = Some(4.0)).collect()
+    }
+    assert(rows.length.toLong == n)
+    assertCacheEmpty("collected rows pass the consume check")
   }
 
   test("guard-cache accumulation past the threshold warns on stderr " +
