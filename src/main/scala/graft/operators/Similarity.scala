@@ -437,15 +437,39 @@ object Similarity {
   private def assign(vecs: DataFrame, centroids: Array[Array[Double]],
                      p: Int): DataFrame = {
     val cm = centroids
-    val assignUdf = udf { (v: Seq[Double]) =>
-      val dists = Array.tabulate(cm.length) { ci =>
+    // Hot-loop shape (round 15, IvfGuardOverheadProbe-measured): this UDF
+    // is the dominant per-row cost of every IVF family, so its inner loop
+    // must be allocation-free primitive math. The parameter is
+    // Array[Double] — Spark deserializes ArrayType(DOUBLE) to a primitive
+    // array with one bulk toDoubleArray, where a Seq[Double] parameter
+    // pays a virtual apply() per ELEMENT inside the C·dim distance loop.
+    // Top-p selection is an insertion into two p-length arrays instead of
+    // the previous build-C-tuples + full sortBy: ordering is (distance,
+    // index) ascending exactly as the sort had it — the strict `<` at the
+    // boundary and strict `>` in the shift keep the earlier centroid on
+    // equal distance, and ascending ci iteration preserves index order
+    // among ties, so outputs are bit-identical to the sorted form
+    // (equivalence frozen in SimilaritySpec's recall/parity tests and the
+    // oracle catalog).
+    val assignUdf = udf { (v: Array[Double]) =>
+      val bestD = Array.fill(p)(Double.MaxValue)
+      val bestI = Array.fill(p)(-1)
+      var ci = 0
+      while (ci < cm.length) {
         val c = cm(ci)
         var d = 0.0
         var i = 0
         while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
-        (d, ci)
+        if (d < bestD(p - 1)) {
+          var j = p - 1
+          while (j > 0 && bestD(j - 1) > d) {
+            bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+          }
+          bestD(j) = d; bestI(j) = ci
+        }
+        ci += 1
       }
-      dists.sortBy(identity).take(p).map(_._2)
+      bestI
     }.asNonNullable()
     val probes = (0 until p).map(i =>
       coalesce(element_at(col("_probes"), i + 1), lit(-1)).as(s"c$i"))
