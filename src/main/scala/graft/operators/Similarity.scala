@@ -450,7 +450,14 @@ object Similarity {
     // equal distance, and ascending ci iteration preserves index order
     // among ties, so outputs are bit-identical to the sorted form
     // (equivalence frozen in SimilaritySpec's recall/parity tests and the
-    // oracle catalog).
+    // oracle catalog). One deliberate divergence in a poisoned-input
+    // corner: a NaN distance compares false against every bound, so a
+    // vector whose EVERY distance is non-finite (NaN coordinates) now
+    // emits the -1 sentinel for its unfilled probes where the old full
+    // sort (java Double ordering, NaN last) handed it centroids 0..p-1 —
+    // strictly better, since a poisoned vector lands in the sentinel cell
+    // instead of silently crowding cell 0. Mixed finite/NaN distances
+    // select identically (the sort also placed NaNs last).
     val assignUdf = udf { (v: Array[Double]) =>
       val bestD = Array.fill(p)(Double.MaxValue)
       val bestI = Array.fill(p)(-1)
