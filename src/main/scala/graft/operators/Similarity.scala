@@ -331,8 +331,11 @@ object Similarity {
     * production jobs size from a cheap `count()` instead of hard-coding
     * a cell count that silently re-creates the quadratic as the corpus
     * grows. Floor 16 keeps tiny corpora from degenerate 1-2 cell
-    * layouts; k-means training cost is bounded by the sample size
-    * either way.
+    * layouts. The rule stays TRAINABLE at any n: the index build floors
+    * its k-means sample at 4·C (see [[ivfIndexAndMembers]]), so a
+    * C = √(1e9) ≈ 3.2·10^4 auto-size trains on a ~126k-point sample in
+    * driver memory instead of crashing the fixed-sample trainer — the
+    * pre-round-15 behavior past n ≈ 1e8.
     */
   def ivfSizing(corpusRows: Long): Int =
     math.max(16, math.ceil(math.sqrt(corpusRows.toDouble)).toInt)
@@ -359,13 +362,29 @@ object Similarity {
                          sampleSize: Int = 10000): (IvfIndex, DataFrame) = {
     require(probes >= 1, s"probes must be >= 1: $probes")
     val c = withNorm(df, idCol, vecCol)
+    // SELF-CONSISTENT sample sizing (round 15): the C ≈ √n auto-size rule
+    // outgrows a fixed sample — at n > 1e8 rows, ivfSizing asks for more
+    // centroids than the 10k default sample HAS points, and trainKMeans's
+    // require turned the advertised production path into a cryptic crash
+    // (quality had already degraded below ~10 points/centroid past n ≈
+    // 1e6). The sample now floors at 4·C — training stays DEFINED at any
+    // corpus size the caller's C implies; at every catalog/spec scale
+    // (C ≤ a few hundred) the floor is inactive and the sample, the
+    // trained centroids, and every downstream hash are byte-identical to
+    // the fixed-10k form. 4 points/cell is the definedness floor, not a
+    // quality target: callers wanting FAISS-grade training pass
+    // sampleSize ≈ 30–40 · C explicitly. Driver budget at the floor:
+    // memory 4·C·dim·8 B (C = 10^5, dim 64 → ~205 MB), flops
+    // iters·4C·C·dim across all driver cores (the trainer's assignment
+    // step parallelizes; see trainKMeans).
+    val effectiveSample = math.max(sampleSize, 4 * nCentroids)
     // deterministic sample: un-ordered limit() picks whichever partitions
     // answer first, so the trained centroids (and every IVF result) would
     // vary run to run; ordering by a hash of the id is a seeded uniform
     // draw with a stable outcome
     val sample = c.select(col("v"), col("vid"))
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
-      .limit(sampleSize).select("v").collect()
+      .limit(effectiveSample).select("v").collect()
       .map(r => r.getSeq[Double](0).toArray)
     val centroids = trainKMeans(sample, nCentroids, iters = 10, seed = seed)
     val assigned = assign(c, centroids, probes)
@@ -394,22 +413,42 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     var centroids: Array[Array[Double]] =
       rnd.shuffle(points.indices.toVector).take(k).map(i => points(i).clone).toArray
+    // Per-iteration split (round 15): the O(|sample|·k·dim) ASSIGNMENT is
+    // pure per-point work, so it runs data-parallel across driver cores
+    // (IntStream.parallel writing each point's winner to its own slot —
+    // deterministic regardless of scheduling); the SUMMATION then
+    // accumulates sequentially in point order, so double-addition order —
+    // and therefore every trained centroid — is BIT-IDENTICAL to the old
+    // single-threaded loop (the semd-family oracles pin exact pair sets,
+    // so training must not drift). This is what makes the 4·C sample
+    // floor above affordable: at C = √(1e9) ≈ 3.2·10^4 the assignment is
+    // ~2.5e12 flops — an hour single-threaded, minutes across cores.
+    val best = new Array[Int](points.length)
     for (_ <- 0 until iters) {
+      val cents = centroids
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach { pi =>
+          val p = points(pi)
+          var b = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < k) {
+            val cc = cents(ci)
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = p(i) - cc(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; b = ci }
+            ci += 1
+          }
+          best(pi) = b
+        }
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      points.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        var ci = 0
-        while (ci < k) {
-          val cc = centroids(ci)
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = p(i) - cc(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = ci }
-          ci += 1
-        }
-        val s = sums(best); var i = 0
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi); val s = sums(best(pi))
+        var i = 0
         while (i < dim) { s(i) += p(i); i += 1 }
-        counts(best) += 1
+        counts(best(pi)) += 1
+        pi += 1
       }
       centroids = Array.tabulate(k) { ci =>
         if (counts(ci) == 0) centroids(ci) // empty cluster keeps its centroid

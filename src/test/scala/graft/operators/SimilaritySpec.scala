@@ -167,4 +167,27 @@ class SimilaritySpec extends SparkSpec {
       .centroids.map(_.toSeq).toSeq
     assert(c1 == c2)
   }
+
+  test("the training sample floors at 4·C: asking for more centroids " +
+    "than the sample has points trains instead of crashing (the n > 1e8 " +
+    "auto-size regression, exercised cheaply via a tiny sampleSize)") {
+    // pre-round-15: sampleSize=50 < nCentroids=100 hit trainKMeans's
+    // `points.length >= k` require — the exact failure the C ≈ √n
+    // auto-size rule produced past n ≈ 1e8 rows with the default sample
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 100, sampleSize = 50)
+    assert(idx.centroids.length == 100)
+    // and the built index is usable end-to-end
+    val hits = Similarity.ivfTopK(idx,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 2,
+      nProbe = 4)
+    assert(hits.count() > 0)
+    // a corpus genuinely smaller than C still fails loudly (the sample
+    // cannot be raised past the corpus)
+    val tiny = emb.limit(20)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(tiny, "vec_id", "embedding", nCentroids = 100)
+    }
+    assert(e.getMessage.contains("k-means needs at least"), e.getMessage)
+  }
 }
