@@ -374,7 +374,12 @@ object Similarity {
     // the fixed-10k form. 4 points/cell is the definedness floor, not a
     // quality target: callers wanting FAISS-grade training pass
     // sampleSize ≈ 30–40 · C explicitly. Driver budget at the floor:
-    // memory 4·C·dim·8 B (C = 10^5, dim 64 → ~205 MB), flops
+    // memory 4·C·dim·8 B of primitive arrays (C = 10^5, dim 64 →
+    // ~205 MB) — real because the typed collect below deserializes each
+    // row straight to a primitive Array[Double] (one bulk toDoubleArray);
+    // the earlier Row-collect held a boxed Seq[Double] per row first,
+    // a transient 3-5× of the primitive estimate at exactly the large-C
+    // floor this sizing exists for (review-caught). Flops:
     // iters·4C·C·dim across all driver cores (the trainer's assignment
     // step parallelizes; see trainKMeans).
     val effectiveSample = math.max(sampleSize, 4 * nCentroids)
@@ -382,10 +387,11 @@ object Similarity {
     // answer first, so the trained centroids (and every IVF result) would
     // vary run to run; ordering by a hash of the id is a seeded uniform
     // draw with a stable outcome
+    val sp = df.sparkSession
+    import sp.implicits._
     val sample = c.select(col("v"), col("vid"))
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
-      .limit(effectiveSample).select("v").collect()
-      .map(r => r.getSeq[Double](0).toArray)
+      .limit(effectiveSample).select("v").as[Array[Double]].collect()
     val centroids = trainKMeans(sample, nCentroids, iters = 10, seed = seed)
     val assigned = assign(c, centroids, probes)
     val index = IvfIndex(assigned.select(
@@ -405,8 +411,9 @@ object Similarity {
     * need distributed training — recall is governed by nProbe, and only
     * the centroid matrix leaves the driver.
     */
-  private def trainKMeans(points: Array[Array[Double]], k: Int,
-                          iters: Int, seed: Long): Array[Array[Double]] = {
+  private[operators] def trainKMeans(points: Array[Array[Double]], k: Int,
+                                     iters: Int, seed: Long)
+      : Array[Array[Double]] = {
     require(points.length >= k,
       s"k-means needs at least k=$k sample vectors, got ${points.length}")
     val dim = points.head.length
@@ -501,13 +508,25 @@ object Similarity {
     // among ties, so outputs are bit-identical to the sorted form
     // (equivalence frozen in SimilaritySpec's recall/parity tests and the
     // oracle catalog). One deliberate divergence in a poisoned-input
-    // corner: a NaN distance compares false against every bound, so a
-    // vector whose EVERY distance is non-finite (NaN coordinates) now
-    // emits the -1 sentinel for its unfilled probes where the old full
-    // sort (java Double ordering, NaN last) handed it centroids 0..p-1 —
-    // strictly better, since a poisoned vector lands in the sentinel cell
-    // instead of silently crowding cell 0. Mixed finite/NaN distances
-    // select identically (the sort also placed NaNs last).
+    // corner — NON-FINITE distances, both flavors: a NaN distance
+    // (NaN coordinates) compares false against every bound, and a
+    // +Infinity distance (finite coordinates of extreme magnitude whose
+    // squared distance overflows past ~1.3e154) never passes
+    // `d < bestD(p-1)` against the Double.MaxValue init — so a vector
+    // whose EVERY distance is non-finite now emits the -1 sentinel for
+    // its unfilled probes, where the old full sort handed the all-NaN
+    // vector centroids 0..p-1 (java Double ordering, NaN last) and the
+    // all-Infinity vector the first p centroid ids (all +Inf tie, index
+    // order). Strictly better in both flavors: a poisoned vector lands
+    // in the sentinel cell — where it can still meet OTHER poisoned
+    // vectors in the probe joins (probe -1 = home cell -1), a readable
+    // quarantine — instead of silently crowding cell 0 and inflating
+    // its candidate volume. Selection among FINITE distances is
+    // identical to the sort (it also placed Inf/NaN after every finite
+    // distance); the divergence is confined to probe slots no finite
+    // centroid fills — those emit -1 where the sort padded with
+    // centroids whose distance was Inf/NaN — pinned in SimilaritySpec's
+    // non-finite assignment test.
     val assignUdf = udf { (v: Array[Double]) =>
       val cm = bc.value
       val bestD = Array.fill(p)(Double.MaxValue)
@@ -535,12 +554,40 @@ object Similarity {
       .select(col("vid") +: col("v") +: col("nrm") +: probes: _*)
   }
 
+  /** Conservative budget for broadcasting [[ivfScored]]'s exploded query
+    * side: estimated payload (query rows × nProbe × (dim doubles + key/
+    * row overhead)) at or under this broadcasts; over it takes the
+    * shuffled equi-join. 64 MiB — comfortably inside a default executor's
+    * memory with the usual multi-task headroom, far above every bounded
+    * query slice the catalog or a top-k caller ships (a 100k-query batch
+    * at dim 64, nProbe 2 is ~7 MiB), and far below the corpus-as-queries
+    * shapes that must never broadcast. `private[graft]` so the plan spec
+    * pins the routing against the same constant the route reads.
+    */
+  private[graft] val QueryBroadcastBudgetBytes: Long = 64L << 20
+
   /** Shared IVF probe stage: every (query, probed-bucket vector) pair with
-    * its raw-double cosine — queries broadcast with their probe lists, the
-    * corpus never shuffles, and a corpus vector meets a query at most once
+    * its raw-double cosine — a corpus vector meets a query at most once
     * (it lives in exactly one centroid bucket). [[ivfTopK]] ranks this;
     * [[contrastivePairs]]'s IVF negative path filters it by threshold
-    * first — same scan, different consumers.
+    * first — same scan, different consumers. Returns the scored frame
+    * plus whether the query side was broadcast, so ranking consumers can
+    * pick the shape-matched top-k scheme.
+    *
+    * JOIN ROUTING (round 16 — this was the one API-level scale-killer
+    * left): the query side used to carry an UNCONDITIONAL broadcast
+    * hint — right for the bounded query slices every catalog entry
+    * ships, fatal when a caller's query side is corpus-sized (batch
+    * inference: 10M queries × dim 64 ≈ 5 GB after the nProbe explode —
+    * executor OOM from the hint, while the frame-identical equi-join in
+    * [[knnGraphApprox]] handles the same shape with one int-key shuffle
+    * per side). The route is now SIZED: `broadcastQueries` forces either
+    * shape; `None` (default) estimates the exploded payload from one
+    * `count()` of the query side — a driver-cheap aggregation the guard
+    * path already shares via the same lazy count — and broadcasts only
+    * at or under [[QueryBroadcastBudgetBytes]]. Results are
+    * hash-identical either way (same join predicate, same cosine;
+    * pinned in `IvfRoutePlanSpec`); only the physical exchange differs.
     *
     * `maxPairFactor` (opt-in, default `None`) runs the cross pair-volume
     * preflight over the exact blocking key this join scans on — probe id
@@ -549,18 +596,30 @@ object Similarity {
   private def ivfScored(index: IvfIndex, queries: DataFrame, idCol: String,
                         vecCol: String, nProbe: Int,
                         maxPairFactor: Option[Double] = None,
-                        op: String = ""): DataFrame = {
+                        op: String = "",
+                        broadcastQueries: Option[Boolean] = None)
+      : (DataFrame, Boolean) = {
     val q0 = withNorm(queries, idCol, vecCol)
     val q = assign(q0, index.centroids, nProbe)
       .select(col("vid").as("qid"), col("v").as("qv"),
         explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
           .as("probe"))
-    guardIvfCells(q, index, maxPairFactor,
-      refRows = queries.count() * nProbe, op)
-    index.vectors
-      .join(broadcast(q),
+    // one count serves both the auto-route and the guard's refRows; lazy
+    // so a forced route with the guard off pays neither
+    lazy val qRows = queries.count()
+    guardIvfCells(q, index, maxPairFactor, refRows = qRows * nProbe, op)
+    val viaBroadcast = broadcastQueries.getOrElse {
+      // per exploded row: dim doubles (the query vector, duplicated per
+      // probe in the hashed relation) + qid/nrm/probe + array header —
+      // a deliberate overestimate, erring toward the shuffle
+      val bytesPerRow = index.centroids.head.length * 8L + 64L
+      qRows * nProbe * bytesPerRow <= QueryBroadcastBudgetBytes
+    }
+    val scored = index.vectors
+      .join(if (viaBroadcast) broadcast(q) else q,
         col("centroid") === col("probe") && col("vid") =!= col("qid"))
       .withColumn("cosine", cosine(col("v"), col("qv")))
+    (scored, viaBroadcast)
   }
 
   /** The IVF families' pair-volume preflight ([[BlockingBudget.preflight]]
@@ -619,35 +678,62 @@ object Similarity {
     * centroid partitions only; within the probed buckets ranking is exact.
     * Scanned-vector count drops from n to ~n·nProbe/nCentroids.
     *
+    * The probe join routes by query-side size (see [[ivfScored]]): a
+    * bounded query slice broadcasts and the corpus never shuffles — the
+    * plan every catalog entry keeps, byte-identical to the pre-gate form;
+    * a corpus-scale query side (batch inference) takes the shuffled
+    * equi-join, and the ranking adds [[knnGraphApprox]]'s two-stage
+    * top-k on that path only — the join output is already
+    * hash-partitioned by the probe key, so the per-(bucket, query)
+    * partial window is exchange-free and only ≤ nProbe·k survivors per
+    * query shuffle to the final per-query window (lossless: a global
+    * winner must win its own bucket).
+    *
     * @param maxPairFactor opt-in cell pair-volume preflight
     *   ([[guardIvfCells]]): fail fast, hottest cells named, when a
     *   degenerate embedding space crowds the probe join. Default `None`:
-    *   no extra work, plan byte-identical.
+    *   no extra work beyond the route's one query-side count.
+    * @param broadcastQueries force the probe join's query side on
+    *   (`Some(true)`) or off (`Some(false)`) the broadcast; `None`
+    *   (default) sizes it against [[QueryBroadcastBudgetBytes]].
+    *   Results are hash-identical either way.
     */
   def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nProbe: Int,
-              maxPairFactor: Option[Double] = None): DataFrame =
-    ivfScored(index, queries, idCol, vecCol, nProbe, maxPairFactor,
-      "ivfTopK")
+              maxPairFactor: Option[Double] = None,
+              broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val (scored, viaBroadcast) = ivfScored(index, queries, idCol, vecCol,
+      nProbe, maxPairFactor, "ivfTopK", broadcastQueries)
+    val ranked =
+      if (viaBroadcast) scored
+      else scored
+        .withColumn("lr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe"), col("qid"))
+            .orderBy(col("cosine").desc, col("vid"))))
+        .filter(col("lr") <= k)
+    ranked
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vid").as("neighbor"), col("rank"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
+  }
 
   /** APPROXIMATE k-NN graph — the scale path for [[knnGraph]], whose
     * exact triangle join is O(n²) by contract. Semantics: every corpus
     * vector is a query into the IVF index ([[ivfTopK]] with
     * queries = corpus), so per-node results are frame-identical to what
-    * `ivfTopK(index, corpus, …)` would return — but the SHAPE differs
-    * where it matters at 100 TB: `ivfTopK` BROADCASTS its query side
-    * (right for a bounded query slice, fatal when the query side is the
-    * corpus itself), while the graph build is an EQUI-JOIN on the
-    * centroid id — each vector's `nProbe` probe memberships against each
-    * vector's single home bucket. Both sides shuffle once on a small int
-    * key; nothing is collected or broadcast beyond the centroid matrix
-    * (KB-class, in the assign-UDF closure).
+    * `ivfTopK(index, corpus, …)` would return — and since round 16
+    * `ivfTopK` itself ROUTES to this build's join shape past the
+    * query-side broadcast budget (see [[ivfScored]]): the graph build is
+    * the EQUI-JOIN form stated directly — each vector's `nProbe` probe
+    * memberships against each vector's single home bucket, both sides
+    * shuffled once on a small int key, nothing collected or broadcast
+    * beyond the centroid matrix (KB-class, explicit broadcast). This
+    * entry point skips the route's query-side count: queries = corpus
+    * by construction, never broadcastable.
     *
     * Candidate volume is Σ_c |probe-members(c)|·|home(c)| ≈
     * n²·nProbe/C for C centroids — sub-quadratic by the C knob: size
@@ -770,9 +856,10 @@ object Similarity {
   def ivfTopKFromIndex(centroidsDf: DataFrame, vectorsDf: DataFrame,
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nProbe: Int,
-                       maxPairFactor: Option[Double] = None): DataFrame =
+                       maxPairFactor: Option[Double] = None,
+                       broadcastQueries: Option[Boolean] = None): DataFrame =
     ivfTopK(loadIvfIndex(centroidsDf, vectorsDf), queries, idCol, vecCol,
-      k, nProbe, maxPairFactor)
+      k, nProbe, maxPairFactor, broadcastQueries)
 
   /** CONTRASTIVE training-pair assembly — the pair-mining step of an
     * embedding-model pipeline, composed from the two similarity families:
@@ -821,12 +908,12 @@ object Similarity {
       case NegativesIvf(nCentroids, nProbe, seed, maxPairFactor) =>
         val index = ivfIndex(df, idCol, vecCol, nCentroids, seed)
         ivfScored(index, anchors, idCol, vecCol, nProbe, maxPairFactor,
-          "contrastivePairs")
+          "contrastivePairs")._1
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
       case NegativesFromIndex(centroidsDf, vectorsDf, nProbe, maxPairFactor) =>
         ivfScored(loadIvfIndex(centroidsDf, vectorsDf), anchors, idCol,
-          vecCol, nProbe, maxPairFactor, "contrastivePairs")
+          vecCol, nProbe, maxPairFactor, "contrastivePairs")._1
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
     }

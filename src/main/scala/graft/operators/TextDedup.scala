@@ -354,33 +354,51 @@ object TextDedup {
     * the OUTSTANDING guard caches reach [[GuardCacheWarnEntries]], naming
     * the release mechanisms.
     *
-    * The registry counts GUARD caches only, keyed by canonicalized plan
-    * (re-guarding the same input reuses one CacheManager entry, so the
-    * registry must too), and prunes released entries via
-    * `Dataset.storageLevel` — a public lookup that consults the
-    * CacheManager, so EVERY release path (handle `unpersist`, the loan
-    * wrapper, `clearCache`) empties it. The first cut counted the whole
-    * session's persistent RDDs instead, which false-alarmed after ONE
-    * guarded call whenever unrelated deliberate persists (il2's bloom
-    * gate, a user's own caches, a parallel test suite) were live —
-    * review-caught: a leak warning that cries wolf on a healthy session
-    * trains callers to ignore the one real signal it exists to give.
+    * The registry counts GUARD caches only, keyed by (session identity,
+    * canonicalized plan) — the plan alone would merge two SESSIONS
+    * guarding structurally identical inputs into one entry (cache
+    * entries are per-session state, so that merge undercounts; the
+    * identity hash is the public, cast-free session discriminator — a
+    * warn-only counter tolerates its theoretical collisions). Re-guarding
+    * the same input IN one session reuses one CacheManager entry, so the
+    * registry must too. Entries hold the frame by WEAK reference: the
+    * registry prunes on the NEXT guarded call, so a strong ref would pin
+    * a released frame (plan, session and all) for arbitrarily long in a
+    * process that stops issuing guarded calls — the registry is an
+    * observer, never the thing keeping a dead frame alive. A cleared
+    * referent counts as released: if the cache were still live, the
+    * guard's own returned join (or the caller's handle) would still
+    * reach the frame. Live entries prune via `Dataset.storageLevel` — a
+    * public lookup that consults the CacheManager, so EVERY release path
+    * (handle `unpersist`, the loan wrapper, `clearCache`) empties it.
+    * The first cut counted the whole session's persistent RDDs instead,
+    * which false-alarmed after ONE guarded call whenever unrelated
+    * deliberate persists (il2's bloom gate, a user's own caches, a
+    * parallel test suite) were live — review-caught: a leak warning that
+    * cries wolf on a healthy session trains callers to ignore the one
+    * real signal it exists to give.
     */
   private val GuardCacheWarnEntries = 4
 
   private val guardCaches = scala.collection.mutable.LinkedHashMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      java.lang.ref.WeakReference[DataFrame]]
 
   private def warnIfGuardCachesAccumulate(op: String,
                                           dfs: DataFrame*): Unit = {
     val n = guardCaches.synchronized {
-      // Try guards a registry entry whose session has since stopped (its
-      // CacheManager lookup would throw) — a dead session holds no cache
-      guardCaches.filterInPlace((_, d) => scala.util.Try(
-        d.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        .getOrElse(false))
-      dfs.foreach(df =>
-        guardCaches.update(df.queryExecution.analyzed.canonicalized, df))
+      // cleared referent = released (see scaladoc); Try guards an entry
+      // whose session has since stopped (its CacheManager lookup would
+      // throw) — a dead session holds no cache
+      guardCaches.filterInPlace { (_, ref) =>
+        Option(ref.get).exists(d => scala.util.Try(
+          d.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          .getOrElse(false))
+      }
+      dfs.foreach(df => guardCaches.update(
+        (System.identityHashCode(df.sparkSession),
+          df.queryExecution.analyzed.canonicalized),
+        new java.lang.ref.WeakReference(df)))
       guardCaches.size
     }
     if (n >= GuardCacheWarnEntries)
@@ -436,13 +454,15 @@ object TextDedup {
     try {
       val result = body
       require(!containsLazyDataset(result),
-        "releasingGuardCaches body returned a lazy Dataset (directly or " +
-          "inside a tuple/Option/collection): the wrapper releases the " +
-          "guard caches on exit, so the deferred plan would silently " +
-          "re-derive its banding from scratch — consume the result " +
-          "inside the body (count/collect/write) and return the " +
-          "consumed value, or skip the wrapper and release the " +
-          "banded-keys handles yourself after the action")
+        "releasingGuardCaches body returned a lazy Dataset or a deferred " +
+          "producer that could hide one (an Iterator — toLocalIterator " +
+          "included — a view, or a LazyList/Stream, directly or inside " +
+          "a tuple/Option/collection): the wrapper releases the guard " +
+          "caches on exit, so a deferred plan would silently re-derive " +
+          "its banding from scratch — consume the result inside the " +
+          "body (count/collect/write) and return the consumed value, " +
+          "or skip the wrapper and release the banded-keys handles " +
+          "yourself after the action")
       result
     } finally handles.foreach(_.unpersist(false))
 
@@ -451,10 +471,31 @@ object TextDedup {
     * `Iterable`s, and arrays. `Row` is exempt — a collected `Row` is
     * CONSUMED data (and `Row` is a `Product`, so without the exemption a
     * `collect()`ed result would be walked field-by-field for nothing).
+    *
+    * DEFERRED PRODUCERS are rejected WITHOUT traversal, for two reasons:
+    * (a) `df.toLocalIterator()` (a `java.util.Iterator`, not an
+    * `Iterable`) defers one Spark job PER PARTITION past the cache
+    * release — the one accidental lazy escape a caller reaches for in
+    * good faith, and it carries no `Dataset` for traversal to find;
+    * (b) traversing a `LazyList`/view/`Iterator` FORCES it on the driver
+    * inside this require — a lazily-produced body result would be fully
+    * evaluated (or hang, if unbounded) before the caches release, which
+    * is both a surprise cost and exactly the deferred-past-release
+    * execution the contract forbids. A body that legitimately computes
+    * something lazy should materialize it (`toList`) before returning —
+    * eager is what "consumed" means here.
     */
   private def containsLazyDataset(x: Any): Boolean = x match {
     case _: Dataset[_] => true
     case _: org.apache.spark.sql.Row => false
+    // deferred producers: reject unconditionally, never traverse (order
+    // matters — LazyList/Stream/views are Iterables, so these cases must
+    // precede the Iterable walk)
+    case _: Iterator[_] => true
+    case _: java.util.Iterator[_] => true
+    case _: scala.collection.View[_] => true
+    case _: LazyList[_] => true
+    case _: scala.collection.immutable.Stream[_] => true
     case p: Product => p.productIterator.exists(containsLazyDataset)
     case i: Iterable[_] => i.exists(containsLazyDataset)
     case a: Array[_] => a.exists(containsLazyDataset)

@@ -295,6 +295,38 @@ class BlockingPreflightSpec extends SparkSpec {
     assertCacheEmpty("collected rows pass the consume check")
   }
 
+  test("releasingGuardCaches: deferred producers are rejected WITHOUT " +
+    "being forced — toLocalIterator, Iterator, infinite LazyList, view") {
+    spark.catalog.clearCache()
+    val batch = benign(130)
+    def guarded[T](body: => T): T =
+      TextDedup.releasingGuardCaches(
+          TextDedup.minHashBandedKeys(batch, "doc_id", "text")) { body }
+    // toLocalIterator: a java.util.Iterator, not an Iterable — it defers
+    // one Spark job PER PARTITION past the cache release, and carries no
+    // Dataset for the traversal to find; the one accidental lazy escape
+    // the round-15 check missed
+    val e = intercept[IllegalArgumentException] {
+      guarded {
+        TextDedup.minHashLshPairs(batch, "doc_id", "text",
+          maxPairFactor = Some(4.0)).toLocalIterator()
+      }
+    }
+    assert(e.getMessage.contains("toLocalIterator"), e.getMessage)
+    assertCacheEmpty("the iterator-rejecting wrapper still releases")
+    // deferred producers are rejected without traversal: an INFINITE
+    // LazyList proves the check cannot be forcing it (the advice-caught
+    // hazard — i.exists on a lazy collection evaluates it on the driver,
+    // inside the require, before the caches release)
+    intercept[IllegalArgumentException] { guarded { LazyList.from(1) } }
+    intercept[IllegalArgumentException] { guarded { Iterator(1, 2, 3) } }
+    intercept[IllegalArgumentException] { guarded { Seq(1, 2, 3).view } }
+    assertCacheEmpty("deferred-producer rejections still release")
+    // eager collections of consumed data still pass
+    assert(guarded { List(1L, 2L) } == List(1L, 2L))
+    assertCacheEmpty("eager results pass as before")
+  }
+
   test("guard-cache accumulation past the threshold warns on stderr " +
     "naming the release mechanisms; a single guarded call stays silent " +
     "even beside unrelated persists") {

@@ -190,4 +190,27 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("k-means needs at least"), e.getMessage)
   }
+
+  test("non-finite assignment: NaN-coordinate AND overflow-magnitude " +
+    "vectors land in the -1 sentinel cell (quarantine, not cell-0 " +
+    "crowding); finite vectors select real cells") {
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val probeDf = Seq(
+      (1000L, Array.fill(64)(Double.NaN)), // every distance NaN
+      // finite coordinates of extreme magnitude: every squared distance
+      // overflows to +Infinity — the advice-caught second flavor, which
+      // the old full sort padded with real centroid ids in index order
+      (1001L, Array.fill(64)(1e200)),
+      (1002L, Array.fill(64)(0.1))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterAssignments(idx, probeDf, "vec_id",
+        "embedding", probes = 2)
+      .select("vid", "cluster").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out(1000L) == Set(-1), s"all-NaN must quarantine: ${out(1000L)}")
+    assert(out(1001L) == Set(-1),
+      s"all-Infinity must quarantine: ${out(1001L)}")
+    assert(out(1002L).size == 2 && out(1002L).forall(c => c >= 0 && c < 8),
+      s"finite vector must select two real cells: ${out(1002L)}")
+  }
 }

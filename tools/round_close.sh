@@ -32,11 +32,14 @@ python3 tools/check_volatile.py /tmp/round_close_runA.json \
 
 echo "== round_close 3/5: stamped canonical run"
 SPARK_GRAFT_STAMP=1 sbt -batch "runMain graft.Bench" | tail -1
-stamp=$(ls bench_full_r*.json | sort | tail -1)
+# sort -V: lexicographic sort mis-orders round numbers of different
+# digit widths (r9 > r11 > r100), so past round 9 it would stamp-diff
+# the wrong pair; version sort orders r9 < r11 < r100
+stamp=$(ls bench_full_r*.json | sort -V | tail -1)
 echo "stamped: $stamp"
 
 echo "== round_close 4/5: diff vs previous round"
-prev=$(ls bench_full_r*.json | sort | tail -2 | head -1)
+prev=$(ls bench_full_r*.json | sort -V | tail -2 | head -1)
 if [ "$prev" != "$stamp" ]; then
   python3 tools/bench_diff.py "$prev" "$stamp"
 else
