@@ -428,8 +428,18 @@ object Similarity {
     // and therefore every trained centroid — is BIT-IDENTICAL to the old
     // single-threaded loop (the semd-family oracles pin exact pair sets,
     // so training must not drift). This is what makes the 4·C sample
-    // floor above affordable: at C = √(1e9) ≈ 3.2·10^4 the assignment is
-    // ~2.5e12 flops — an hour single-threaded, minutes across cores.
+    // floor above affordable — MEASURED (TrainerScaleProbe, 32-core
+    // driver, dim 64, 10 iters, ~170 GFLOP/s sustained): C = 10^4 floor
+    // sample trains in 5.8 s; C = √(1e9) ≈ 3.2·10^4 — the auto-sizing's
+    // shape at a billion-row corpus — in 61 s; a quality caller's 32·C
+    // sample at C = 10^4 in 52 s, which extrapolates (cost is linear in
+    // sample × C) to ~8 min at C = 3.2·10^4. The practical ceiling of
+    // this DRIVER-LOCAL trainer is around C ≈ 10^5: the floor sample is
+    // still ~10 min there, but a 30–40·C quality sample crosses into
+    // hour-class — a caller needing BOTH that C and that sample quality
+    // should cap C and raise nProbe instead (recall is governed by
+    // nProbe), or accept the one-time build cost against a stored index
+    // ([[saveIvfIndex]]), where it amortizes across every later query.
     val best = new Array[Int](points.length)
     for (_ <- 0 until iters) {
       val cents = centroids

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
   * actually costs on a real corpus — wall-clock claims get measured,
   * at the biggest tier available (the round-12/13 discipline).
   *
-  * Two shapes, because they answer different questions:
+  * Three shapes, because they answer different questions:
   *
   *  - PROBE shape (`lsh …`): the guarded LSH join alone, `count()`ed.
   *    Round 13 measured the guard-SCOPED form here at 5.26 s vs 2.90 s
@@ -24,12 +24,24 @@ import org.apache.spark.sql.functions.col
   *    diluted by work the guard never touches. This is the number the
   *    "production pipelines see proportionally less" claim in
   *    ARCHITECTURE.md quotes.
+  *  - CROSS shape (`xlsh …`): the il1 ingest form, corpus vs 10% batch,
+  *    where the guard persists BOTH sides' banded keys.
+  *
+  * MEASUREMENT PROTOCOL (round 16): one UNTIMED warmup of the unguarded
+  * form, then the two forms ALTERNATE U,G,U,G,U,G per shape and each
+  * takes its min — the [[IvfGuardOverheadProbe.ab]] scheme. The probe's
+  * original sequential best-of-3-then-best-of-3 let the FIRST form
+  * absorb JIT/codegen/page-cache cold start and measure 10-30% slow,
+  * which is exactly the bias SCALE_SF1.md's round-15 re-confirmation
+  * called out ("the sub-1.0 readings are that bias, not a speedup");
+  * the interleave removes it, so the recorded premiums are the guard's,
+  * not the run order's.
   *
   * Run: `sbt "Test/runMain graft.operators.PreflightOverheadProbe [dir]"`
   * — dir defaults to the sf1 tier (generated on demand by the build
-  * gate); pass /root/testdata/sf0.1 for the small tier. Best-of-3 per
-  * form, guarded budget far above the corpus's real pair factor so both
-  * forms run the identical join to completion.
+  * gate); pass /root/testdata/sf0.1 for the small tier. Guarded budget
+  * far above the corpus's real pair factor so both forms run the
+  * identical join to completion.
   */
 object PreflightOverheadProbe {
   def main(args: Array[String]): Unit = {
@@ -41,33 +53,37 @@ object PreflightOverheadProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     println(s"corpus: ${docs.count()} docs @ $dir")
-    def time(label: String)(body: => Long): Double = {
-      val runs = (1 to 3).map { _ =>
+    // A/B interleave (the IvfGuardOverheadProbe.ab pattern): warmup
+    // absorbs cold start untimed, then U,G alternate so neither form
+    // systematically pays the fresher caches
+    def ab(label: String)(u: => Long)(g: => Long): (Double, Double) = {
+      def shot(body: => Long): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = body
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val best = runs.map(_._1).min
-      println(f"$label%-14s best-of-3 $best%.2f s  (rows ${runs.head._2})")
-      best
+      u // untimed warmup
+      val pairs = (1 to 3).map(_ => (shot(u), shot(g)))
+      val (bu, bg) = (pairs.map(_._1._1).min, pairs.map(_._2._1).min)
+      println(f"$label%-6s unguarded $bu%.2f s  guarded $bg%.2f s  " +
+        f"(${bg / bu}%.2fx, rows ${pairs.head._1._2})")
+      (bu, bg)
     }
     def guardHandle = TextDedup.minHashBandedKeys(docs, "doc_id", "text")
 
-    val lshU = time("lsh unguarded") {
+    val (lshU, lshG) = ab("lsh") {
       TextDedup.minHashLshPairs(docs, "doc_id", "text").count()
-    }
-    // release inside the timed body via the loan-pattern wrapper — the
-    // caller's contract, and production pays it
-    val lshG = time("lsh guarded") {
+    } {
+      // release inside the timed body via the loan-pattern wrapper — the
+      // caller's contract, and production pays it
       TextDedup.releasingGuardCaches(guardHandle) {
         TextDedup.minHashLshPairs(docs, "doc_id", "text",
           maxPairFactor = Some(64.0)).count()
       }
     }
-    val curU = time("cur unguarded") {
+    val (curU, curG) = ab("cur") {
       Curation.curate(docs, "doc_id", "text").count()
-    }
-    val curG = time("cur guarded") {
+    } {
       TextDedup.releasingGuardCaches(guardHandle) {
         Curation.curate(docs, "doc_id", "text",
           maxPairFactor = Some(64.0)).count()
@@ -77,10 +93,9 @@ object PreflightOverheadProbe {
     // the guard persists BOTH sides' banded keys; both handles released
     // inside the timed body
     val batch = docs.filter(col("doc_id") % 10 === 0)
-    val xU = time("xlsh unguarded") {
+    val (xU, xG) = ab("xlsh") {
       TextDedup.crossMinHashLshPairs(docs, batch, "doc_id", "text").count()
-    }
-    val xG = time("xlsh guarded") {
+    } {
       TextDedup.releasingGuardCaches(guardHandle,
           TextDedup.minHashBandedKeys(batch, "doc_id", "text")) {
         TextDedup.crossMinHashLshPairs(docs, batch, "doc_id", "text",
