@@ -576,6 +576,22 @@ object Similarity {
     */
   private[graft] val QueryBroadcastBudgetBytes: Long = 64L << 20
 
+  /** The route-gate predicate shared by every sized broadcast in this
+    * family: estimated hashed-relation payload vs the budget.
+    */
+  private def fitsBroadcastBudget(rows: Long, bytesPerRow: Long): Boolean =
+    rows * bytesPerRow <= QueryBroadcastBudgetBytes
+
+  /** `broadcast(df)` iff `rows × bytesPerRow` fits
+    * [[QueryBroadcastBudgetBytes]]; the bare frame otherwise, so an
+    * equi-join consumer shuffles on its key instead of OOMing an
+    * executor. For sides that are spec-bounded IN PRACTICE but not by
+    * construction — the [[ivfScored]] route gate, reusable.
+    */
+  private[graft] def sizedBroadcast(df: DataFrame, rows: Long,
+                                    bytesPerRow: Long): DataFrame =
+    if (fitsBroadcastBudget(rows, bytesPerRow)) broadcast(df) else df
+
   /** Shared IVF probe stage: every (query, probed-bucket vector) pair with
     * its raw-double cosine — a corpus vector meets a query at most once
     * (it lives in exactly one centroid bucket). [[ivfTopK]] ranks this;
@@ -622,8 +638,8 @@ object Similarity {
       // per exploded row: dim doubles (the query vector, duplicated per
       // probe in the hashed relation) + qid/nrm/probe + array header —
       // a deliberate overestimate, erring toward the shuffle
-      val bytesPerRow = index.centroids.head.length * 8L + 64L
-      qRows * nProbe * bytesPerRow <= QueryBroadcastBudgetBytes
+      fitsBroadcastBudget(qRows * nProbe,
+        index.centroids.head.length * 8L + 64L)
     }
     val scored = index.vectors
       .join(if (viaBroadcast) broadcast(q) else q,
@@ -899,7 +915,22 @@ object Similarity {
       : DataFrame = {
     requireCosineThreshold(threshold)
     val pairs = cosineNearDupPairsBanded(df, idCol, vecCol, threshold, dim)
-    val aIds = broadcast(anchors.select(col(idCol).cast("long").as("_cp_aid")))
+    // The positives side semi-joins the banded pair stream against the
+    // anchor IDS — long keys only, so even huge anchor sets broadcast
+    // cheaply, but "cheaply" has an edge too: [[NegativesIvf]] exists
+    // precisely for anchor sets too large to broadcast WITH their
+    // vectors, and a 100M-anchor mining job would ship ~3 GB of hashed
+    // ids to every executor from an unconditional hint. Same cure as
+    // the ivfScored route (round 16): size the hint from one anchor
+    // count (32 B ≈ a hashed long row), shuffle past the budget. The
+    // brute-force negative path's broadcast below is NOT gated — its
+    // join is non-equi (`vid =!= anchor`), where dropping the hint
+    // degrades to a cartesian, and its bounded-anchor contract is the
+    // documented reason NegativesIvf exists.
+    val aRows = anchors.count()
+    val aIds = sizedBroadcast(
+      anchors.select(col(idCol).cast("long").as("_cp_aid")),
+      aRows, bytesPerRow = 32L)
     val posA = pairs.join(aIds, col("id_a") === col("_cp_aid"))
       .select(col("id_a").as("anchor"), col("id_b").as("other"))
     val posB = pairs.join(aIds, col("id_b") === col("_cp_aid"))

@@ -96,6 +96,27 @@ class IvfRoutePlanSpec extends SparkSpec {
       "broadcast and equi-join shapes must return identical rows")
   }
 
+  test("contrastivePairs: the anchor-id broadcast is size-gated the " +
+      "same way (the positives semi-join must not OOM on a corpus-scale " +
+      "anchor set)") {
+    withAutoBroadcastOff {
+      // bounded anchors: both positives joins keep the hint
+      val small = planOf(Similarity.contrastivePairs(emb, "vec_id",
+        "embedding", emb.limit(10), k = 2, threshold = 0.8, dim = 64))
+      assert(small.contains("BroadcastHashJoin"),
+        s"bounded anchor ids must broadcast:\n$small")
+      // 2.2M anchors × 32 B ≈ 70 MB > the 64 MiB budget — the id hint
+      // drops; the only BroadcastHashJoins in this plan are the aIds
+      // joins, so their absence is the routing (the brute-force
+      // negative side is a BroadcastNestedLoopJoin by contract)
+      val big = planOf(Similarity.contrastivePairs(emb, "vec_id",
+        "embedding", synthQueries(2200000L), k = 2, threshold = 0.8,
+        dim = 64))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"corpus-scale anchor ids must NOT broadcast:\n$big")
+    }
+  }
+
   test("equi-join path: partial top-k adds no exchange over the " +
       "scored pair stream") {
     withAutoBroadcastOff {
