@@ -361,44 +361,51 @@ object TextDedup {
     * identity hash is the public, cast-free session discriminator — a
     * warn-only counter tolerates its theoretical collisions). Re-guarding
     * the same input IN one session reuses one CacheManager entry, so the
-    * registry must too. Entries hold the frame by WEAK reference: the
-    * registry prunes on the NEXT guarded call, so a strong ref would pin
-    * a released frame (plan, session and all) for arbitrarily long in a
-    * process that stops issuing guarded calls — the registry is an
-    * observer, never the thing keeping a dead frame alive. A cleared
-    * referent counts as released: if the cache were still live, the
-    * guard's own returned join (or the caller's handle) would still
-    * reach the frame. Live entries prune via `Dataset.storageLevel` — a
-    * public lookup that consults the CacheManager, so EVERY release path
-    * (handle `unpersist`, the loan wrapper, `clearCache`) empties it.
-    * The first cut counted the whole session's persistent RDDs instead,
-    * which false-alarmed after ONE guarded call whenever unrelated
-    * deliberate persists (il2's bloom gate, a user's own caches, a
-    * parallel test suite) were live — review-caught: a leak warning that
-    * cries wolf on a healthy session trains callers to ignore the one
-    * real signal it exists to give.
+    * registry must too. Released entries prune via
+    * `Dataset.storageLevel` — a public lookup that consults the
+    * CacheManager, so EVERY release path (handle `unpersist`, the loan
+    * wrapper, `clearCache`) empties it — at BOTH collection points:
+    * every guarded call, and the loan wrapper's exit (so a process that
+    * guards through the wrapper retains nothing once it stops).
+    * Retention contract: LIVE entries are retained BY DESIGN — they are
+    * the leak being counted; a RELEASED frame is retained only until
+    * the next guarded call or wrapper exit (driver-side plan objects,
+    * no executor storage). Weak references were considered and
+    * REJECTED: the registered frame is unreachable the moment the
+    * guarded call returns (callers hold the returned JOIN, whose plan
+    * references logical plans, not this `DataFrame` object), so the
+    * first GC cycle would clear every entry and silently disarm the
+    * warning — an observer that vanishes exactly when the leak it
+    * watches for is live. The first cut counted the whole session's
+    * persistent RDDs instead, which false-alarmed after ONE guarded
+    * call whenever unrelated deliberate persists (il2's bloom gate, a
+    * user's own caches, a parallel test suite) were live —
+    * review-caught: a leak warning that cries wolf on a healthy session
+    * trains callers to ignore the one real signal it exists to give.
     */
   private val GuardCacheWarnEntries = 4
 
   private val guardCaches = scala.collection.mutable.LinkedHashMap
     .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-      java.lang.ref.WeakReference[DataFrame]]
+      DataFrame]
+
+  /** Drop registry entries whose cache is gone. Try guards an entry
+    * whose session has since stopped (its CacheManager lookup would
+    * throw) — a dead session holds no cache.
+    */
+  private def pruneReleasedGuardCaches(): Unit = guardCaches.synchronized {
+    guardCaches.filterInPlace((_, d) => scala.util.Try(
+      d.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse(false))
+  }
 
   private def warnIfGuardCachesAccumulate(op: String,
                                           dfs: DataFrame*): Unit = {
     val n = guardCaches.synchronized {
-      // cleared referent = released (see scaladoc); Try guards an entry
-      // whose session has since stopped (its CacheManager lookup would
-      // throw) — a dead session holds no cache
-      guardCaches.filterInPlace { (_, ref) =>
-        Option(ref.get).exists(d => scala.util.Try(
-          d.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          .getOrElse(false))
-      }
+      pruneReleasedGuardCaches()
       dfs.foreach(df => guardCaches.update(
         (System.identityHashCode(df.sparkSession),
-          df.queryExecution.analyzed.canonicalized),
-        new java.lang.ref.WeakReference(df)))
+          df.queryExecution.analyzed.canonicalized), df))
       guardCaches.size
     }
     if (n >= GuardCacheWarnEntries)
@@ -464,7 +471,13 @@ object TextDedup {
           "or skip the wrapper and release the banded-keys handles " +
           "yourself after the action")
       result
-    } finally handles.foreach(_.unpersist(false))
+    } finally {
+      handles.foreach(_.unpersist(false))
+      // second collection point (see the registry scaladoc): a process
+      // that guards exclusively through this wrapper retains no
+      // released frames once it stops issuing guarded calls
+      pruneReleasedGuardCaches()
+    }
 
   /** Shallow container traversal for the consume-contract check: finds a
     * `Dataset` at the top level or inside tuples/case classes,
