@@ -573,6 +573,23 @@ object Similarity {
     * at dim 64, nProbe 2 is ~7 MiB), and far below the corpus-as-queries
     * shapes that must never broadcast. `private[graft]` so the plan spec
     * pins the routing against the same constant the route reads.
+    *
+    * WHY THE AUTO DEFAULT ERRS LOW — the failure modes are asymmetric.
+    * Past the budget the two shapes fail differently: an oversized
+    * broadcast OOMs executors (fatal, and invisible until the cluster
+    * is large enough to matter), while an unnecessary equi-join merely
+    * pays the corpus-side exchange (slow, completes, shows up in any
+    * profile). An auto default must take the non-fatal side of every
+    * uncertain call. The cost of that conservatism is real and known:
+    * for a MID-SIZE query set (say 100k–10M rows) against a HUGE
+    * corpus, the broadcast's cluster value is that the corpus NEVER
+    * SHUFFLES — a premium the local probe cannot see (local exchanges
+    * are in-memory copies; `IvfRouteProbe` measures the equi-join
+    * FASTER locally from the 64k tier up precisely because the corpus
+    * shuffle costs nothing there). A caller who knows their executor
+    * headroom and sits in that regime should pass
+    * `broadcastQueries = Some(true)` — the informed override is the
+    * designed escape, not a workaround.
     */
   private[graft] val QueryBroadcastBudgetBytes: Long = 64L << 20
 
@@ -843,6 +860,57 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "/centroids")
     index.vectors.write.mode("overwrite").parquet(path + "/vectors")
   }
+
+  /** Persist an index as a pair of MANAGED tables with the vectors side
+    * BUCKETED BY the centroid id — the storage-layout complement of the
+    * round-16 probe-join route. Every repeated consumer of a stored
+    * index joins the corpus on `centroid` (the equi-join route of
+    * [[ivfScored]] past the broadcast budget, every [[knnGraphApprox]]
+    * build), and on a plain parquet index each of those joins SHUFFLES
+    * THE CORPUS on that key — at 10⁹ rows × dim 64 that is a ~0.5 TB
+    * exchange per run, paid every run, for a table whose join key never
+    * changes between rebuilds. Bucketing the stored table by `centroid`
+    * moves that exchange into the ONE-TIME build write: scans come back
+    * hash-clustered on the join key, Spark elides the corpus-side
+    * exchange, and only the (narrow, per-run) query/probe side
+    * shuffles — the same "pay the layout once, ride it every run"
+    * economics as the stored LSH index and the z-order layouts.
+    * `nBuckets` should be sized like shuffle partitions at the target
+    * scale (enough for parallelism, few enough that a bucket's cells
+    * fit a task); it need not equal the centroid count.
+    *
+    * Same crash-window discipline as [[saveIvfIndex]]: the vectors
+    * table (written last, the completeness signal) is DROPPED before
+    * the centroid table is overwritten, so no interleaving of a crashed
+    * rebuild leaves a mixed-build pair standing.
+    */
+  def saveIvfIndexBucketed(index: IvfIndex, tablePrefix: String,
+                           nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val sp = index.vectors.sparkSession
+    import sp.implicits._
+    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_vectors")
+    index.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1) // nCentroids rows — one file
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tablePrefix}_centroids")
+    index.vectors
+      .write.format("parquet")
+      .bucketBy(nBuckets, "centroid").sortBy("centroid")
+      .saveAsTable(s"${tablePrefix}_vectors")
+  }
+
+  /** Rebuild an [[IvfIndex]] from the [[saveIvfIndexBucketed]] tables.
+    * Identical validation to [[loadIvfIndex]]; the vectors scan carries
+    * the bucket spec, so downstream centroid-key joins skip the
+    * corpus-side exchange (pinned in `IvfBucketedIndexSpec`).
+    */
+  def loadIvfIndexFromTables(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String): IvfIndex =
+    loadIvfIndex(spark.table(s"${tablePrefix}_centroids"),
+      spark.table(s"${tablePrefix}_vectors"))
 
   /** Rebuild an [[IvfIndex]] from its persisted tables. The only driver
     * materialization is the centroid table (nCentroids rows — the same

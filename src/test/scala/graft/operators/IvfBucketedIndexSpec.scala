@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed-IVF contract: the bucketed managed-table pair must be
+  * result-identical to the plain parquet index on every consumer, the
+  * bucket layout must actually ELIDE the corpus-side exchange on the
+  * centroid-key joins (the one thing the layout exists to buy — pinned
+  * by exchange count, not by faith), and rebuild-over-existing must
+  * work (the overwrite path of a refreshed corpus generation).
+  */
+class IvfBucketedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  test("bucketed save → load → knn graph: result-identical to the " +
+      "plain index, with the corpus-side exchange ELIDED") {
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val p = s"/tmp/graft-ivf-bucketed-${java.util.UUID.randomUUID()}"
+    Similarity.saveIvfIndex(idx, p)
+    val plain = Similarity.loadIvfIndex(
+      spark.read.parquet(p + "/centroids"), spark.read.parquet(p + "/vectors"))
+    Similarity.saveIvfIndexBucketed(idx, "graft_ivfb_spec", nBuckets = 4)
+    val bucketed = Similarity.loadIvfIndexFromTables(spark, "graft_ivfb_spec")
+
+    // plan shape FIRST, on unexecuted frames: an executed
+    // AdaptiveSparkPlanExec prints BOTH its Final and Initial plans, so
+    // counting exchanges after an action double-counts every one (this
+    // spec's first draft read 4 vs 4 for exactly that reason). Spark's
+    // own statistics broadcast is disabled so the join shape is ours:
+    // at sf0.001 the 500-row corpus auto-broadcasts and no corpus-side
+    // exchange exists to elide on EITHER path.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val ePlain = hashExchanges(
+        Similarity.knnGraphApprox(plain, k = 3, nProbe = 2))
+      val eBucketed = hashExchanges(
+        Similarity.knnGraphApprox(bucketed, k = 3, nProbe = 2))
+      // plain: corpus side + probe side + partial→final window + final
+      // per-qid window = 4; bucketed: the corpus-side exchange is gone
+      assert(eBucketed < ePlain,
+        s"bucketed build must elide the corpus-side exchange: " +
+          s"plain $ePlain vs bucketed $eBucketed exchanges")
+    } finally spark.conf.set(key, prev)
+
+    val gPlain = Similarity.knnGraphApprox(plain, k = 3, nProbe = 2)
+    val gBucketed = Similarity.knnGraphApprox(bucketed, k = 3, nProbe = 2)
+    assert(gPlain.collect().map(_.toSeq).toSet ==
+      gBucketed.collect().map(_.toSeq).toSet)
+    assert(gPlain.count() > 0)
+  }
+
+  test("ivfTopK over the bucketed tables: identical results on both " +
+      "routes, and the equi-join route also rides the buckets") {
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    Similarity.saveIvfIndexBucketed(idx, "graft_ivfb_spec2", nBuckets = 4)
+    val loaded = Similarity.loadIvfIndexFromTables(spark, "graft_ivfb_spec2")
+    val qs = emb.filter($"vec_id" < 8)
+    def run(b: Boolean) = Similarity.ivfTopK(loaded, qs, "vec_id",
+      "embedding", k = 5, nProbe = 4, broadcastQueries = Some(b))
+    val viaBc = run(true).collect().map(_.toSeq).toSet
+    val viaEq = run(false).collect().map(_.toSeq).toSet
+    val mem = Similarity.ivfTopK(idx, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4).collect().map(_.toSeq).toSet
+    assert(viaBc == mem && viaEq == mem)
+    // on the equi-join route the corpus side must not re-shuffle: only
+    // the probe side and the final window exchange remain
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val e = hashExchanges(run(false))
+      assert(e <= 2, s"bucketed equi-join route must keep ≤2 hash " +
+        s"exchanges (probe side + final window), got $e")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("rebuild over an existing bucketed pair overwrites cleanly") {
+    val idx8 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    Similarity.saveIvfIndexBucketed(idx8, "graft_ivfb_spec3", nBuckets = 4)
+    val idx4 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 4)
+    Similarity.saveIvfIndexBucketed(idx4, "graft_ivfb_spec3", nBuckets = 2)
+    val reloaded = Similarity.loadIvfIndexFromTables(spark, "graft_ivfb_spec3")
+    assert(reloaded.centroids.length == 4)
+    idx4.centroids.zip(reloaded.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+}
