@@ -203,6 +203,45 @@ object SemanticDedup {
     members.write.mode("overwrite").parquet(path + "/members")
   }
 
+  /** [[saveSemanticIndex]] as a pair of MANAGED tables with the members
+    * side BUCKETED BY the cluster id (the
+    * [[Similarity.saveIvfIndexBucketed]] layout, applied where it pays
+    * most): an ingest loop joins the stored memberships on `cluster`
+    * once PER BATCH ([[incrementalPairsFromIndex]] — feed it
+    * `spark.table(s"${prefix}_centroids")` / `_members`), and on plain
+    * parquet every one of those joins re-shuffles the full membership
+    * table — corpus × assignProbes rows CARRYING VECTORS — to
+    * co-locate with a batch that is orders of magnitude smaller. The
+    * bucketed scan comes back hash-clustered on `cluster`, the
+    * corpus-side exchange disappears from every increment, and only
+    * the batch memberships shuffle (pinned in `IvfBucketedIndexSpec`).
+    * Same crash-window discipline: the members table (written last,
+    * the completeness signal) is dropped before centroids overwrite.
+    */
+  def saveSemanticIndexBucketed(corpus: DataFrame, idCol: String,
+                                vecCol: String, nClusters: Int,
+                                assignProbes: Int, tablePrefix: String,
+                                nBuckets: Int, seed: Long = 42L): Unit = {
+    require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val c = if (nClusters > 0) nClusters
+            else Similarity.ivfSizing(corpus.count())
+    val (index, members) = Similarity.ivfIndexAndMembers(corpus, idCol,
+      vecCol, c, probes = assignProbes, seed = seed)
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_members")
+    index.centroids.toSeq.zipWithIndex
+      .map { case (cc, i) => (i, cc.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tablePrefix}_centroids")
+    members.write.format("parquet")
+      .bucketBy(nBuckets, "cluster").sortBy("cluster")
+      .saveAsTable(s"${tablePrefix}_members")
+  }
+
   /** [[incrementalPairs]] over the persisted tables — the increment's
     * entry point. By construction this path CANNOT train or score the
     * corpus: it reads the stored centroid matrix (nClusters driver rows,

@@ -85,6 +85,43 @@ class IvfBucketedIndexSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bucketed semantic index: per-increment pairs identical to the " +
+      "path-persisted index, with the members-side exchange elided") {
+    val p = s"/tmp/graft-sem-bucketed-${java.util.UUID.randomUUID()}"
+    SemanticDedup.saveSemanticIndex(emb, "vec_id", "embedding",
+      nClusters = 8, assignProbes = 2, path = p)
+    SemanticDedup.saveSemanticIndexBucketed(emb, "vec_id", "embedding",
+      nClusters = 8, assignProbes = 2, tablePrefix = "graft_semb_spec",
+      nBuckets = 4)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    def pairs(c: org.apache.spark.sql.DataFrame,
+              m: org.apache.spark.sql.DataFrame) =
+      SemanticDedup.incrementalPairsFromIndex(c, m, batch, "vec_id",
+        "embedding", threshold = 0.8, assignProbes = 2)
+    val viaPath = pairs(spark.read.parquet(p + "/centroids"),
+      spark.read.parquet(p + "/members"))
+    val viaTables = pairs(spark.table("graft_semb_spec_centroids"),
+      spark.table("graft_semb_spec_members"))
+    assert(viaPath.collect().map(_.toSeq).toSet ==
+      viaTables.collect().map(_.toSeq).toSet)
+    // the ingest-loop economics: the members side must not re-shuffle
+    // per increment (unexecuted frames, estimator broadcast off — the
+    // AQE final-plan double-count lesson from the first test applies)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val ePath = hashExchanges(pairs(spark.read.parquet(p + "/centroids"),
+        spark.read.parquet(p + "/members")))
+      val eTables = hashExchanges(pairs(
+        spark.table("graft_semb_spec_centroids"),
+        spark.table("graft_semb_spec_members")))
+      assert(eTables < ePath,
+        s"bucketed members must elide their exchange: path $ePath vs " +
+          s"tables $eTables")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("rebuild over an existing bucketed pair overwrites cleanly") {
     val idx8 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
     Similarity.saveIvfIndexBucketed(idx8, "graft_ivfb_spec3", nBuckets = 4)
