@@ -658,6 +658,20 @@ object TextDedup {
     val cb = bandedKeys(corpusSigs, bands, r)
     val bb = bandedKeys(minHashSignatures(batch, idCol, textCol, n, numHashes),
       bands, r)
+    crossVerifiedPairs(cb, bb, corpusSets, batch, idCol, textCol, n,
+      minJaccard)
+  }
+
+  /** Shared tail of the cross-index forms: banded-key candidates →
+    * semi-joined exact-Jaccard verify. `cb`/`bb` are (doc, band, bh)
+    * frames for the corpus/batch sides; `corpusSets` the stored
+    * (doc, sh_set) verify operands; the batch's shingle sets build
+    * in-plan.
+    */
+  private def crossVerifiedPairs(cb: DataFrame, bb: DataFrame,
+                                 corpusSets: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String, n: Int,
+                                 minJaccard: Double): DataFrame = {
     val candidates = cb.as("a")
       .join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
@@ -671,6 +685,94 @@ object TextDedup {
         Seq("doc"), "left_semi")
       .groupBy(col("doc")).agg(collect_set(col("sh")).as("sh_set"))
     verifyExactJaccard(candidates, "corpus_id", "batch_id", cSets, bSets,
+      minJaccard)
+  }
+
+  /** Persist the LSH index as three MANAGED tables, laid out so the
+    * per-increment joins ride the storage instead of re-shuffling the
+    * corpus (the `Similarity.saveIvfIndexBucketed` economics, applied
+    * to the il1 ingest loop):
+    *
+    *  - `<prefix>_meta` — ONE row (n, num_hashes, bands): the build
+    *    parameters live WITH the index, so the from-index entry point
+    *    reads them instead of trusting a caller to re-supply matching
+    *    values ([[crossLshPairsFromIndex]]'s numHashes probe guards one
+    *    mismatch direction; storing the parameters closes all of them).
+    *  - `<prefix>_banded` — the (doc, band, bh) banded keys, BUCKETED BY
+    *    `bh`: the candidates join clusters on (band, bh), and a
+    *    hash(bh) layout satisfies that (bh ⊆ {band, bh}), so the
+    *    corpus-side exchange of EVERY increment disappears. Storing the
+    *    banding directly also skips re-deriving it from signatures per
+    *    increment (the round-14 shared-materialization insight, made
+    *    durable).
+    *  - `<prefix>_sets` — the (doc, sh_set) exact-Jaccard operands,
+    *    BUCKETED BY `doc`: the verify semi-join clusters on `doc`, and
+    *    this is the WIDE table (full shingle sets) whose per-increment
+    *    shuffle hurts most.
+    *
+    * Crash-window discipline: `_sets` is written LAST (the completeness
+    * signal) and dropped FIRST on rebuild.
+    */
+  def saveLshIndexBucketed(corpus: DataFrame, idCol: String,
+                           textCol: String, tablePrefix: String,
+                           nBuckets: Int, n: Int = 5, numHashes: Int = 32,
+                           bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    // _sets is the completeness signal: drop it FIRST, then the middle
+    // table (bucketed saveAsTable cannot overwrite in place — a stale
+    // _banded would fail the rebuild's create); any crash in between
+    // leaves a pair without its marker table, never a mixed-build index
+    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_sets")
+    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_banded")
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
+    minHashBandedKeys(corpus, idCol, textCol, n, numHashes, bands)
+      .write.format("parquet")
+      .bucketBy(nBuckets, "bh").sortBy("bh")
+      .saveAsTable(s"${tablePrefix}_banded")
+    shingleSets(corpus, idCol, textCol, n)
+      .write.format("parquet")
+      .bucketBy(nBuckets, "doc").sortBy("doc")
+      .saveAsTable(s"${tablePrefix}_sets")
+  }
+
+  /** [[crossMinHashLshPairs]] against a [[saveLshIndexBucketed]] index:
+    * the increment's production entry point. Build parameters come from
+    * the index's own meta table — nothing to mismatch — and the two
+    * corpus-side joins ride the bucket layout: candidates cluster on
+    * the stored `bh` buckets, verify on the stored `doc` buckets, so an
+    * increment shuffles only its own banded keys and shingle sets.
+    * Output is frame-identical to [[crossMinHashLshPairs]] /
+    * [[crossLshPairsFromIndex]] on the same corpus and batch
+    * (spec-pinned in `IvfBucketedIndexSpec`).
+    */
+  def crossLshPairsFromBandedIndex(spark: org.apache.spark.sql.SparkSession,
+                                   tablePrefix: String, batch: DataFrame,
+                                   idCol: String, textCol: String,
+                                   minJaccard: Double = 0.5): DataFrame = {
+    val meta = spark.table(s"${tablePrefix}_meta")
+    require(meta.columns.toSet == Set("n", "num_hashes", "bands"),
+      s"lsh meta table needs (n, num_hashes, bands), got " +
+        meta.columns.mkString(","))
+    val m = meta.collect()
+    require(m.length == 1, s"lsh meta table must hold one row, got ${m.length}")
+    val (n, numHashes, bands) = (m(0).getInt(0), m(0).getInt(1), m(0).getInt(2))
+    val cb = spark.table(s"${tablePrefix}_banded")
+    val corpusSets = spark.table(s"${tablePrefix}_sets")
+    require(cb.columns.toSet == Set("doc", "band", "bh"),
+      s"lsh banded table needs (doc, band, bh), got ${cb.columns.mkString(",")}")
+    require(corpusSets.columns.toSet == Set("doc", "sh_set"),
+      s"lsh sets table needs (doc, sh_set), got " +
+        corpusSets.columns.mkString(","))
+    val bb = bandedKeys(
+      minHashSignatures(batch, idCol, textCol, n, numHashes),
+      bands, numHashes / bands)
+    crossVerifiedPairs(cb, bb, corpusSets, batch, idCol, textCol, n,
       minJaccard)
   }
 
