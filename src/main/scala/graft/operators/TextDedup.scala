@@ -761,7 +761,11 @@ object TextDedup {
         meta.columns.mkString(","))
     val m = meta.collect()
     require(m.length == 1, s"lsh meta table must hold one row, got ${m.length}")
-    val (n, numHashes, bands) = (m(0).getInt(0), m(0).getInt(1), m(0).getInt(2))
+    // by NAME, not position: the column require above checks a SET, so a
+    // hand-built meta with reordered columns would otherwise silently
+    // swap parameters into wrong roles
+    val (n, numHashes, bands) = (m(0).getAs[Int]("n"),
+      m(0).getAs[Int]("num_hashes"), m(0).getAs[Int]("bands"))
     val cb = spark.table(s"${tablePrefix}_banded")
     val corpusSets = spark.table(s"${tablePrefix}_sets")
     require(cb.columns.toSet == Set("doc", "band", "bh"),

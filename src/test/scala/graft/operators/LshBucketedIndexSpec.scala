@@ -94,5 +94,16 @@ class LshBucketedIndexSpec extends SparkSpec {
       "text", numHashes = 16, bands = 8, minJaccard = 0.4)
     assert(pairs.collect().map(_.toSeq).toSet ==
       direct.collect().map(_.toSeq).toSet)
+    // parameters are read BY NAME: a meta with reordered columns (the
+    // column require checks a SET) must not swap n/bands into wrong
+    // roles — a temp view shadows the meta table with reversed order
+    spark.sql("CREATE OR REPLACE TEMP VIEW graft_lshb_spec3_meta AS " +
+      "SELECT 8 AS bands, 5 AS n, 16 AS num_hashes")
+    try {
+      val reordered = TextDedup.crossLshPairsFromBandedIndex(spark,
+        "graft_lshb_spec3", batch, "doc_id", "text", minJaccard = 0.4)
+      assert(reordered.collect().map(_.toSeq).toSet ==
+        pairs.collect().map(_.toSeq).toSet)
+    } finally spark.sql("DROP VIEW IF EXISTS graft_lshb_spec3_meta")
   }
 }
