@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** The SHARED broadcast-routing home — every caller-proportional
+  * broadcast hint in the library routes through here (round 16 built the
+  * gate inside [[Similarity]] for the IVF probe join; round 17 promotes
+  * it because [[Retrieval.bm25TopK]]'s query-terms side is the same
+  * shape with the same cure, and the next operator with a
+  * caller-proportional side will be too).
+  *
+  * WHAT QUALIFIES FOR A ROUTE: a join side whose cardinality is
+  * proportional to CALLER input (a query slice, an anchor set, a query
+  * term list) — bounded in every catalog entry, unbounded in the API
+  * contract. Sides that are bounded BY CONSTRUCTION (1-row totals, G-row
+  * group aggregates, band offsets, per-dim stats) keep their plain
+  * `broadcast()` hints; sides under a non-equi join keep theirs by
+  * documented contract (dropping the hint degrades to a cartesian).
+  * The `BroadcastHintSweepSpec` allowlist enforces that classification
+  * over every `broadcast(` call site in `src/main`.
+  */
+object Broadcasts {
+
+  /** Conservative budget for a caller-proportional broadcast side:
+    * estimated hashed-relation payload (rows × bytes/row, estimated
+    * generously) at or under this broadcasts; over it takes the shuffled
+    * equi-join. 64 MiB — comfortably inside a default executor's memory
+    * with the usual multi-task headroom, far above every bounded slice
+    * the catalog or a top-k caller ships (a 100k-query batch at dim 64,
+    * nProbe 2 is ~7 MiB), and far below the corpus-as-queries shapes
+    * that must never broadcast. `private[graft]` so the plan specs pin
+    * the routing against the same constant the routes read.
+    *
+    * WHY THE AUTO DEFAULT ERRS LOW — the failure modes are asymmetric.
+    * Past the budget the two shapes fail differently: an oversized
+    * broadcast OOMs executors (fatal, and invisible until the cluster
+    * is large enough to matter), while an unnecessary equi-join merely
+    * pays the big side's exchange (slow, completes, shows up in any
+    * profile). An auto default must take the non-fatal side of every
+    * uncertain call. The cost of that conservatism is real and known:
+    * for a MID-SIZE caller side (say 100k–10M rows) against a HUGE
+    * corpus, the broadcast's cluster value is that the corpus NEVER
+    * SHUFFLES — a premium a local probe cannot see (local exchanges are
+    * in-memory copies; `IvfRouteProbe` measures the equi-join FASTER
+    * locally from the 64k tier up precisely because the corpus shuffle
+    * costs nothing there). A caller who knows their executor headroom
+    * and sits in that regime should force the broadcast through the
+    * operator's `broadcast*` override — the informed override is the
+    * designed escape, not a workaround.
+    */
+  private[graft] val QueryBroadcastBudgetBytes: Long = 64L << 20
+
+  /** The route-gate predicate shared by every sized broadcast:
+    * estimated hashed-relation payload vs the budget.
+    */
+  private[graft] def fitsBudget(rows: Long, bytesPerRow: Long): Boolean =
+    rows * bytesPerRow <= QueryBroadcastBudgetBytes
+
+  /** `broadcast(df)` iff `rows × bytesPerRow` fits
+    * [[QueryBroadcastBudgetBytes]]; the bare frame otherwise, so an
+    * equi-join consumer shuffles on its key instead of OOMing an
+    * executor. For sides that are spec-bounded IN PRACTICE but not by
+    * construction — the [[Similarity]] probe-join route gate, the
+    * [[Retrieval.bm25TopK]] query-terms gate, reusable.
+    */
+  private[graft] def sizedBroadcast(df: DataFrame, rows: Long,
+                                    bytesPerRow: Long): DataFrame =
+    if (fitsBudget(rows, bytesPerRow)) broadcast(df) else df
+
+  /** Managed-table prefixes in the bucketed-index savers are interpolated
+    * into DDL (`DROP TABLE IF EXISTS ${prefix}_…`) and into
+    * `saveAsTable` names, and the two paths parse identifiers under
+    * DIFFERENT rules — a prefix with spaces, dashes, or SQL
+    * metacharacters can fail one path, or worse, resolve to a DIFFERENT
+    * identifier in each (the DROP hitting an unintended table). The
+    * `TableStore.ident` rule, applied at every index save/load entry
+    * point: plain `[A-Za-z_][A-Za-z0-9_]*` segments, optionally
+    * dot-qualified (db.prefix), rejected loudly otherwise.
+    */
+  private[graft] def requireTablePrefix(prefix: String): String = {
+    require(
+      prefix.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"invalid table prefix (plain dot-qualified identifiers only): " +
+        s"'$prefix'")
+    prefix
+  }
+}

@@ -564,50 +564,15 @@ object Similarity {
       .select(col("vid") +: col("v") +: col("nrm") +: probes: _*)
   }
 
-  /** Conservative budget for broadcasting [[ivfScored]]'s exploded query
-    * side: estimated payload (query rows × nProbe × (dim doubles + key/
-    * row overhead)) at or under this broadcasts; over it takes the
-    * shuffled equi-join. 64 MiB — comfortably inside a default executor's
-    * memory with the usual multi-task headroom, far above every bounded
-    * query slice the catalog or a top-k caller ships (a 100k-query batch
-    * at dim 64, nProbe 2 is ~7 MiB), and far below the corpus-as-queries
-    * shapes that must never broadcast. `private[graft]` so the plan spec
-    * pins the routing against the same constant the route reads.
-    *
-    * WHY THE AUTO DEFAULT ERRS LOW — the failure modes are asymmetric.
-    * Past the budget the two shapes fail differently: an oversized
-    * broadcast OOMs executors (fatal, and invisible until the cluster
-    * is large enough to matter), while an unnecessary equi-join merely
-    * pays the corpus-side exchange (slow, completes, shows up in any
-    * profile). An auto default must take the non-fatal side of every
-    * uncertain call. The cost of that conservatism is real and known:
-    * for a MID-SIZE query set (say 100k–10M rows) against a HUGE
-    * corpus, the broadcast's cluster value is that the corpus NEVER
-    * SHUFFLES — a premium the local probe cannot see (local exchanges
-    * are in-memory copies; `IvfRouteProbe` measures the equi-join
-    * FASTER locally from the 64k tier up precisely because the corpus
-    * shuffle costs nothing there). A caller who knows their executor
-    * headroom and sits in that regime should pass
-    * `broadcastQueries = Some(true)` — the informed override is the
-    * designed escape, not a workaround.
+  /** The query-side broadcast budget this family routes against — the
+    * round-16 gate, promoted to the shared [[Broadcasts]] home in round
+    * 17 (the bm25 query-terms side is the same shape); kept here as the
+    * name the IVF route specs and scaladocs pin against. The full
+    * asymmetric-failure rationale lives on
+    * [[Broadcasts.QueryBroadcastBudgetBytes]].
     */
-  private[graft] val QueryBroadcastBudgetBytes: Long = 64L << 20
-
-  /** The route-gate predicate shared by every sized broadcast in this
-    * family: estimated hashed-relation payload vs the budget.
-    */
-  private def fitsBroadcastBudget(rows: Long, bytesPerRow: Long): Boolean =
-    rows * bytesPerRow <= QueryBroadcastBudgetBytes
-
-  /** `broadcast(df)` iff `rows × bytesPerRow` fits
-    * [[QueryBroadcastBudgetBytes]]; the bare frame otherwise, so an
-    * equi-join consumer shuffles on its key instead of OOMing an
-    * executor. For sides that are spec-bounded IN PRACTICE but not by
-    * construction — the [[ivfScored]] route gate, reusable.
-    */
-  private[graft] def sizedBroadcast(df: DataFrame, rows: Long,
-                                    bytesPerRow: Long): DataFrame =
-    if (fitsBroadcastBudget(rows, bytesPerRow)) broadcast(df) else df
+  private[graft] def QueryBroadcastBudgetBytes: Long =
+    Broadcasts.QueryBroadcastBudgetBytes
 
   /** Shared IVF probe stage: every (query, probed-bucket vector) pair with
     * its raw-double cosine — a corpus vector meets a query at most once
@@ -635,12 +600,26 @@ object Similarity {
     * `maxPairFactor` (opt-in, default `None`) runs the cross pair-volume
     * preflight over the exact blocking key this join scans on — probe id
     * vs home centroid id (see [[guardIvfCells]]).
+    *
+    * ROUTE-COUNT COST (the one eager job the auto route pays): with
+    * `broadcastQueries = None` the size estimate runs `queries.count()`
+    * at PLAN-CONSTRUCTION time — one narrow aggregation, but it
+    * re-executes the query frame's upstream plan once per call, so (a) a
+    * loop over many bounded slices should pass
+    * `broadcastQueries = Some(true)` and stay fully lazy, and (b) a
+    * NONDETERMINISTIC query frame (e.g. an un-persisted `sample()`)
+    * should force a route explicitly — the counted rows and the joined
+    * rows are different draws, and only the route choice (never
+    * correctness) depends on the count. `knownQueryRows` lets a caller
+    * that already counted (e.g. [[contrastivePairs]]'s anchor gate)
+    * share that number instead of paying a second job.
     */
   private def ivfScored(index: IvfIndex, queries: DataFrame, idCol: String,
                         vecCol: String, nProbe: Int,
                         maxPairFactor: Option[Double] = None,
                         op: String = "",
-                        broadcastQueries: Option[Boolean] = None)
+                        broadcastQueries: Option[Boolean] = None,
+                        knownQueryRows: Option[Long] = None)
       : (DataFrame, Boolean) = {
     val q0 = withNorm(queries, idCol, vecCol)
     val q = assign(q0, index.centroids, nProbe)
@@ -649,13 +628,13 @@ object Similarity {
           .as("probe"))
     // one count serves both the auto-route and the guard's refRows; lazy
     // so a forced route with the guard off pays neither
-    lazy val qRows = queries.count()
+    lazy val qRows = knownQueryRows.getOrElse(queries.count())
     guardIvfCells(q, index, maxPairFactor, refRows = qRows * nProbe, op)
     val viaBroadcast = broadcastQueries.getOrElse {
       // per exploded row: dim doubles (the query vector, duplicated per
       // probe in the hashed relation) + qid/nrm/probe + array header —
       // a deliberate overestimate, erring toward the shuffle
-      fitsBroadcastBudget(qRows * nProbe,
+      Broadcasts.fitsBudget(qRows * nProbe,
         index.centroids.head.length * 8L + 64L)
     }
     val scored = index.vectors
@@ -887,6 +866,7 @@ object Similarity {
   def saveIvfIndexBucketed(index: IvfIndex, tablePrefix: String,
                            nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    Broadcasts.requireTablePrefix(tablePrefix)
     val sp = index.vectors.sparkSession
     import sp.implicits._
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_vectors")
@@ -908,9 +888,11 @@ object Similarity {
     * corpus-side exchange (pinned in `IvfBucketedIndexSpec`).
     */
   def loadIvfIndexFromTables(spark: org.apache.spark.sql.SparkSession,
-                             tablePrefix: String): IvfIndex =
+                             tablePrefix: String): IvfIndex = {
+    Broadcasts.requireTablePrefix(tablePrefix)
     loadIvfIndex(spark.table(s"${tablePrefix}_centroids"),
       spark.table(s"${tablePrefix}_vectors"))
+  }
 
   /** Rebuild an [[IvfIndex]] from its persisted tables. The only driver
     * materialization is the centroid table (nCentroids rows — the same
@@ -995,8 +977,12 @@ object Similarity {
     // join is non-equi (`vid =!= anchor`), where dropping the hint
     // degrades to a cartesian, and its bounded-anchor contract is the
     // documented reason NegativesIvf exists.
+    // counted ONCE per call: the id-hint gate here and the IVF paths'
+    // route/guard below share this number via knownQueryRows (the
+    // anchors frame IS ivfScored's query frame), so negative mining
+    // never re-executes the anchor plan for a second estimate
     val aRows = anchors.count()
-    val aIds = sizedBroadcast(
+    val aIds = Broadcasts.sizedBroadcast(
       anchors.select(col(idCol).cast("long").as("_cp_aid")),
       aRows, bytesPerRow = 32L)
     val posA = pairs.join(aIds, col("id_a") === col("_cp_aid"))
@@ -1017,12 +1003,13 @@ object Similarity {
       case NegativesIvf(nCentroids, nProbe, seed, maxPairFactor) =>
         val index = ivfIndex(df, idCol, vecCol, nCentroids, seed)
         ivfScored(index, anchors, idCol, vecCol, nProbe, maxPairFactor,
-          "contrastivePairs")._1
+          "contrastivePairs", knownQueryRows = Some(aRows))._1
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
       case NegativesFromIndex(centroidsDf, vectorsDf, nProbe, maxPairFactor) =>
         ivfScored(loadIvfIndex(centroidsDf, vectorsDf), anchors, idCol,
-          vecCol, nProbe, maxPairFactor, "contrastivePairs")._1
+          vecCol, nProbe, maxPairFactor, "contrastivePairs",
+          knownQueryRows = Some(aRows))._1
           .select(col("qid").as("anchor"), col("vid"),
             col("cosine").as("_cp_cos"))
     }

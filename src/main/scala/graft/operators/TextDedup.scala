@@ -719,6 +719,7 @@ object TextDedup {
                            bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    Broadcasts.requireTablePrefix(tablePrefix)
     val sp = corpus.sparkSession
     import sp.implicits._
     // _sets is the completeness signal: drop it FIRST, then the middle
@@ -755,6 +756,7 @@ object TextDedup {
                                    tablePrefix: String, batch: DataFrame,
                                    idCol: String, textCol: String,
                                    minJaccard: Double = 0.5): DataFrame = {
+    Broadcasts.requireTablePrefix(tablePrefix)
     val meta = spark.table(s"${tablePrefix}_meta")
     require(meta.columns.toSet == Set("n", "num_hashes", "bands"),
       s"lsh meta table needs (n, num_hashes, bands), got " +
@@ -766,6 +768,14 @@ object TextDedup {
     // swap parameters into wrong roles
     val (n, numHashes, bands) = (m(0).getAs[Int]("n"),
       m(0).getAs[Int]("num_hashes"), m(0).getAs[Int]("bands"))
+    // mirror the save-side requires: a corrupted or hand-built meta row
+    // must fail HERE, loudly — bands=0 would divide by zero below, and a
+    // non-dividing bands (32/5 → r=6, 30 hashes covered) would band the
+    // batch DIFFERENTLY from the stored corpus and silently return
+    // wrong/empty pairs (the module's loud-validation rule)
+    require(n >= 1 && numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"corrupt lsh meta: n=$n, num_hashes=$numHashes, bands=$bands " +
+        "(need all >= 1 and bands | num_hashes)")
     val cb = spark.table(s"${tablePrefix}_banded")
     val corpusSets = spark.table(s"${tablePrefix}_sets")
     require(cb.columns.toSet == Set("doc", "band", "bh"),

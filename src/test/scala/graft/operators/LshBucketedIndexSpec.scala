@@ -78,6 +78,43 @@ class LshBucketedIndexSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("corrupt meta parameters fail loudly, not with wrong banding") {
+    // bands=0 would divide by zero; bands that don't divide num_hashes
+    // (32/5 → r=6, 30 hashes covered) would band the batch differently
+    // from the stored corpus and return wrong/empty pairs silently —
+    // the load must mirror the save-side requires
+    spark.sql("CREATE OR REPLACE TEMP VIEW graft_lshb_corrupt_meta AS " +
+      "SELECT 5 AS n, 32 AS num_hashes, 0 AS bands")
+    val eZero = intercept[IllegalArgumentException] {
+      TextDedup.crossLshPairsFromBandedIndex(spark, "graft_lshb_corrupt",
+        batch, "doc_id", "text")
+    }
+    assert(eZero.getMessage.contains("corrupt lsh meta"), eZero.getMessage)
+    spark.sql("CREATE OR REPLACE TEMP VIEW graft_lshb_corrupt_meta AS " +
+      "SELECT 5 AS n, 32 AS num_hashes, 5 AS bands")
+    val eDiv = intercept[IllegalArgumentException] {
+      TextDedup.crossLshPairsFromBandedIndex(spark, "graft_lshb_corrupt",
+        batch, "doc_id", "text")
+    }
+    assert(eDiv.getMessage.contains("corrupt lsh meta"), eDiv.getMessage)
+    spark.sql("DROP VIEW IF EXISTS graft_lshb_corrupt_meta")
+  }
+
+  test("table prefixes are validated as identifiers before any DDL") {
+    // the prefix is interpolated into DROP TABLE and saveAsTable, whose
+    // identifier parsing can diverge — metacharacters must fail fast
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.saveLshIndexBucketed(docs, "doc_id", "text",
+        tablePrefix = "bad-prefix; DROP TABLE x", nBuckets = 2)
+    }
+    assert(e.getMessage.contains("table prefix"), e.getMessage)
+    val eLoad = intercept[IllegalArgumentException] {
+      TextDedup.crossLshPairsFromBandedIndex(spark, "bad prefix",
+        batch, "doc_id", "text")
+    }
+    assert(eLoad.getMessage.contains("table prefix"), eLoad.getMessage)
+  }
+
   test("rebuild over an existing bucketed index overwrites cleanly") {
     TextDedup.saveLshIndexBucketed(docs, "doc_id", "text",
       tablePrefix = "graft_lshb_spec3", nBuckets = 4)
