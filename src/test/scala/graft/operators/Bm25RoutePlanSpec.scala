@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+
+/** Plan shape of [[Retrieval.bm25TopK]]'s round-17 query-terms routing —
+  * the `IvfRoutePlanSpec` contract applied to the last ungated
+  * caller-proportional broadcast hint in the API: a bounded query set
+  * broadcasts its (qid, term) side (the pre-gate plan, the
+  * `bm25_1`/`mrr1` posture), a corpus-scale mined-query batch takes the
+  * shuffled `term` join instead of an executor-OOM broadcast — pinned
+  * against the same constant the route reads
+  * ([[Broadcasts.QueryBroadcastBudgetBytes]]) — and results are
+  * hash-identical on both shapes.
+  *
+  * Spark's own statistics-driven broadcast is disabled inside the plan
+  * tests (autoBroadcastJoinThreshold = -1): every synthetic frame here
+  * is tiny by CBO estimates, so with it on BOTH routes would plan a
+  * BroadcastHashJoin and the assertions would read the estimator, not
+  * our hint. With it off, the qTerms join is the ONLY possible
+  * BroadcastHashJoin in the plan (the df/doc-length joins are
+  * sort-merge, the totals cross-join is a nested-loop broadcast), so
+  * BroadcastHashJoin presence IS the routing.
+  */
+class Bm25RoutePlanSpec extends SparkSpec {
+
+  private def withAutoBroadcastOff[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private lazy val smallQueries =
+    docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+
+  /** n queries × 3 UNIQUE terms each — only the distinct (qid, term)
+    * row count matters to the route (each term embeds the qid, so the
+    * distinct side is exactly 3n rows).
+    */
+  private def synthQueries(n: Long): DataFrame =
+    spark.range(n).select(col("id").as("qid"),
+      concat_ws(" ",
+        concat(lit("ta"), col("id")),
+        concat(lit("tb"), col("id")),
+        concat(lit("tc"), col("id"))).as("qtext"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(qs: DataFrame, route: Option[Boolean]): DataFrame =
+    Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+      k = 10, broadcastQueryTerms = route)
+
+  test("auto route: bounded query set keeps the broadcast hint") {
+    withAutoBroadcastOff {
+      val p = planOf(run(smallQueries, None))
+      assert(p.contains("BroadcastHashJoin"),
+        s"small query-terms side must broadcast:\n$p")
+    }
+  }
+
+  test("auto route: query-terms side past the budget takes the " +
+      "shuffled term join") {
+    withAutoBroadcastOff {
+      // 400k queries × 3 distinct terms = 1.2M rows × 64 B ≈ 77 MB >
+      // the 64 MiB budget — one step past the broadcast bar
+      val p = planOf(run(synthQueries(400000L), None))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"corpus-scale query-terms side must NOT broadcast:\n$p")
+    }
+  }
+
+  test("forced routes override the size estimate both ways") {
+    withAutoBroadcastOff {
+      val forcedOff = planOf(run(smallQueries, Some(false)))
+      assert(!forcedOff.contains("BroadcastHashJoin"),
+        s"Some(false) must drop the hint:\n$forcedOff")
+      val forcedOn = planOf(run(synthQueries(400000L), Some(true)))
+      assert(forcedOn.contains("BroadcastHashJoin"),
+        s"Some(true) must keep the hint:\n$forcedOn")
+    }
+  }
+
+  test("results are hash-identical across the two join shapes") {
+    def rows(b: Boolean) = run(smallQueries, Some(b))
+      .orderBy(col("qid"), col("rank"))
+      .collect().map(_.toString).toSeq
+    val viaBc = rows(true)
+    assert(viaBc.nonEmpty)
+    assert(viaBc == rows(false),
+      "broadcast and shuffled shapes must return identical rankings")
+  }
+
+  test("forced routes stay fully lazy: no job runs at plan-construction " +
+      "time (the loop-caller contract)") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    run(smallQueries, Some(true))
+    run(smallQueries, Some(false))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"forced routes must not run jobs at construction: $before -> $after")
+  }
+}
