@@ -52,10 +52,14 @@ object Broadcasts {
   private[graft] val QueryBroadcastBudgetBytes: Long = 64L << 20
 
   /** The route-gate predicate shared by every sized broadcast:
-    * estimated hashed-relation payload vs the budget.
+    * estimated hashed-relation payload vs the budget. Division, not
+    * multiplication: a proven-bound caller can legally hand in a huge
+    * row cap (a giant `range`'s maxRows), and `rows * bytesPerRow`
+    * overflowing negative would pass the gate on exactly the side that
+    * must never broadcast.
     */
   private[graft] def fitsBudget(rows: Long, bytesPerRow: Long): Boolean =
-    rows * bytesPerRow <= QueryBroadcastBudgetBytes
+    rows <= QueryBroadcastBudgetBytes / bytesPerRow
 
   /** `broadcast(df)` iff `rows × bytesPerRow` fits
     * [[QueryBroadcastBudgetBytes]]; the bare frame otherwise, so an
@@ -67,6 +71,24 @@ object Broadcasts {
   private[graft] def sizedBroadcast(df: DataFrame, rows: Long,
                                     bytesPerRow: Long): DataFrame =
     if (fitsBudget(rows, bytesPerRow)) broadcast(df) else df
+
+  /** A row upper bound Catalyst can PROVE for this frame, when it can
+    * (`LogicalPlan.maxRows`: defined through limits, ranges, local
+    * relations, and preserved by projects/filters/aggregates; `None`
+    * past generators and joins). The auto routes consult this BEFORE
+    * paying their eager `count()`: a proven bound at or under the
+    * budget makes the broadcast safe with NO job at plan-construction
+    * time — the common loop-caller shapes (`.limit(n)` slices,
+    * range-generated batches) stay fully lazy on the default route.
+    *
+    * Deliberately NOT `stats.rowCount`: without CBO that is rarely set,
+    * and WITH CBO it is an ESTIMATE that can undershoot (a selectivity
+    * guess), which on this asymmetric decision would turn "estimate was
+    * off" into an executor OOM. `maxRows` is a contract upper bound —
+    * it can only err toward the shuffle, the non-fatal side.
+    */
+  private[graft] def provenMaxRows(df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan.maxRows
 
   /** Managed-table prefixes in the bucketed-index savers are interpolated
     * into DDL (`DROP TABLE IF EXISTS ${prefix}_…`) and into

@@ -64,11 +64,13 @@ object Retrieval {
     * @param broadcastQueryTerms force the postings join's query-terms
     *   side on (`Some(true)`) or off (`Some(false)`) the broadcast;
     *   `None` (default) sizes it against
-    *   [[Broadcasts.QueryBroadcastBudgetBytes]] with one eager
-    *   `count()` of the distinct (qid, term) side — loop callers with
-    *   known-bounded query sets should pass `Some(true)` and stay fully
-    *   lazy (the [[Similarity]] route-count contract). Results are
-    *   hash-identical either way; only the physical exchange differs.
+    *   [[Broadcasts.QueryBroadcastBudgetBytes]] — via a proven row
+    *   bound when Catalyst can supply one, else one eager `count()` of
+    *   the distinct (qid, term) side at plan-construction time; loop
+    *   callers with known-bounded query sets should pass `Some(true)`
+    *   and stay fully lazy (the [[Similarity]] route-count contract).
+    *   Results are hash-identical either way; only the physical
+    *   exchange differs.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                docId: String, textCol: String,
@@ -127,7 +129,14 @@ object Retrieval {
     val qSide = broadcastQueryTerms match {
       case Some(true)  => broadcast(qt)
       case Some(false) => qt
-      case None => Broadcasts.sizedBroadcast(qt, qt.count(), bytesPerRow = 64L)
+      // proven-bound fast path (no construction-time job) before the
+      // eager count — rarely provable here (the explode behind qt hides
+      // the bound from Catalyst) but free to ask, and it keeps the two
+      // routes' semantics aligned with ivfScored's
+      case None if Broadcasts.provenMaxRows(qt)
+        .exists(Broadcasts.fitsBudget(_, 64L)) => broadcast(qt)
+      case None =>
+        Broadcasts.sizedBroadcast(qt, qt.count(), bytesPerRow = 64L)
     }
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +

@@ -601,18 +601,24 @@ object Similarity {
     * preflight over the exact blocking key this join scans on — probe id
     * vs home centroid id (see [[guardIvfCells]]).
     *
-    * ROUTE-COUNT COST (the one eager job the auto route pays): with
-    * `broadcastQueries = None` the size estimate runs `queries.count()`
-    * at PLAN-CONSTRUCTION time — one narrow aggregation, but it
-    * re-executes the query frame's upstream plan once per call, so (a) a
-    * loop over many bounded slices should pass
-    * `broadcastQueries = Some(true)` and stay fully lazy, and (b) a
-    * NONDETERMINISTIC query frame (e.g. an un-persisted `sample()`)
-    * should force a route explicitly — the counted rows and the joined
-    * rows are different draws, and only the route choice (never
-    * correctness) depends on the count. `knownQueryRows` lets a caller
-    * that already counted (e.g. [[contrastivePairs]]'s anchor gate)
-    * share that number instead of paying a second job.
+    * ROUTE-COUNT COST (the one eager job the auto route can pay): with
+    * `broadcastQueries = None` the size estimate first asks Catalyst for
+    * a PROVEN row bound ([[Broadcasts.provenMaxRows]] — limits, ranges,
+    * local relations); a bound at or under the budget broadcasts with
+    * NO job at plan-construction time, so `.limit(n)`-shaped loop
+    * callers stay fully lazy on the default route. Only when no bound
+    * is provable (a filter over the corpus, anything past a generator)
+    * does the route run `queries.count()` — one narrow aggregation, but
+    * it re-executes the query frame's upstream plan once per call, so
+    * (a) a loop over many UNPROVABLE bounded slices should pass
+    * `broadcastQueries = Some(true)`, and (b) a NONDETERMINISTIC query
+    * frame (an un-persisted `sample()`) should force a route
+    * explicitly — the counted rows and the joined rows are different
+    * draws, and only the route choice (never correctness) depends on
+    * the count. `knownQueryRows` lets a caller that already counted
+    * (e.g. [[contrastivePairs]]'s anchor gate) share that number
+    * instead of paying a second job. Measured: `RouteCountProbe`
+    * (numbers in SCALE_SF1.md §Round-17).
     */
   private def ivfScored(index: IvfIndex, queries: DataFrame, idCol: String,
                         vecCol: String, nProbe: Int,
@@ -630,12 +636,18 @@ object Similarity {
     // so a forced route with the guard off pays neither
     lazy val qRows = knownQueryRows.getOrElse(queries.count())
     guardIvfCells(q, index, maxPairFactor, refRows = qRows * nProbe, op)
+    // per exploded row: dim doubles (the query vector, duplicated per
+    // probe in the hashed relation) + qid/nrm/probe + array header —
+    // a deliberate overestimate, erring toward the shuffle
+    val perRow = index.centroids.head.length * 8L + 64L
     val viaBroadcast = broadcastQueries.getOrElse {
-      // per exploded row: dim doubles (the query vector, duplicated per
-      // probe in the hashed relation) + qid/nrm/probe + array header —
-      // a deliberate overestimate, erring toward the shuffle
-      Broadcasts.fitsBudget(qRows * nProbe,
-        index.centroids.head.length * 8L + 64L)
+      // proven-bound fast path first (no job), eager count only past it;
+      // || short-circuits so the count is never paid when the bound
+      // fits. nProbe folds into bytes/row so a huge proven bound cannot
+      // overflow the rows side.
+      Broadcasts.provenMaxRows(queries)
+        .exists(r => Broadcasts.fitsBudget(r, perRow * nProbe)) ||
+        Broadcasts.fitsBudget(qRows, perRow * nProbe)
     }
     val scored = index.vectors
       .join(if (viaBroadcast) broadcast(q) else q,

@@ -85,6 +85,26 @@ class IvfRoutePlanSpec extends SparkSpec {
     }
   }
 
+  test("auto route with a proven row bound stays fully lazy: a " +
+      "limit-bounded query slice broadcasts with NO job at " +
+      "plan-construction time (the round-17 maxRows fast path)") {
+    withAutoBroadcastOff {
+      val qs = emb.limit(20) // GlobalLimit => optimizedPlan.maxRows = 20
+      qs.queryExecution.optimizedPlan // settle analysis outside the window
+      val before =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val df = Similarity.ivfTopK(index, qs, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      val after =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(after == before,
+        s"proven-bound auto route must not count at construction: " +
+          s"$before -> $after")
+      // and it chose the broadcast (the bound fits the budget)
+      assert(planOf(df).contains("BroadcastHashJoin"))
+    }
+  }
+
   test("results are hash-identical across the two join shapes") {
     val qs = emb.limit(40)
     def run(b: Boolean) =
