@@ -114,6 +114,10 @@ class BroadcastHintSweepSpec extends AnyFunSuite {
       "bounded-aggregate", "1-row min/max bounds"),
     Entry("operators/Retrieval.scala", "case Some(true)  => broadcast(qt)",
       "sized-gate", "the forced arm of the bm25 query-terms route"),
+    Entry("operators/Retrieval.scala",
+      "fitsBudget(_, 64L)) => broadcast(qt)",
+      "sized-gate", "the proven-maxRows arm of the same route (a " +
+        "contract upper bound at or under the budget)"),
     Entry("operators/Retrieval.scala", "crossJoin(broadcast(totals))",
       "bounded-aggregate", "1-row corpus totals (n_docs, sum_dl)"),
     Entry("operators/Similarity.scala", "col(\"vid\") =!= col(\"qid\")",
