@@ -564,16 +564,6 @@ object Similarity {
       .select(col("vid") +: col("v") +: col("nrm") +: probes: _*)
   }
 
-  /** The query-side broadcast budget this family routes against — the
-    * round-16 gate, promoted to the shared [[Broadcasts]] home in round
-    * 17 (the bm25 query-terms side is the same shape); kept here as the
-    * name the IVF route specs and scaladocs pin against. The full
-    * asymmetric-failure rationale lives on
-    * [[Broadcasts.QueryBroadcastBudgetBytes]].
-    */
-  private[graft] def QueryBroadcastBudgetBytes: Long =
-    Broadcasts.QueryBroadcastBudgetBytes
-
   /** Shared IVF probe stage: every (query, probed-bucket vector) pair with
     * its raw-double cosine — a corpus vector meets a query at most once
     * (it lives in exactly one centroid bucket). [[ivfTopK]] ranks this;
@@ -593,7 +583,7 @@ object Similarity {
     * shape; `None` (default) estimates the exploded payload from one
     * `count()` of the query side — a driver-cheap aggregation the guard
     * path already shares via the same lazy count — and broadcasts only
-    * at or under [[QueryBroadcastBudgetBytes]]. Results are
+    * at or under [[Broadcasts.QueryBroadcastBudgetBytes]]. Results are
     * hash-identical either way (same join predicate, same cosine;
     * pinned in `IvfRoutePlanSpec`); only the physical exchange differs.
     *
@@ -729,7 +719,7 @@ object Similarity {
     *   no extra work beyond the route's one query-side count.
     * @param broadcastQueries force the probe join's query side on
     *   (`Some(true)`) or off (`Some(false)`) the broadcast; `None`
-    *   (default) sizes it against [[QueryBroadcastBudgetBytes]].
+    *   (default) sizes it against [[Broadcasts.QueryBroadcastBudgetBytes]].
     *   Results are hash-identical either way.
     */
   def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,

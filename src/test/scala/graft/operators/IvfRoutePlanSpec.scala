@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.{array, col, lit, sin}
   * a bounded query slice broadcasts (the pre-gate plan, the catalog
   * posture), a corpus-scale query side takes the shuffled equi-join
   * instead of an executor-OOM broadcast — pinned against the SAME
-  * constant the route reads ([[Similarity.QueryBroadcastBudgetBytes]]),
+  * constant the route reads ([[Broadcasts.QueryBroadcastBudgetBytes]]),
   * and results are hash-identical on both shapes.
   *
   * Spark's own statistics-driven broadcast is disabled inside these
