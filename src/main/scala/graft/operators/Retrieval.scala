@@ -205,18 +205,26 @@ object Retrieval {
     import sp.implicits._
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_postings")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_doclen")
-    val docLen = docs.select(col(docId).as("doc_id"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-    val t = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    docs.select(col(docId).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${tablePrefix}_doclen")
+    // totals read BACK from the written doclen table: aggregating the
+    // in-plan docLen frame would tokenize the corpus a third time (the
+    // doclen write and the postings write below already each pay one
+    // full tokenize pass); the written table is two narrow columns
+    // coalesce: an empty corpus writes (0, 0) and the LOAD refuses it
+    // with the corrupt-meta message, instead of an NPE here
+    val t = sp.table(s"${tablePrefix}_doclen")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .head()
     Seq((t.getLong(0), t.getLong(1), TokenizerTag))
       .toDF("n_docs", "sum_dl", "tokenizer")
       .coalesce(1)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_meta")
-    docLen.write.format("parquet")
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${tablePrefix}_doclen")
     docs
       .select(col(docId).as("doc_id"),
         explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
