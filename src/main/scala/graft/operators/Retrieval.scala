@@ -63,14 +63,14 @@ object Retrieval {
     *
     * @param broadcastQueryTerms force the postings join's query-terms
     *   side on (`Some(true)`) or off (`Some(false)`) the broadcast;
-    *   `None` (default) sizes it against
-    *   [[Broadcasts.QueryBroadcastBudgetBytes]] — via a proven row
-    *   bound when Catalyst can supply one, else one eager `count()` of
-    *   the distinct (qid, term) side at plan-construction time; loop
-    *   callers with known-bounded query sets should pass `Some(true)`
-    *   and stay fully lazy (the [[Similarity]] route-count contract).
-    *   Results are hash-identical either way; only the physical
-    *   exchange differs.
+    *   `None` (default) MEASURES the distinct (qid, term) side — one
+    *   eager aggregation at plan-construction time returning row count
+    *   and summed term bytes — against
+    *   [[Broadcasts.QueryBroadcastBudgetBytes]]; loop callers with
+    *   known-bounded query sets should pass `Some(true)` and stay
+    *   fully lazy (the [[Similarity]] route-count contract). Results
+    *   are hash-identical either way; only the physical exchange
+    *   differs.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                docId: String, textCol: String,
@@ -115,12 +115,10 @@ object Retrieval {
     * doc against 10M mined queries, ~20 distinct terms each → a 200M-row
     * hashed relation shipped to every executor), while the plain
     * shuffled join on `term` handles that shape with one exchange per
-    * side. Same cure as [[Similarity]]'s round-16 `ivfScored` fix:
-    * `qt.count()` rows × ~64 B/row (qid long + a short hashed term
-    * string — a deliberate overestimate, erring toward the shuffle)
-    * against [[Broadcasts.QueryBroadcastBudgetBytes]]; the
-    * asymmetric-failure rationale (OOM fatal vs extra exchange slow)
-    * lives on the budget constant.
+    * side. Same cure as [[Similarity]]'s round-16 `ivfScored` fix,
+    * with the estimate MEASURED rather than assumed (see the route
+    * below): the asymmetric-failure rationale (OOM fatal vs extra
+    * exchange slow) lives on [[Broadcasts.QueryBroadcastBudgetBytes]].
     */
   private def bm25Rank(postings: DataFrame, dfreq: DataFrame,
                        docLen: DataFrame, totals: DataFrame, qt: DataFrame,
@@ -129,14 +127,23 @@ object Retrieval {
     val qSide = broadcastQueryTerms match {
       case Some(true)  => broadcast(qt)
       case Some(false) => qt
-      // proven-bound fast path (no construction-time job) before the
-      // eager count — rarely provable here (the explode behind qt hides
-      // the bound from Catalyst) but free to ask, and it keeps the two
-      // routes' semantics aligned with ivfScored's
-      case None if Broadcasts.provenMaxRows(qt)
-        .exists(Broadcasts.fitsBudget(_, 64L)) => broadcast(qt)
       case None =>
-        Broadcasts.sizedBroadcast(qt, qt.count(), bytesPerRow = 64L)
+        // one aggregation measures the ACTUAL payload — row count AND
+        // summed term bytes — where ivfScored can multiply rows by a
+        // KNOWN row width (dim doubles), a term string has no a-priori
+        // width: a bytes/row constant would under-gate a query set of
+        // pathological giant "terms" (no-whitespace documents) into an
+        // oversized broadcast. Same single-job cost as a bare count;
+        // octet_length so multi-byte text counts as the bytes the
+        // hashed relation will actually hold. No maxRows fast path
+        // here: the explode behind qt hides any provable bound from
+        // Catalyst, and a row bound alone cannot bound STRING bytes.
+        val est = qt.agg(count(lit(1)).as("n"),
+          coalesce(sum(octet_length(col("term"))), lit(0L)).as("b")).head()
+        // + qid long / pointers / row overhead per hashed-relation row
+        val bytes = est.getLong(1) + est.getLong(0) * 48L
+        if (bytes <= Broadcasts.QueryBroadcastBudgetBytes) broadcast(qt)
+        else qt
     }
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +

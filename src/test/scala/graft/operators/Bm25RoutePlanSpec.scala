@@ -69,9 +69,11 @@ class Bm25RoutePlanSpec extends SparkSpec {
   test("auto route: query-terms side past the budget takes the " +
       "shuffled term join") {
     withAutoBroadcastOff {
-      // 400k queries × 3 distinct terms = 1.2M rows × 64 B ≈ 77 MB >
-      // the 64 MiB budget — one step past the broadcast bar
-      val p = planOf(run(synthQueries(400000L), None))
+      // 600k queries × 3 distinct terms = 1.8M rows × 48 B row
+      // overhead ≈ 86 MB before the ~14 MB of measured term bytes —
+      // clearly past the 64 MiB budget (the route MEASURES rows and
+      // octet_length, so the margin is computed, not guessed)
+      val p = planOf(run(synthQueries(600000L), None))
       assert(!p.contains("BroadcastHashJoin"),
         s"corpus-scale query-terms side must NOT broadcast:\n$p")
     }
@@ -82,9 +84,26 @@ class Bm25RoutePlanSpec extends SparkSpec {
       val forcedOff = planOf(run(smallQueries, Some(false)))
       assert(!forcedOff.contains("BroadcastHashJoin"),
         s"Some(false) must drop the hint:\n$forcedOff")
-      val forcedOn = planOf(run(synthQueries(400000L), Some(true)))
+      val forcedOn = planOf(run(synthQueries(600000L), Some(true)))
       assert(forcedOn.contains("BroadcastHashJoin"),
         s"Some(true) must keep the hint:\n$forcedOn")
+    }
+  }
+
+  test("auto route: giant terms route by MEASURED bytes, not row count " +
+      "(a no-whitespace corpus must not sneak under a bytes/row guess)") {
+    withAutoBroadcastOff {
+      // 3k queries × 1 term each — but each "term" is a ~32 KB blob:
+      // ~96 MB of term bytes on 3k rows. A 64 B/row estimate would
+      // read ~0.2 MB and broadcast; the measured octet_length routes
+      // it to the shuffle.
+      import org.apache.spark.sql.functions.repeat
+      val giant = spark.range(3000).select(col("id").as("qid"),
+        repeat(concat(lit("x"), col("id")), 8000).as("qtext"))
+      val p = planOf(Retrieval.bm25TopK(docs, giant, "doc_id", "text",
+        "qid", "qtext", k = 10))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"giant-term query side must NOT broadcast:\n$p")
     }
   }
 

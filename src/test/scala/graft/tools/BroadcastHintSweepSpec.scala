@@ -75,9 +75,9 @@ class BroadcastHintSweepSpec extends AnyFunSuite {
     Entry("operators/Retrieval.scala", "case Some(true)  => broadcast(qt)",
       "sized-gate", "the forced arm of the bm25 query-terms route"),
     Entry("operators/Retrieval.scala",
-      "fitsBudget(_, 64L)) => broadcast(qt)",
-      "sized-gate", "the proven-maxRows arm of the same route (a " +
-        "contract upper bound at or under the budget)"),
+      "Broadcasts.QueryBroadcastBudgetBytes) broadcast(qt)",
+      "sized-gate", "the measured-payload arm of the same route (rows " +
+        "and octet_length aggregated in one job)"),
     Entry("operators/Retrieval.scala", "crossJoin(broadcast(totals))",
       "bounded-aggregate", "1-row corpus totals (n_docs, sum_dl)"),
     Entry("operators/Similarity.scala", "col(\"vid\") =!= col(\"qid\")",

@@ -79,6 +79,10 @@ class CollectSiteSweepSpec extends AnyFunSuite {
     Entry("operators/Retrieval.scala",
       "coalesce(sum(col(\"dl\")), lit(0L)).as(\"sum_dl\")) .head()",
       "scalar-aggregate", "1-row corpus totals at index-build time"),
+    Entry("operators/Retrieval.scala",
+      "coalesce(sum(octet_length(col(\"term\"))), lit(0L)).as(\"b\")).head()",
+      "scalar-aggregate", "1-row (rows, bytes) payload measurement for " +
+        "the query-terms route"),
     Entry("operators/Retrieval.scala", "val m = meta.collect()",
       "meta-row", "bm25 index meta — row count require'd == 1"),
     Entry("operators/Similarity.scala",
