@@ -1,0 +1,164 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The escape-hatch ALLOWLIST sweep — the third recurring hand audit
+  * made mechanical (after broadcast hints and driver
+  * materializations): every verdict checks that `udf(` /
+  * `mapPartitions` / custom-state operators appear "only where
+  * Catalyst can't reach" and that no UDF sits where a built-in fits.
+  * This spec freezes that judgment: every escape-hatch site in
+  * `src/main` (`udf(`/`udf {`, `.mapPartitions`,
+  * `mapGroupsWithState`/`flatMapGroupsWithState`, `.rdd`) must match
+  * an allowlist entry carrying its why-not-Catalyst class:
+  *
+  *  - `stateful-blackbox` — per-partition external-resource batching
+  *    (an HTTP client is not an expression).
+  *  - `binary-codec` — byte-level media decode over `binary` columns.
+  *  - `numeric-kernel` — a tight multi-output numeric loop over
+  *    per-call constants (random planes, a centroid matrix, a
+  *    quantizer) that no built-in composition expresses; each is
+  *    documented at its site, `Array`-typed in the hot path (the
+  *    round-15 Seq-vs-Array lesson), and a candidate for a native
+  *    `Expression` only if a profile says it is hot.
+  *  - `driver-value-probe` — probing a broadcast driver value (the
+  *    Bloom filter) that has no column representation.
+  *  - `custom-state` — Structured Streaming state machines
+  *    (sessionization) built on the engine's own state API.
+  *  - `custom-aggregator` — typed `Aggregator`s for sketch state
+  *    (SpaceSaving, moment matrices) that Catalyst's built-in
+  *    aggregates cannot hold; registered via `functions.udaf` so they
+  *    still compose with `groupBy`.
+  *  - `reference-parity` — a port of reference UDF semantics
+  *    (`utilities.py` scorer, the translate prompt), kept a UDF
+  *    because the reference's behavior — not a relational recompute —
+  *    is the contract.
+  *
+  * `.rdd` has ZERO allowed sites: the DataFrame/Dataset rule is
+  * absolute in this codebase, so any appearance fails with no
+  * allowlist escape short of editing this spec.
+  */
+class NonCatalystSweepSpec extends AnyFunSuite {
+  import SourceSites.Site
+
+  private case class Entry(file: String, marker: String, cls: String,
+                           why: String)
+
+  private val call =
+    ("(?<![A-Za-z0-9_])udf\\s*[({]|(?<![A-Za-z0-9_])udaf\\(" +
+      "|extends Aggregator\\[|\\.mapPartitions" +
+      "|mapGroupsWithState|flatMapGroupsWithState|\\.rdd\\b").r
+
+  /** THE FROZEN ALLOWLIST. Adding an escape hatch to src/main means
+    * answering: why can't Catalyst express this, and what keeps it
+    * off the hot path / codegen-friendly?
+    */
+  private val allow: Seq[Entry] = Seq(
+    Entry("ai/AiFunctions.scala", "df.mapPartitions { rows =>",
+      "stateful-blackbox", "one HTTP client per partition, requests " +
+        "batched — the documented U1 impl; an expression cannot hold a " +
+        "connection"),
+    Entry("multimodal/Multimodal.scala", "media.mapPartitions { rows =>",
+      "binary-codec", "javax.imageio decode over binary content — " +
+        "byte-level, batched per partition"),
+    Entry("model/AuxDimsJob.scala", "udf((name: String) =>",
+      "reference-parity", "the ai_query translate prompt " +
+        "(auxillary_dims.py:19-25) — the reference's LLM call is the " +
+        "contract, not a relational recompute"),
+    Entry("model/ReviewsFactJob.scala", "udf((t: String) => sc.score(t))",
+      "reference-parity", "the U1 sentiment scorer (reviews_fact.py) — " +
+        "rubric + fallback semantics ported as data, not re-derived"),
+    Entry("operators/Similarity.scala", "val bandUdf = udf { (v: Seq[Double]) =>",
+      "numeric-kernel", "sign-LSH banding: nBits random-plane dot " +
+        "products folded to band keys; planes are per-call constants no " +
+        "built-in can close over"),
+    Entry("operators/Similarity.scala", "val assignUdf = udf { (v: Array[Double]) =>",
+      "numeric-kernel", "k-means assignment: argmin over the broadcast " +
+        "centroid matrix, top-p probe slots — Array-typed end-to-end " +
+        "(the round-15 11.8s -> 0.9s rewrite)"),
+    Entry("operators/Quantization.scala", "private val quantizeUdf = udf {",
+      "numeric-kernel", "int8 scalar quantization: per-vector min/max + " +
+        "byte packing in one pass"),
+    Entry("operators/Quantization.scala", "private val dequantizeUdf = udf {",
+      "numeric-kernel", "the inverse unpack — same shape"),
+    Entry("operators/TextDedup.scala", "private val shingleUdf = udf {",
+      "numeric-kernel", "character n-gram shingling with doc-local " +
+        "dedup — substring windows over one string, emitted once each"),
+    Entry("operators/TextDedup.scala",
+      "val mightContain = udf((d: String) =>",
+      "driver-value-probe", "Bloom membership probe against the " +
+        "broadcast filter value — DataFrameStatFunctions' filter has no " +
+        "column form; the sketch is driver state by construction"),
+    Entry("operators/TextDedup.scala", "private val simHashUdf = udf {",
+      "numeric-kernel", "64-bit simhash: per-token hash bit-votes " +
+        "accumulated in one int array pass"),
+    Entry("operators/TextDedup.scala", "private val simHash128Udf = udf {",
+      "numeric-kernel", "the 128-bit variant for corpus-scale banding"),
+    Entry("operators/TextDedup.scala", "private val combo128Udf = udf {",
+      "numeric-kernel", "16-bit band extraction over the 128-bit " +
+        "signature pair"),
+    Entry("streaming/EventStreams.scala", ".flatMapGroupsWithState(",
+      "custom-state", "sessionization: per-key timeout state on the " +
+        "engine's own state API — the documented Structured Streaming " +
+        "form for custom state"),
+    Entry("operators/HeavyHitters.scala", "extends Aggregator[String, Sketch",
+      "custom-aggregator", "SpaceSaving sketch state — no built-in " +
+        "aggregate holds a capacity-bounded counter table"),
+    Entry("operators/HeavyHitters.scala",
+      "extends Aggregator[String, Summary",
+      "custom-aggregator", "the StreamSummary fast variant, same state " +
+        "shape"),
+    Entry("operators/HeavyHitters.scala",
+      "udaf(new StreamSummaryAgg(capacity)",
+      "custom-aggregator", "registration — composes with groupBy"),
+    Entry("operators/HeavyHitters.scala",
+      "udaf(new SpaceSavingAgg(capacity)",
+      "custom-aggregator", "registration — composes with groupBy"),
+    Entry("operators/Pca.scala", "extends Aggregator[Seq[Float], Moments",
+      "custom-aggregator", "one-pass Gram/mean moment matrix — dim² " +
+        "running state no built-in aggregate carries"),
+  )
+
+  private def question(s: Site): String =
+    s"UNLISTED Catalyst escape hatch at ${s.file}:${s.line} — " +
+      s"`${s.text}`. Classify it in NonCatalystSweepSpec.allow: " +
+      "stateful-blackbox / binary-codec / numeric-kernel / " +
+      "driver-value-probe / custom-state / reference-parity — and why " +
+      "can't org.apache.spark.sql.functions or a native Expression " +
+      "express it? If a built-in fits, use the built-in."
+
+  test("every Catalyst escape hatch in src/main carries an allowlist " +
+      "classification, no allowlist entry is dead, and .rdd has zero " +
+      "sites") {
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"expected source root at ${root.getAbsolutePath}")
+    val found = SourceSites.scanTree(root, call)
+    assert(found.nonEmpty, "scanner found zero sites — scanner broken")
+    assert(!found.exists(_.text.contains(".rdd")),
+      ".rdd is not allowlistable in this codebase: " +
+        found.filter(_.text.contains(".rdd")).mkString("; "))
+    val unlisted = found.filterNot(s =>
+      allow.exists(a => a.file == s.file && s.text.contains(a.marker)))
+    assert(unlisted.isEmpty, unlisted.map(question).mkString("\n"))
+    val dead = allow.filterNot(a =>
+      found.exists(s => s.file == a.file && s.text.contains(a.marker)))
+    assert(dead.isEmpty,
+      "dead allowlist entries (site removed or reworded — update the " +
+        "list so it cannot rot): " +
+        dead.map(a => s"${a.file} `${a.marker}`").mkString("; "))
+  }
+
+  test("a planted unlisted UDF trips the sweep with the " +
+      "why-not-Catalyst question") {
+    val planted = SourceSites.sites("operators/Planted.scala",
+      """object Planted {
+        |  // a comment mentioning udf( must not count
+        |  val upper = udf((s: String) => s.toUpperCase)
+        |}""".stripMargin, call)
+    assert(planted.map(_.line) == Seq(3), s"expected the one real site: $planted")
+    val unlisted = planted.filterNot(s =>
+      allow.exists(a => a.file == s.file && s.text.contains(a.marker)))
+    assert(unlisted.length == 1)
+    assert(question(unlisted.head).contains("use the built-in"))
+  }
+}
