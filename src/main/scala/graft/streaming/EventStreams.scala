@@ -183,8 +183,19 @@ object EventStreams {
   final case class SessionSummary(user_id: Long, n_sessions: Int,
                                   n_events: Long)
 
-  private final case class SessionState(lastTs: Long, nSessions: Int,
-                                        nEvents: Long)
+  /** Keyed session state. PUBLIC by necessity, not by API intent: the
+    * state-store encoder's generated code (Janino, compiled OUTSIDE this
+    * package) must name this class to read its fields back between
+    * micro-batches — as `private`/`private[streaming]` it compiles to a
+    * package-private class the generated code cannot reference, and a
+    * STREAMING run fails at runtime with a codegen CompileException the
+    * moment state written by batch N is deserialized by batch N+1
+    * (batch-mode passes hold state as live objects in one group pass and
+    * never hit the encoder, which is how the oracle test missed it;
+    * caught by `StreamingPropertySpec`'s multi-batch delivery).
+    */
+  final case class SessionState(lastTs: Long, nSessions: Int,
+                                nEvents: Long)
 
   /** Gap-based sessionization with custom keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to the
@@ -196,6 +207,17 @@ object EventStreams {
     * The batch oracle for the same semantics is a window-function plan:
     * sessions = 1 + Σ [ts − lag(ts) > gap] per user. Gap comparison is in
     * microseconds to match the batch `unix_micros` arithmetic exactly.
+    *
+    * OPERATIONAL: run the streaming form with a real trigger interval.
+    * ProcessingTimeTimeout makes the stateful operator report pending
+    * work on EVERY trigger (a timeout could always have expired), so
+    * under the default 0-interval trigger the engine busy-loops empty
+    * micro-batches, and `processAllAvailable()` never returns (the
+    * no-new-data signal it waits on is never raised). Delivery contract
+    * for exact batch-oracle parity: per-user event-time order across
+    * micro-batches (within a batch the update function sorts); a late
+    * event older than the user's state is counted into the CURRENT
+    * session, the standard state-store semantics.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long,
                  idleTimeout: String = "2 hours")
