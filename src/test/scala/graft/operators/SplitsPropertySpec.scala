@@ -29,12 +29,14 @@ class SplitsPropertySpec extends SparkSpec {
   /** Independent portable-hash reference: first 8 hex chars of md5(id)
     * (= first 4 digest bytes) as an unsigned int, mod 100.
     */
-  private def refBucket(id: String): Long = {
+  private def refBucket32(id: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8"))
     val hex = d.take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16) % 100
+    java.lang.Long.parseLong(hex, 16)
   }
+
+  private def refBucket(id: String): Long = refBucket32(id) % 100
 
   private def refSplit(id: String, trainPct: Int, valPct: Int): String = {
     val b = refBucket(id)
@@ -96,6 +98,74 @@ class SplitsPropertySpec extends SparkSpec {
         key == expectedKey &&
           split == refSplit(expectedKey.toString, 80, 10)
       }
+    })
+  }
+
+  test("weightedSample = the exact A-Res selection reference, ranks included") {
+    val rowsGen = Gen.listOfN(20, for {
+      s <- Gen.choose(0, 1)
+      id <- Gen.choose(0L, 1000000L)
+      w <- Gen.oneOf(0.0, -1.0, 1.0, 2.0, 5.0) // incl. the null-key cases
+    } yield (s, id, w)).map(_.distinctBy(_._2))
+    check(Prop.forAll(rowsGen, Gen.choose(1, 4)) { (rows, n) =>
+      val got = Splits
+        .weightedSample(rows.toDF("stratum", "id", "w"), "stratum", "id", "w", n)
+        .select("stratum", "id", "sample_rank")
+        .as[(Int, Long, Int)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (s, rs) =>
+        val keyed = rs.map { case (_, id, w) =>
+          val u = (refBucket32(id.toString).toDouble + 0.5) / 4294967296.0
+          val key = if (w > 0.0)
+            Some(BigDecimal(math.log(u) / w)
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          else None // non-positive weight → null key, ranked last
+          (id, key)
+        }
+        // desc with nulls last, id-asc tie-break — the window's ordering
+        keyed.sortWith { case ((ida, ka), (idb, kb)) =>
+          (ka, kb) match {
+            case (Some(a), Some(b)) => if (a != b) a > b else ida < idb
+            case (Some(_), None) => true
+            case (None, Some(_)) => false
+            case (None, None) => ida < idb
+          }
+        }.take(n).zipWithIndex.map { case ((id, _), i) => (s, id, i + 1) }
+      }.toSet
+      got == expected
+    })
+  }
+
+  test("temperatureMix keeps exactly the reference threshold cut (α = 0.5)") {
+    val rowsGen = Gen.listOfN(30, for {
+      src <- Gen.oneOf("web", "code", "books")
+      id <- Gen.choose(0L, 1000000L)
+    } yield (id, src)).map(_.distinctBy(_._1))
+    check(Prop.forAll(rowsGen, Gen.oneOf(0.3, 0.5, 1.0)) { (rows, frac) =>
+      val got = Splits
+        .temperatureMix(rows.toDF("id", "source"), "id", "source",
+          alpha = 0.5, targetFrac = frac)
+        .select("id").as[Long].collect().toSet
+      val perSource = rows.groupBy(_._2).map { case (s, rs) =>
+        s -> rs.length.toLong
+      }
+      val total = rows.length.toLong
+      // each per-source sqrt rounds to DECIMAL(18,6) BEFORE the sum
+      val sq = perSource.map { case (s, ns) =>
+        s -> BigDecimal(math.sqrt(ns.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val z = sq.values.sum
+      val thr = perSource.map { case (s, ns) =>
+        val raw = math.min(1.0,
+          frac * total.toDouble * (sq(s).doubleValue / z.doubleValue)
+            / ns.toDouble) * 100.0
+        s -> BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .doubleValue
+      }
+      val expected = rows.collect {
+        case (id, s) if refBucket(id.toString).toDouble < thr(s) => id
+      }.toSet
+      got == expected
     })
   }
 
