@@ -94,6 +94,20 @@ object Compaction {
   /** Rewrite `fqn` into ceil(rows/targetRows) files.
     * Returns (filesBefore, filesAfter).
     *
+    * PLAIN (unpartitioned, unbucketed) tables only — refused loudly
+    * otherwise, mirroring upsert's layout guards: the staged rewrite is
+    * written without a layout, so on a partitioned table it would
+    * silently FLATTEN the partitioning cp2-style consumers prune on (use
+    * [[compactPartitions]], which preserves the layout and rewrites only
+    * the selected slice), and on a bucketed table it would drop the
+    * bucketing (rewrite via `TableStore.saveBucketed`). The failure is
+    * not hypothetical: under the in-memory catalog the rename swap also
+    * loses a partitioned table's per-partition locations, so the race
+    * guard reads 0 rows and aborts EVERY such call — found by the
+    * random-sequence table fuzzer (`TableModelPropertySpec`), whose
+    * upsert→compact compositions hit the partitioned target the
+    * per-transition specs never aimed at compactTable.
+    *
     * `beforeSwap` is a test seam: runs after staging, before the swap —
     * the window where a concurrent write must trip the abort guard.
     *
@@ -138,6 +152,17 @@ object Compaction {
             s"one of '$fqn' / '$old', drop the other) and retry")
       }
     }
+    val layoutCols = spark.catalog.listColumns(fqn).collect()
+    require(!layoutCols.exists(_.isPartition),
+      s"compactTable stages an UNPARTITIONED rewrite; '$fqn' is " +
+        s"partitioned on " +
+        s"${layoutCols.filter(_.isPartition).map(_.name).mkString(", ")} — " +
+        "use compactPartitions(fqn, <partition predicate>, targetRows), " +
+        "which preserves the layout and rewrites only the selected slice")
+    require(!layoutCols.exists(_.isBucket),
+      s"compactTable would drop the bucketing of '$fqn' (bucketed on " +
+        s"${layoutCols.filter(_.isBucket).map(_.name).mkString(", ")}) — " +
+        "rewrite via a layout-preserving saveBucketed instead")
     val before = spark.table(fqn).inputFiles.length
     val rows = spark.table(fqn).count()
     val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
