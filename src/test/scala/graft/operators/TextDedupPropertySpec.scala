@@ -115,6 +115,68 @@ class TextDedupPropertySpec extends SparkSpec {
     })
   }
 
+  // second corpus with a disjoint id space, built from the SAME vocab so
+  // cross-corpus overlap actually occurs
+  private val benchGen: Gen[List[(Long, String)]] = corpusGen.map(
+    _.take(5).map { case (id, t) => (100L + id, t) })
+
+  test("crossJaccardPairs = exactly the cross pairs with Jaccard ≥ t") {
+    val (n, t) = (2, 0.3)
+    check(Prop.forAll(corpusGen, benchGen) { (train, bench) =>
+      val got = TextDedup.crossJaccardPairs(
+        train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", n, t)
+        .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (ta, tt) <- train; (ba, bt) <- bench
+        sa = shingleSet(tt, n); sb = shingleSet(bt, n)
+        if (sa & sb).nonEmpty && jac(sa, sb) >= t
+      } yield (ta, ba)).toSet
+      got == expected
+    })
+  }
+
+  test("crossMinHashLshPairs = cross band-collisions ∩ exact Jaccard ≥ t") {
+    val (n, numHashes, bands, t) = (2, 8, 4, 0.3)
+    val r = numHashes / bands
+    check(Prop.forAll(corpusGen, benchGen) { (corpus, batch) =>
+      val cDf = corpus.toDF("doc_id", "text")
+      val bDf = batch.toDF("doc_id", "text")
+      val got = TextDedup.crossMinHashLshPairs(cDf, bDf,
+        "doc_id", "text", n, numHashes, bands, t)
+        .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+      val cSigs = TextDedup.minHashSignatures(cDf, "doc_id", "text",
+        n, numHashes).as[(Long, Seq[Long])].collect().toMap
+      val bSigs = TextDedup.minHashSignatures(bDf, "doc_id", "text",
+        n, numHashes).as[(Long, Seq[Long])].collect().toMap
+      val expected = (for {
+        (ca, ct) <- corpus; (ba, bt) <- batch
+        sa <- cSigs.get(ca); sb <- bSigs.get(ba)
+        if (0 until bands).exists(b =>
+          sa.slice(b * r, (b + 1) * r) == sb.slice(b * r, (b + 1) * r))
+        if jac(shingleSet(ct, n), shingleSet(bt, n)) >= t
+      } yield (ca, ba)).toSet
+      got == expected
+    })
+  }
+
+  test("ngramCollisions = per-doc distinct-window intersection counts") {
+    val n = 2
+    check(Prop.forAll(corpusGen, benchGen) { (corpus, bench) =>
+      val got = TextDedup.ngramCollisions(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+        .as[(Long, Long)].collect().toMap
+      val benchSet = bench.map(b => shingleSet(b._2, n))
+        .foldLeft(Set.empty[String])(_ | _)
+      val expected = corpus.flatMap { case (id, t) =>
+        val k = (shingleSet(t, n) & benchSet).size.toLong
+        if (k > 0) Some(id -> k) else None
+      }.toMap
+      got == expected
+    })
+  }
+
   test("minHashLshPairs = band-collision candidates ∩ exact Jaccard ≥ t") {
     val (n, numHashes, bands, t) = (2, 8, 4, 0.3)
     val r = numHashes / bands
