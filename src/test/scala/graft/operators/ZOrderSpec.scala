@@ -78,4 +78,42 @@ class ZOrderSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("pruned box reads equal the full filter on random boxes (property)") {
+    // random data + random boxes (overlapping, disjoint, degenerate,
+    // fully-outside → the zero-surviving-files schema path): the stats
+    // prune is conservative, never authoritative — every box must read
+    // back exactly the full-scan filter
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dataGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 63L), Gen.choose(0L, 63L)))
+      .map(_.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) })
+    val boxGen = Gen.listOfN(4, for {
+      x1 <- Gen.choose(-5L, 70L); x2 <- Gen.choose(-5L, 70L)
+      y1 <- Gen.choose(-5L, 70L); y2 <- Gen.choose(-5L, 70L)
+    } yield (math.min(x1, x2), math.max(x1, x2),
+      math.min(y1, y2), math.max(y1, y2)))
+    val prop = Prop.forAll(dataGen, boxGen) { (rows, boxes) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-zprop").toString
+      try {
+        val df = rows.toDF("id", "x", "y")
+        val stats = ZOrder.writeClustered(df, "x", "y", s"$dir/z",
+          numFiles = 4, bits = 6)
+        val nFiles = stats.count()
+        boxes.forall { case (xLo, xHi, yLo, yHi) =>
+          val (got, files) = ZOrder.readPruned(stats, "x", "y",
+            xLo, xHi, yLo, yHi)
+          val gotIds = got.select("id").as[Long].collect().toSet
+          val expected = rows.collect {
+            case (id, x, y)
+              if x >= xLo && x <= xHi && y >= yLo && y <= yHi => id
+          }.toSet
+          gotIds == expected && files <= nFiles
+        }
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
+    assert(SCTest.check(params, prop).passed)
+  }
 }
