@@ -42,7 +42,12 @@ class OperatorPropertySpec extends SparkSpec {
         id -> rs.filter(r => r._1 == k && r._3 <= t)
           .sortBy(_._3).lastOption.map(_._2)
       }.toMap
-      got == expected
+      // inner = left minus the unmatched rows, same matches
+      val gotInner = AsOfJoin.asOf(left, right, "k", "lts", "rts",
+        Seq("rid"), joinType = "inner")
+        .select("lid", "rid").as[(Long, Long)].collect().toMap
+      got == expected &&
+        gotInner == expected.collect { case (id, Some(r)) => id -> r }
     }
     check(prop)
   }
