@@ -152,6 +152,12 @@ object Compaction {
             s"one of '$fqn' / '$old', drop the other) and retry")
       }
     }
+    // deliberately AFTER the self-heal: a crashed run's __old must be
+    // renamed back before refusing — the rename-back re-aligns the
+    // in-memory catalog's partition locations with the restored data dir
+    // (the same A→B→A round trip the abort path relies on), so the
+    // refusal below leaves a READABLE table under its own name rather
+    // than a stranded __old
     val layoutCols = spark.catalog.listColumns(fqn).collect()
     require(!layoutCols.exists(_.isPartition),
       s"compactTable stages an UNPARTITIONED rewrite; '$fqn' is " +

@@ -78,10 +78,14 @@ class TableModelPropertySpec extends SparkSpec {
           case _ => () // compaction before the table exists / empty slice
         }
         val gotPlain = plain.load("dim", "t").select("id", "v")
-          .as[(Long, Long)].collect().toMap
+          .as[(Long, Long)].collect()
         val gotParted = parted.load("dim", "t")
           .select("id", "v", "p").as[(Long, Long, Long)].collect()
-        gotPlain == model &&
+        // row counts asserted BEFORE the map collapse: a stale-row
+        // regression leaves a duplicate id that .toMap would hide
+        gotPlain.length == model.size &&
+          gotPlain.toMap == model &&
+          gotParted.length == model.size &&
           gotParted.map(r => r._1 -> r._2).toMap == model &&
           gotParted.forall(r => r._3 == r._2 % 3) // derived partition moved
       } finally { plain.dropAll(); parted.dropAll() }

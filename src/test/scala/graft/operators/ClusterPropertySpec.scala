@@ -16,8 +16,10 @@ class ClusterPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   // small vertex domain → collisions, multi-edge components, chains
   private val edgesGen: Gen[List[(Long, Long)]] =

@@ -23,8 +23,10 @@ class CurationPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   // en markers/stopwords ("the", "a", "of", "and") vs neutral words: their
   // mix decides both gates; short docs (< 5 tokens) dodge the shingler

@@ -18,8 +18,10 @@ class IndexFidelityPropertySpec extends SparkSpec {
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(3)
   private val runId = new AtomicInteger(0)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   private def dropAll(prefix: String, suffixes: Seq[String]): Unit =
     suffixes.foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$s"))

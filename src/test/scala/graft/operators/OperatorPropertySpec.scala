@@ -42,12 +42,14 @@ class OperatorPropertySpec extends SparkSpec {
         id -> rs.filter(r => r._1 == k && r._3 <= t)
           .sortBy(_._3).lastOption.map(_._2)
       }.toMap
-      // inner = left minus the unmatched rows, same matches
+      // inner = left minus the unmatched rows, same matches; compared as
+      // sorted rows (not a map) so duplicated emissions can't hide
       val gotInner = AsOfJoin.asOf(left, right, "k", "lts", "rts",
         Seq("rid"), joinType = "inner")
-        .select("lid", "rid").as[(Long, Long)].collect().toMap
+        .select("lid", "rid").as[(Long, Long)].collect().toList.sorted
       got == expected &&
-        gotInner == expected.collect { case (id, Some(r)) => id -> r }
+        gotInner == expected.collect { case (id, Some(r)) => (id, r) }
+          .toList.sorted
     }
     check(prop)
   }

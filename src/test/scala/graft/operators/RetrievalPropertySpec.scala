@@ -17,8 +17,10 @@ class RetrievalPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   // small vocab with an empty token: "" in a joined text produces doubled
   // spaces, which the whitespace tokenizer keeps as empty-string terms

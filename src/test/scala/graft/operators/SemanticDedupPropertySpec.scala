@@ -19,8 +19,10 @@ class SemanticDedupPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   private def vecsGen(count: Int, firstId: Long): Gen[List[(Long, Array[Float])]] =
     Gen.listOfN(count, Gen.listOfN(4, Gen.choose(-3, 3).map(_.toFloat))

@@ -18,8 +18,10 @@ class SimilarityPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   // small-int coordinates force exact cosine ties (duplicated vectors);
   // nonzero guard keeps cosine defined

@@ -20,8 +20,10 @@ class SketchPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   test("CountMin: estimate ≥ truth always, ≤ truth + ε·N on random streams") {
     val rowsGen = Gen.listOfN(60,

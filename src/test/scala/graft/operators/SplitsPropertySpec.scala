@@ -23,8 +23,10 @@ class SplitsPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   /** Independent portable-hash reference: first 8 hex chars of md5(id)
     * (= first 4 digest bytes) as an unsigned int, mod 100.
@@ -93,11 +95,16 @@ class SplitsPropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
-      got.forall { case (id, key, split) =>
-        val expectedKey = if (inPairs(id)) find(id) else id
-        key == expectedKey &&
-          split == refSplit(expectedKey.toString, 80, 10)
-      }
+      // completeness first: an operator regressing to an inner join
+      // against the pair graph would drop singletons and pass a bare
+      // forall vacuously
+      got.length == ids.length &&
+        got.map(_._1).toSet == ids.toSet &&
+        got.forall { case (id, key, split) =>
+          val expectedKey = if (inPairs(id)) find(id) else id
+          key == expectedKey &&
+            split == refSplit(expectedKey.toString, 80, 10)
+        }
     })
   }
 

@@ -26,8 +26,10 @@ class TextDedupPropertySpec extends SparkSpec {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
 
-  private def check(prop: Prop): Unit =
-    assert(SCTest.check(params, prop).passed)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
+  }
 
   private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
 
@@ -61,7 +63,8 @@ class TextDedupPropertySpec extends SparkSpec {
 
   private def jac(a: Set[String], b: Set[String]): Double = {
     val inter = (a & b).size
-    inter.toDouble / (a.size + b.size - inter).toDouble
+    if (a.isEmpty && b.isEmpty) 0.0 // align with CurationPropertySpec's copy
+    else inter.toDouble / (a.size + b.size - inter).toDouble
   }
 
   test("jaccardPairs = exactly the pairs with shingle Jaccard ≥ t, values too") {

@@ -114,6 +114,7 @@ class ZOrderSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(dir))
     }
     val params = SCTest.Parameters.default.withMinSuccessfulTests(4)
-    assert(SCTest.check(params, prop).passed)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString) // status carries the counterexample
   }
 }

@@ -95,7 +95,10 @@ class StreamingPropertySpec extends SparkSpec {
             }
           }
           sinkState()
-        } finally q.stop()
+        } finally {
+          q.stop()
+          spark.catalog.dropTempView(sink) // memory-sink rows die with the view
+        }
 
       val gapMicros = gapSeconds * 1000000L
       val expected = evts.groupBy(_.user_id).map { case (u, es) =>
