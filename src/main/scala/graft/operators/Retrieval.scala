@@ -63,14 +63,16 @@ object Retrieval {
     *
     * @param broadcastQueryTerms force the postings join's query-terms
     *   side on (`Some(true)`) or off (`Some(false)`) the broadcast;
-    *   `None` (default) MEASURES the distinct (qid, term) side — one
-    *   eager aggregation at plan-construction time returning row count
-    *   and summed term bytes — against
-    *   [[Broadcasts.QueryBroadcastBudgetBytes]]; loop callers with
-    *   known-bounded query sets should pass `Some(true)` and stay
-    *   fully lazy (the [[Similarity]] route-count contract). Results
-    *   are hash-identical either way; only the physical exchange
-    *   differs.
+    *   `None` (default) MEASURES the pre-distinct exploded (qid, term)
+    *   side — one eager MAP-ONLY aggregation at plan-construction time
+    *   returning row count and summed term bytes, an upper bound on
+    *   the distinct payload the join actually ships — against
+    *   [[Broadcasts.QueryBroadcastBudgetBytes]]. The distinct side
+    *   itself executes exactly once, inside the join (see
+    *   [[bm25Rank]]). Loop callers with known-bounded query sets
+    *   should pass `Some(true)` and stay fully lazy (the
+    *   [[Similarity]] route-count contract). Results are
+    *   hash-identical either way; only the physical exchange differs.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                docId: String, textCol: String,
@@ -92,16 +94,21 @@ object Retrieval {
       size(toks).cast("long").as("dl"))
     val totals = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     bm25Rank(postings, dfreq, docLen, totals,
-      qTerms(queries, qId, qTextCol), k, k1, b, broadcastQueryTerms)
+      qTermsRaw(queries, qId, qTextCol), k, k1, b, broadcastQueryTerms)
   }
 
-  /** The distinct (qid, term) side of the inverted-index join. */
-  private def qTerms(queries: DataFrame, qId: String,
-                     qTextCol: String): DataFrame =
+  /** The exploded (qid, term) side of the inverted-index join, BEFORE
+    * the duplicate-dropping `distinct()` ([[bm25Rank]] applies it). Kept
+    * pre-distinct so the auto route's size estimate can aggregate a
+    * frame whose execution is a map-only pass — aggregating the distinct
+    * form would execute the query side's shuffle once for the estimate
+    * and again for the join (the round-17 shape round 18 removed).
+    */
+  private def qTermsRaw(queries: DataFrame, qId: String,
+                        qTextCol: String): DataFrame =
     queries
       .select(col(qId).as("qid"),
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
-      .distinct()
 
   /** The BM25 scoring core shared by [[bm25TopK]] (operands built
     * in-plan from raw text) and [[bm25TopKFromIndex]] (operands read
@@ -121,24 +128,44 @@ object Retrieval {
     * exchange slow) lives on [[Broadcasts.QueryBroadcastBudgetBytes]].
     */
   private def bm25Rank(postings: DataFrame, dfreq: DataFrame,
-                       docLen: DataFrame, totals: DataFrame, qt: DataFrame,
+                       docLen: DataFrame, totals: DataFrame,
+                       qtRaw: DataFrame,
                        k: Int, k1: Double, b: Double,
                        broadcastQueryTerms: Option[Boolean]): DataFrame = {
+    // duplicate (qid, term) pairs dropped HERE, once, inside the joined
+    // plan — the estimate below never touches this frame, so its
+    // distinct exchange executes exactly once per action (round 18; the
+    // round-17 estimate aggregated the distinct form, so every
+    // default-route caller paid the query side's distinct shuffle twice,
+    // estimate + join)
+    val qt = qtRaw.distinct()
     val qSide = broadcastQueryTerms match {
       case Some(true)  => broadcast(qt)
       case Some(false) => qt
       case None =>
-        // one aggregation measures the ACTUAL payload — row count AND
-        // summed term bytes — where ivfScored can multiply rows by a
-        // KNOWN row width (dim doubles), a term string has no a-priori
-        // width: a bytes/row constant would under-gate a query set of
+        // one aggregation measures the payload — row count AND summed
+        // term bytes — where ivfScored can multiply rows by a KNOWN row
+        // width (dim doubles), a term string has no a-priori width: a
+        // bytes/row constant would under-gate a query set of
         // pathological giant "terms" (no-whitespace documents) into an
         // oversized broadcast. Same single-job cost as a bare count;
         // octet_length so multi-byte text counts as the bytes the
         // hashed relation will actually hold. No maxRows fast path
         // here: the explode behind qt hides any provable bound from
         // Catalyst, and a row bound alone cannot bound STRING bytes.
-        val est = qt.agg(count(lit(1)).as("n"),
+        //
+        // The aggregation runs over the PRE-DISTINCT side: a map-only
+        // pass (scan + partial agg + a 1-row final exchange — no term
+        // data ever shuffles, and qt's distinct does not execute here)
+        // yielding an UPPER bound on the distinct payload, since
+        // dropping duplicate (qid, term) pairs can only shrink both
+        // rows and bytes. A query set whose duplicates would have fit
+        // post-distinct may therefore over-route to the shuffled join —
+        // slow-not-fatal, the same side of the asymmetry the budget
+        // itself errs toward (Broadcasts.QueryBroadcastBudgetBytes);
+        // a caller who knows the distinct side is bounded forces
+        // Some(true), the designed escape.
+        val est = qtRaw.agg(count(lit(1)).as("n"),
           coalesce(sum(octet_length(col("term"))), lit(0L)).as("b")).head()
         // + qid long / pointers / row overhead per hashed-relation row
         val bytes = est.getLong(1) + est.getLong(0) * 48L
@@ -192,16 +219,39 @@ object Retrieval {
     *    third table that could drift from them).
     *  - `<prefix>_doclen` — (doc_id, dl) BUCKETED BY `doc_id`: the
     *    contribution join's doc-side operand, clustered on its key.
+    *    DERIVED from `_postings`: under the pinned unigram tokenizer
+    *    `dl = Σ tf` per document — every token is a unigram occurrence
+    *    (empty tokens included, the tokenBounds contract), so the sum
+    *    of per-term counts IS the token count. The only documents
+    *    absent are NULL-text ones (the tokenizer yields null, so they
+    *    have no postings row; non-null text always splits to ≥ 1
+    *    token) — and scoring never misses them: a null-text document
+    *    shares no term with any query, so it never reaches the
+    *    contribution join, exactly as in [[bm25TopK]] where its dl is
+    *    null. The corpus totals still count it (see below), keeping
+    *    avgdl and idf's N — and therefore every score —
+    *    frame-identical to [[bm25TopK]].
     *
     * `k1`/`b` are deliberately NOT stored: they are scoring-time
     * parameters (two literals in the contribution arithmetic), not index
     * state — freezing them at build time would force a rebuild to tune a
     * ranking constant the stored tf/df/dl values do not depend on.
     *
+    * The corpus text is tokenized exactly ONCE (the `_postings` write;
+    * round 17 paid a second pass for `_doclen`'s `size(tokens)`).
+    * `n_docs` comes from a `docs.count()` — not a tokenize: for a
+    * parquet-backed corpus it is footer-metadata-only — because it must
+    * count ALL documents, including null-text ones absent from the
+    * derived `_doclen`.
+    *
     * Crash-window discipline (the [[TextDedup.saveLshIndexBucketed]]
-    * rule): `_postings` is the completeness signal — dropped FIRST,
-    * written LAST; a crash between writes leaves the pair without its
-    * marker table, never a mixed-build index.
+    * rule, marker role MOVED in round 18): deriving `_doclen` from the
+    * written `_postings` forces postings to be written first, so
+    * `_meta` — the table every load reads and validates FIRST — is now
+    * the completeness signal: dropped FIRST, written LAST. Every crash
+    * window leaves the prefix without a `_meta` (all three drops happen
+    * before any write), so a partial build fails the load loudly as a
+    * missing/corrupt meta, never as a mixed-build index.
     */
   def savePostingsIndexBucketed(docs: DataFrame, docId: String,
                                 textCol: String, tablePrefix: String,
@@ -210,28 +260,10 @@ object Retrieval {
     Broadcasts.requireTablePrefix(tablePrefix)
     val sp = docs.sparkSession
     import sp.implicits._
-    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_postings")
+    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_meta")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_doclen")
-    docs.select(col(docId).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-      .write.format("parquet")
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${tablePrefix}_doclen")
-    // totals read BACK from the written doclen table: aggregating the
-    // in-plan docLen frame would tokenize the corpus a third time (the
-    // doclen write and the postings write below already each pay one
-    // full tokenize pass); the written table is two narrow columns
-    // coalesce: an empty corpus writes (0, 0) and the LOAD refuses it
-    // with the corrupt-meta message, instead of an NPE here
-    val t = sp.table(s"${tablePrefix}_doclen")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .head()
-    Seq((t.getLong(0), t.getLong(1), TokenizerTag))
-      .toDF("n_docs", "sum_dl", "tokenizer")
-      .coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${tablePrefix}_meta")
+    sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_postings")
+    // the ONE corpus tokenize pass
     docs
       .select(col(docId).as("doc_id"),
         explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
@@ -241,6 +273,25 @@ object Retrieval {
       .write.format("parquet")
       .bucketBy(nBuckets, "term").sortBy("term")
       .saveAsTable(s"${tablePrefix}_postings")
+    // dl = Σ tf per doc, derived from the WRITTEN postings — a narrow
+    // (doc_id, tf) aggregation (the one exchange this build pays beyond
+    // the bucketed writes), no second pass over the corpus text
+    sp.table(s"${tablePrefix}_postings")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${tablePrefix}_doclen")
+    val nDocs = docs.count()
+    // coalesce: an empty corpus writes (0, 0) and the LOAD refuses it
+    // with the corrupt-meta message, instead of an NPE here
+    val sumDl = sp.table(s"${tablePrefix}_doclen")
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .head().getLong(0)
+    Seq((nDocs, sumDl, TokenizerTag))
+      .toDF("n_docs", "sum_dl", "tokenizer")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tablePrefix}_meta")
   }
 
   /** [[bm25TopK]] against a [[savePostingsIndexBucketed]] index — the
@@ -290,7 +341,7 @@ object Retrieval {
     import spark.implicits._
     val totals = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
     bm25Rank(postings, dfreq, docLen, totals,
-      qTerms(queries, qId, qTextCol), k, k1, b, broadcastQueryTerms)
+      qTermsRaw(queries, qId, qTextCol), k, k1, b, broadcastQueryTerms)
   }
 
   /** Retrieval EVALUATION over a ranked result list — the metric half of

@@ -116,6 +116,51 @@ class Bm25IndexSpec extends SparkSpec {
     spark.sql("DROP VIEW IF EXISTS graft_bm25b_bad_meta")
   }
 
+  test("doclen is DERIVED from postings (dl == Σ tf == size(tokens)), " +
+      "null-text docs are absent from doclen but counted in meta, and " +
+      "frame identity holds on such a corpus (round 18: one corpus " +
+      "tokenize pass)") {
+    import spark.implicits._
+    // real-data equality first: stored dl must equal the in-plan
+    // size(tokens) for every document (the tokenizer preserves empty
+    // tokens, so any non-null text has >= 1 token and a doclen row)
+    Retrieval.savePostingsIndexBucketed(docs, "doc_id", "text",
+      tablePrefix = "graft_bm25b_spec5", nBuckets = 4)
+    val stored = spark.table("graft_bm25b_spec5_doclen").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
+    val expected = docs.select(col("doc_id"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("dl"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl"))
+      .toMap
+    assert(stored == expected, "derived dl must equal size(tokens) per doc")
+    // a corpus with a NULL text and an empty text: "" still tokenizes to
+    // one (empty) token; only the null-text doc lacks postings/doclen
+    val corpus = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "beta gamma"),
+      (4L, "")).toDF("doc_id", "text")
+    Retrieval.savePostingsIndexBucketed(corpus, "doc_id", "text",
+      tablePrefix = "graft_bm25b_spec6", nBuckets = 2)
+    val dl6 = spark.table("graft_bm25b_spec6_doclen").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
+    assert(dl6 == Map(1L -> 3L, 3L -> 2L, 4L -> 1L),
+      s"null-text doc must be absent, empty-text doc present: $dl6")
+    val meta6 = spark.table("graft_bm25b_spec6_meta").collect()(0)
+    // n_docs counts ALL docs (avgdl and idf's N depend on it) — the
+    // docs.count() in the build, not the doclen row count
+    assert(meta6.getAs[Long]("n_docs") == 4L)
+    assert(meta6.getAs[Long]("sum_dl") == 6L)
+    val qs6 = Seq((10L, "alpha"), (11L, "gamma beta")).toDF("qid", "qtext")
+    val direct = Retrieval.bm25TopK(corpus, qs6, "doc_id", "text",
+      "qid", "qtext", k = 5).collect().map(_.toSeq).toSet
+    val fromIdx = Retrieval.bm25TopKFromIndex(spark, "graft_bm25b_spec6",
+      qs6, "qid", "qtext", k = 5).collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty && fromIdx == direct,
+      "from-index scores must match from-text on a corpus with null-text docs")
+  }
+
   test("rebuild over an existing index overwrites cleanly") {
     Retrieval.savePostingsIndexBucketed(docs, "doc_id", "text",
       tablePrefix = "graft_bm25b_spec4", nBuckets = 4)

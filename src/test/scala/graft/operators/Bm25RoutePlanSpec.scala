@@ -126,4 +126,61 @@ class Bm25RoutePlanSpec extends SparkSpec {
     assert(after == before,
       s"forced routes must not run jobs at construction: $before -> $after")
   }
+
+  test("auto route estimate is ONE map-only job — the query side's " +
+      "distinct never executes at plan-construction time (round 18; the " +
+      "round-17 estimate aggregated the distinct form, paying its " +
+      "shuffle twice per action)") {
+    withAutoBroadcastOff {
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).toSet
+      run(synthQueries(2000L), None)
+      val newJobs = tracker.getJobIdsForGroup(null).toSet -- before
+      // AQE materializes one job per EXCHANGE plus the result job (and
+      // re-lists reused map stages under fresh skipped stage IDs, so
+      // stage-ID counting over-counts) — the job count is the exchange
+      // count plus one. The map-only estimate has exactly one exchange
+      // (the 1-row final agg): 2 jobs. An estimate that executed qt's
+      // distinct would materialize that exchange too: 3 jobs — the
+      // round-17 shape this test exists to keep out.
+      assert(newJobs.nonEmpty && newJobs.size <= 2,
+        s"auto route estimate must not execute qt's distinct exchange: " +
+          s"ran ${newJobs.size} jobs ($newJobs), expected <= 2")
+    }
+  }
+
+  test("the estimate's pre-distinct bound errs toward the shuffle: a " +
+      "duplicate-heavy query set whose DISTINCT side would fit routes " +
+      "to the shuffled join (slow-not-fatal, the budget's own asymmetry)") {
+    withAutoBroadcastOff {
+      import org.apache.spark.sql.functions.repeat
+      // 200 queries × 10k copies of the same term: distinct side is 200
+      // rows (~10 KB), pre-distinct is 2M rows × 48 B overhead ≈ 96 MB —
+      // past the 64 MiB budget, so the conservative bound takes the
+      // shuffle; a caller who knows the distinct side is bounded forces
+      // Some(true), the designed escape
+      val dupHeavy = spark.range(200).select(col("id").as("qid"),
+        repeat(lit("dup "), 10000).as("qtext"))
+      val p = planOf(run(dupHeavy, None))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"pre-distinct bound must route duplicate-heavy sets to the " +
+          s"shuffle:\n$p")
+    }
+  }
+
+  test("auto route's bounded-set physical plan is identical to the " +
+      "forced-broadcast plan (the estimate changes no plan, only the " +
+      "route decision)") {
+    withAutoBroadcastOff {
+      def norm(p: String): String = p
+        .replaceAll("#\\d+", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#?x?\\d*\\]", "[id=x]")
+      val auto = norm(planOf(run(smallQueries, None)))
+      val forced = norm(planOf(run(smallQueries, Some(true))))
+      assert(auto == forced,
+        s"bounded-set auto plan must match the forced broadcast plan:\n" +
+          s"AUTO:\n$auto\nFORCED:\n$forced")
+    }
+  }
 }
