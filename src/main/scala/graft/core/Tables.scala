@@ -45,6 +45,26 @@ object TableStore {
     * O(table) per-batch rewrite would be the real cost.
     */
   val DefaultMaxFullRewriteBytes: Long = 64L << 30
+
+  /** Managed-table prefixes in the bucketed-index savers are interpolated
+    * into DDL (`DROP TABLE IF EXISTS ${prefix}_…`) and into
+    * `saveAsTable` names, and the two paths parse identifiers under
+    * DIFFERENT rules — a prefix with spaces, dashes, or SQL
+    * metacharacters can fail one path, or worse, resolve to a DIFFERENT
+    * identifier in each (the DROP hitting an unintended table). The
+    * [[TableStore.ident]] rule, applied at every index save/load entry
+    * point: plain `[A-Za-z_][A-Za-z0-9_]*` segments, optionally
+    * dot-qualified (db.prefix), rejected loudly otherwise. (A
+    * table-identifier rule, so it lives here in the table layer — not
+    * with the broadcast routing it happened to be built alongside.)
+    */
+  private[graft] def requireTablePrefix(prefix: String): String = {
+    require(
+      prefix.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"invalid table prefix (plain dot-qualified identifiers only): " +
+        s"'$prefix'")
+    prefix
+  }
 }
 
 final class TableStore(spark: SparkSession, config: PipelineConfig) {

@@ -257,7 +257,7 @@ object Retrieval {
                                 textCol: String, tablePrefix: String,
                                 nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     val sp = docs.sparkSession
     import sp.implicits._
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_meta")
@@ -310,7 +310,7 @@ object Retrieval {
                         k1: Double = 1.2, b: Double = 0.75,
                         broadcastQueryTerms: Option[Boolean] = None)
       : DataFrame = {
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     val meta = spark.table(s"${tablePrefix}_meta")
     require(meta.columns.toSet == Set("n_docs", "sum_dl", "tokenizer"),
       s"bm25 meta table needs (n_docs, sum_dl, tokenizer), got " +

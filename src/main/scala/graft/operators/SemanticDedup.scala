@@ -224,7 +224,7 @@ object SemanticDedup {
                                 nBuckets: Int, seed: Long = 42L): Unit = {
     require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     val c = if (nClusters > 0) nClusters
             else Similarity.ivfSizing(corpus.count())
     val (index, members) = Similarity.ivfIndexAndMembers(corpus, idCol,

@@ -868,7 +868,7 @@ object Similarity {
   def saveIvfIndexBucketed(index: IvfIndex, tablePrefix: String,
                            nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     val sp = index.vectors.sparkSession
     import sp.implicits._
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_vectors")
@@ -891,7 +891,7 @@ object Similarity {
     */
   def loadIvfIndexFromTables(spark: org.apache.spark.sql.SparkSession,
                              tablePrefix: String): IvfIndex = {
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     loadIvfIndex(spark.table(s"${tablePrefix}_centroids"),
       spark.table(s"${tablePrefix}_vectors"))
   }

@@ -719,7 +719,7 @@ object TextDedup {
                            bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     val sp = corpus.sparkSession
     import sp.implicits._
     // _sets is the completeness signal: drop it FIRST, then the middle
@@ -756,7 +756,7 @@ object TextDedup {
                                    tablePrefix: String, batch: DataFrame,
                                    idCol: String, textCol: String,
                                    minJaccard: Double = 0.5): DataFrame = {
-    Broadcasts.requireTablePrefix(tablePrefix)
+    graft.core.TableStore.requireTablePrefix(tablePrefix)
     val meta = spark.table(s"${tablePrefix}_meta")
     require(meta.columns.toSet == Set("n", "num_hashes", "bands"),
       s"lsh meta table needs (n, num_hashes, bands), got " +
