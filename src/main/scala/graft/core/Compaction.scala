@@ -143,13 +143,41 @@ object Compaction {
     if (spark.catalog.tableExists(old)) {
       if (!spark.catalog.tableExists(fqn)) {
         spark.sql(s"ALTER TABLE $qOld RENAME TO $qFqn")
-      } else if (contentSummary(spark, fqn) == contentSummary(spark, old)) {
-        spark.sql(s"DROP TABLE $qOld")
       } else {
-        throw new IllegalStateException(
-          s"compactTable self-heal refused: '$old' and '$fqn' differ — a " +
-            "writer raced a previous crashed run; reconcile manually (keep " +
-            s"one of '$fqn' / '$old', drop the other) and retry")
+        // The automatic DROP needs POSITIVE proof of identical content.
+        // Two summaries that are both (0, 0) are not proof: a renamed
+        // partitioned table can read as 0 rows under the in-memory
+        // catalog (stranded per-partition locations — the same failure
+        // the partitioned-target refusal below exists for), so two
+        // unreadable tables compare "equal" while __old may be the only
+        // complete copy a pre-guard crashed run left. Same reasoning
+        // when __old is partitioned outright: its summary is untrustworthy
+        // regardless of what it reads, so never auto-drop it.
+        val sFqn = contentSummary(spark, fqn)
+        val sOld = contentSummary(spark, old)
+        val emptyRead = (0L, BigDecimal(0))
+        val oldPartitioned =
+          spark.catalog.listColumns(old).collect().exists(_.isPartition)
+        if (sFqn == sOld && sFqn != emptyRead && !oldPartitioned) {
+          spark.sql(s"DROP TABLE $qOld")
+        } else if (sFqn == sOld) {
+          throw new IllegalStateException(
+            s"compactTable self-heal refused: cannot PROVE '$old' and " +
+              s"'$fqn' hold the same content — " +
+              (if (oldPartitioned)
+                s"'$old' is partitioned, and a renamed partitioned table's " +
+                  "summary is unreliable under an in-memory catalog"
+              else
+                "both read as 0 rows, which is also what a rename-stranded " +
+                  "partitioned table reports") +
+              s"; reconcile manually (keep one of '$fqn' / '$old', drop " +
+              "the other) and retry")
+        } else {
+          throw new IllegalStateException(
+            s"compactTable self-heal refused: '$old' and '$fqn' differ — a " +
+              "writer raced a previous crashed run; reconcile manually (keep " +
+              s"one of '$fqn' / '$old', drop the other) and retry")
+        }
       }
     }
     // deliberately AFTER the self-heal: a crashed run's __old must be
@@ -159,16 +187,26 @@ object Compaction {
     // refusal below leaves a READABLE table under its own name rather
     // than a stranded __old
     val layoutCols = spark.catalog.listColumns(fqn).collect()
+    // bucketing checked FIRST: for a table that is partitioned AND
+    // bucketed, a partition-first refusal would direct the caller to
+    // compactPartitions — whose dynamic-overwrite publish does not
+    // preserve bucketing (it refuses such targets too) — so the advice
+    // would dead-end; the bucket message names both layout facts instead
+    require(!layoutCols.exists(_.isBucket),
+      s"compactTable would drop the bucketing of '$fqn' (bucketed on " +
+        s"${layoutCols.filter(_.isBucket).map(_.name).mkString(", ")}" +
+        (if (layoutCols.exists(_.isPartition))
+          s", also partitioned on " +
+            s"${layoutCols.filter(_.isPartition).map(_.name).mkString(", ")}" +
+            "; compactPartitions does not preserve bucketing either"
+        else "") +
+        ") — rewrite via a layout-preserving saveBucketed instead")
     require(!layoutCols.exists(_.isPartition),
       s"compactTable stages an UNPARTITIONED rewrite; '$fqn' is " +
         s"partitioned on " +
         s"${layoutCols.filter(_.isPartition).map(_.name).mkString(", ")} — " +
         "use compactPartitions(fqn, <partition predicate>, targetRows), " +
         "which preserves the layout and rewrites only the selected slice")
-    require(!layoutCols.exists(_.isBucket),
-      s"compactTable would drop the bucketing of '$fqn' (bucketed on " +
-        s"${layoutCols.filter(_.isBucket).map(_.name).mkString(", ")}) — " +
-        "rewrite via a layout-preserving saveBucketed instead")
     val before = spark.table(fqn).inputFiles.length
     val rows = spark.table(fqn).count()
     val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
@@ -267,10 +305,19 @@ object Compaction {
     val tmp = s"${fqn}__compact"
     val (qFqn, qTmp) = (quoted(fqn), quoted(tmp))
     import org.apache.spark.sql.functions.col
-    val partCols = spark.catalog.listColumns(fqn)
-      .filter(_.isPartition).collect().map(_.name).toIndexedSeq
+    val allCols = spark.catalog.listColumns(fqn).collect()
+    val partCols = allCols.filter(_.isPartition).map(_.name).toIndexedSeq
     require(partCols.nonEmpty,
       s"'$fqn' has no partition columns — use compactTable")
+    // mirror of upsert's bucketed-target guard: the dynamic-overwrite
+    // publish below is insertInto-based, which neither preserves nor
+    // verifies bucketing — compacting a partitioned+bucketed table would
+    // silently publish unbucketed files into a bucketed layout
+    require(!allCols.exists(_.isBucket),
+      s"compactPartitions' dynamic-overwrite publish does not preserve " +
+        s"the bucketing of '$fqn' (bucketed on " +
+        s"${allCols.filter(_.isBucket).map(_.name).mkString(", ")}) — " +
+        "rewrite via a layout-preserving saveBucketed instead")
     // Self-heal a crash mid-publish: __compact holds a complete verified
     // slice (staging commits atomically via saveAsTable; the stage is only
     // dropped after a successful publish), so re-publishing it is always

@@ -81,6 +81,42 @@ class CompactionSpec extends SparkSpec {
     assert(spark.catalog.tableExists(s"${fqn}__old"))
   }
 
+  test("self-heal refuses the automatic DROP when both copies read empty " +
+      "(two (0,0) summaries are not PROOF — a rename-stranded partitioned " +
+      "table also reads as 0 rows)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"healempty_${System.nanoTime()}"))
+    store.save(spark.range(0).toDF("id"), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    spark.range(0).toDF("id").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${fqn}__old")
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000)
+    }
+    assert(ex.getMessage.contains("cannot PROVE"), ex.getMessage)
+    // nothing dropped: both copies still reachable for manual reconciliation
+    assert(spark.catalog.tableExists(fqn))
+    assert(spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
+  test("self-heal refuses the automatic DROP when __old is partitioned, " +
+      "even with matching summaries (a pre-guard crashed run's __old may " +
+      "be the only complete copy)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"healpart_${System.nanoTime()}"))
+    val df = spark.range(6).select(col("id"), (col("id") % 2).as("p"))
+    store.save(df, "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy("p").saveAsTable(s"${fqn}__old")
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000)
+    }
+    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+    assert(spark.catalog.tableExists(fqn))
+    assert(spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
   test("a same-cardinality overwrite during compaction trips the guard") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc",
@@ -196,6 +232,50 @@ class CompactionSpec extends SparkSpec {
     val got = spark.table(fqn).as[(Long, Long)].collect().toSet
     assert(got == (0L until 300L).map(i => (i, i % 3)).toSet)
     assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+  }
+
+  test("compactTable refuses bucketed targets with the saveBucketed " +
+      "pointer; on a partitioned AND bucketed table the bucket guard " +
+      "fires first and names both layout facts instead of directing the " +
+      "caller to compactPartitions (which cannot preserve bucketing)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"buck_${System.nanoTime()}"))
+    val bOnly = store.fqn("tmp", "bonly")
+    spark.range(100).toDF("id").write.format("parquet")
+      .bucketBy(4, "id").saveAsTable(bOnly)
+    val e1 = intercept[IllegalArgumentException] {
+      Compaction.compactTable(spark, bOnly, targetRows = 1000)
+    }
+    assert(e1.getMessage.contains("saveBucketed"), e1.getMessage)
+    assert(!e1.getMessage.contains("also partitioned"), e1.getMessage)
+    val both = store.fqn("tmp", "both")
+    spark.range(100).select(col("id"), (col("id") % 3).as("p"))
+      .write.format("parquet").partitionBy("p").bucketBy(4, "id")
+      .saveAsTable(both)
+    val e2 = intercept[IllegalArgumentException] {
+      Compaction.compactTable(spark, both, targetRows = 1000)
+    }
+    assert(e2.getMessage.contains("saveBucketed"), e2.getMessage)
+    assert(e2.getMessage.contains("also partitioned"), e2.getMessage)
+    assert(!e2.getMessage.contains("use compactPartitions"), e2.getMessage)
+    // both tables untouched by the refusals
+    assert(spark.table(bOnly).count() == 100)
+    assert(spark.table(both).count() == 100)
+  }
+
+  test("compactPartitions refuses bucketed targets (its dynamic-overwrite " +
+      "publish would silently lose the bucketing)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"buckp_${System.nanoTime()}"))
+    val fqn = store.fqn("tmp", "t")
+    spark.range(100).select(col("id"), (col("id") % 3).as("p"))
+      .write.format("parquet").partitionBy("p").bucketBy(4, "id")
+      .saveAsTable(fqn)
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compactPartitions(spark, fqn, "p = 0", targetRows = 1000)
+    }
+    assert(ex.getMessage.contains("saveBucketed"), ex.getMessage)
+    assert(spark.table(fqn).count() == 100)
   }
 
   test("compactPartitions refuses unpartitioned tables") {

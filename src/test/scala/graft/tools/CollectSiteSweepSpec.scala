@@ -45,6 +45,8 @@ class CollectSiteSweepSpec extends AnyFunSuite {
       "scalar-aggregate", "1-row fingerprint checksum"),
     Entry("core/Compaction.scala", "spark.catalog.listColumns(fqn)",
       "metadata", "partition-column names from the catalog"),
+    Entry("core/Compaction.scala", "spark.catalog.listColumns(old)",
+      "metadata", "partitioned-__old check gating the self-heal DROP"),
     Entry("core/Compaction.scala",
       "slice.select(partCols.map(col): _*).distinct().collect()",
       "metadata", "distinct partition tuples of the compaction slice — " +
