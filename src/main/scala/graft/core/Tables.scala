@@ -292,6 +292,22 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
       }
     }
     if (!spark.catalog.tableExists(name)) { save(df, layer, table); return }
+    // Schema guard (found by extending the table fuzzer to evolution
+    // sequences): both merge paths project the incoming batch onto the
+    // TARGET's columns, so a batch carrying a column the target lacks
+    // would have that column silently DROPPED — a writer that widened
+    // its schema and kept upserting would lose every value of the new
+    // column without a sound. Missing columns already fail loudly
+    // (unresolved reference in the projection); extras must too: the
+    // caller either evolves the table first (rewrite via save /
+    // savePartitioned with the widened schema) or prunes explicitly.
+    val extraCols = df.columns.filterNot(spark.table(name).columns.toSet)
+    require(extraCols.isEmpty,
+      s"upsert into '$name': incoming batch carries columns the target " +
+        s"lacks (${extraCols.mkString(", ")}) — the merge would silently " +
+        "drop them. Evolve the table schema first (rewrite it with " +
+        "save/savePartitioned including the new columns), or select the " +
+        "target's columns explicitly")
     val nullKeyed = keyCols.map(c => col(c).isNull).reduce(_ || _)
     require(df.filter(nullKeyed).isEmpty,
       s"upsert into '$name' requires non-null values in key columns " +

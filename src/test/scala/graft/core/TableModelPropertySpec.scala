@@ -2,21 +2,32 @@ package graft.core
 
 import graft.SparkSpec
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import java.util.concurrent.atomic.AtomicReference
 
 /** Model-based randomized testing of the managed-table mutation layer:
-  * random SEQUENCES of upserts and compactions must leave the table equal
+  * random SEQUENCES of upserts, compactions, schema widenings and
+  * lease-serialized concurrent writer pairs must leave the table equal
   * to a trivial in-memory key→value map. The per-transition specs
-  * (TableUpsertSpec/CompactionSpec) cover each edge in isolation; this
-  * covers their COMPOSITIONS — an upsert over a just-compacted table, a
-  * compaction over a partition a previous upsert emptied, keys moving
-  * partitions repeatedly — where layout state left by one operation is
-  * the next one's input. Runs the same sequence against a plain table and
-  * a partitioned one (partition derived from the value, so every update
-  * can MOVE its key across partitions — the stale-row/emptied-partition
-  * path on every step).
+  * (TableUpsertSpec/CompactionSpec/WriterLeaseSpec) cover each edge in
+  * isolation; this covers their COMPOSITIONS — an upsert over a
+  * just-compacted table, a compaction over a partition a previous upsert
+  * emptied, keys moving partitions repeatedly, upserts continuing after
+  * a schema widening, two cooperating writers queueing on the same
+  * table — where state left by one operation is the next one's input.
+  * Runs the same sequence against a plain table and a partitioned one
+  * (partition derived from the value, so every update can MOVE its key
+  * across partitions — the stale-row/emptied-partition path on every
+  * step).
+  *
+  * Round-17's first random sequence found compactTable flattening
+  * partitioned layouts; round-18's extension to evolution sequences
+  * found the upsert merge silently DROPPING incoming columns the target
+  * lacks (both merge paths project onto the target's columns) — now a
+  * loud refusal, pinned by the UpExtraCol transition here.
   */
 class TableModelPropertySpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.col
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(3)
 
@@ -24,19 +35,45 @@ class TableModelPropertySpec extends SparkSpec {
   private final case class Up(batch: List[(Long, Long)]) extends Op
   private case object CompactAll extends Op
   private final case class CompactPart(p: Long) extends Op
+  /** Overwrite-rewrite with a WIDENED schema (adds `w`) — the managed-
+    * table form of a schema-evolution step; later upserts carry `w` too.
+    */
+  private final case class Widen(batch: List[(Long, Long)]) extends Op
+  /** An upsert whose batch carries a column the target lacks — must be
+    * refused loudly (the silent-drop defect this fuzzer extension found).
+    */
+  private final case class UpExtraCol(batch: List[(Long, Long)]) extends Op
+  /** Two cooperating upserts (disjoint key spaces) racing under
+    * `serializeWriters = true` — both must queue and land.
+    */
+  private final case class ConcurrentUps(a: List[(Long, Long)],
+                                         b: List[(Long, Long)]) extends Op
+  /** An upsert racing a compaction, both lease-serialized — without the
+    * lease this pair trips the compaction race guard; with it, both
+    * complete in either order (compaction is content-neutral).
+    */
+  private final case class UpVsCompact(batch: List[(Long, Long)]) extends Op
+
+  private def batchGen(keyLo: Long, keyHi: Long): Gen[List[(Long, Long)]] =
+    Gen.listOfN(6, Gen.zip(Gen.choose(keyLo, keyHi), Gen.choose(0L, 99L)))
+      .map(_.distinctBy(_._1))
 
   private val opGen: Gen[Op] = Gen.frequency(
-    5 -> Gen.listOfN(6, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 99L)))
-      .map(b => Up(b.distinctBy(_._1))),
+    5 -> batchGen(0L, 9L).map(Up.apply),
     2 -> Gen.const(CompactAll),
-    2 -> Gen.choose(0L, 2L).map(CompactPart))
+    2 -> Gen.choose(0L, 2L).map(CompactPart.apply),
+    2 -> batchGen(0L, 9L).map(Widen.apply),
+    1 -> batchGen(0L, 9L).map(UpExtraCol.apply),
+    1 -> Gen.zip(batchGen(0L, 9L), batchGen(100L, 109L))
+      .map { case (a, b) => ConcurrentUps(a, b) },
+    1 -> batchGen(0L, 9L).map(UpVsCompact.apply))
 
   // first op is always an upsert so the table exists before compactions
   private val seqGen: Gen[List[Op]] = for {
     first <- opGen.retryUntil(_.isInstanceOf[Up])
     rest <- Gen.listOfN(5, Gen.frequency(
-      5 -> opGen.retryUntil(_.isInstanceOf[Up]),
-      4 -> opGen))
+      4 -> opGen.retryUntil(_.isInstanceOf[Up]),
+      5 -> opGen))
   } yield first :: rest
 
   private def check(prop: Prop): Unit = {
@@ -44,7 +81,30 @@ class TableModelPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("random upsert/compact sequences == the in-memory map (plain + partitioned)") {
+  /** The table row for a batch: p derived from v (so updates MOVE keys
+    * across partitions), w = v*10 once the schema is widened.
+    */
+  private def frame(batch: List[(Long, Long)], wide: Boolean) = {
+    val base = batch.toDF("id", "v").withColumn("p", col("v") % 3)
+    if (wide) base.withColumn("w", col("v") * 10) else base
+  }
+
+  private def inThread(f: => Unit): (Thread, AtomicReference[Throwable]) = {
+    val err = new AtomicReference[Throwable]
+    val t = new Thread(() => try f catch { case e: Throwable => err.set(e) })
+    t.start()
+    (t, err)
+  }
+
+  private def joinAll(ts: (Thread, AtomicReference[Throwable])*): Unit = {
+    ts.foreach(_._1.join(120000L))
+    ts.foreach { case (t, _) =>
+      assert(!t.isAlive, "lease-serialized writer pair deadlocked") }
+    ts.foreach { case (_, e) => if (e.get != null) throw e.get }
+  }
+
+  test("random upsert/compact/widen/concurrent sequences == the " +
+      "in-memory map (plain + partitioned)") {
     check(Prop.forAll(seqGen) { ops =>
       val plain = new TableStore(spark, PipelineConfig(
         catalog = "graftc", schema = s"tmp_${System.nanoTime()}"))
@@ -53,19 +113,21 @@ class TableModelPropertySpec extends SparkSpec {
       try {
         var model = Map.empty[Long, Long]
         var created = false
+        var wide = false
+        def upBoth(batch: List[(Long, Long)]): Unit = {
+          val df = frame(batch, wide)
+          plain.upsert(df, "dim", "t", Seq("id"))
+          parted.upsert(df, "dim", "t", Seq("id"))
+          model = model ++ batch
+        }
         ops.foreach {
           case Up(batch) =>
-            val df = batch.toDF("id", "v")
-              .withColumn("p", org.apache.spark.sql.functions.col("v") % 3)
             if (!created) {
-              plain.save(df, "dim", "t")
-              parted.savePartitioned(df, "dim", "t", Seq("p"))
+              plain.save(frame(batch, wide), "dim", "t")
+              parted.savePartitioned(frame(batch, wide), "dim", "t", Seq("p"))
               created = true
-            } else {
-              plain.upsert(df, "dim", "t", Seq("id"))
-              parted.upsert(df, "dim", "t", Seq("id"))
-            }
-            model = model ++ batch
+              model = model ++ batch
+            } else upBoth(batch)
           case CompactAll if created =>
             Compaction.compactTable(spark, plain.fqn("dim", "t"), 1000L)
             // the layout-correct form for the partitioned twin: compactTable
@@ -75,19 +137,70 @@ class TableModelPropertySpec extends SparkSpec {
           case CompactPart(p) if created && model.values.exists(_ % 3 == p) =>
             Compaction.compactPartitions(spark, parted.fqn("dim", "t"),
               s"p = $p", 1000L)
-          case _ => () // compaction before the table exists / empty slice
+          case Widen(batch) =>
+            wide = true
+            plain.save(frame(batch, wide), "dim", "t")
+            parted.savePartitioned(frame(batch, wide), "dim", "t", Seq("p"))
+            created = true
+            model = batch.toMap // overwrite-rewrite resets content
+          case UpExtraCol(batch) if created =>
+            // a batch carrying a column the target lacks must refuse
+            // loudly on BOTH merge paths and leave everything unchanged
+            val df = frame(batch, wide)
+              .withColumn("zz", col("v") + 1)
+            val e1 = intercept[IllegalArgumentException] {
+              plain.upsert(df, "dim", "t", Seq("id"))
+            }
+            val e2 = intercept[IllegalArgumentException] {
+              parted.upsert(df, "dim", "t", Seq("id"))
+            }
+            assert(e1.getMessage.contains("silently") &&
+              e2.getMessage.contains("silently"),
+              s"extra-column refusal must name the silent drop: " +
+                s"${e1.getMessage}")
+          case ConcurrentUps(a, b) if created =>
+            // disjoint key spaces, so the final state is order-independent
+            Seq(plain, parted).foreach { store =>
+              val ta = inThread(store.upsert(frame(a, wide), "dim", "t",
+                Seq("id"), serializeWriters = true))
+              val tb = inThread(store.upsert(frame(b, wide), "dim", "t",
+                Seq("id"), serializeWriters = true))
+              joinAll(ta, tb)
+            }
+            model = model ++ a ++ b
+          case UpVsCompact(batch) if created =>
+            val tu = inThread(plain.upsert(frame(batch, wide), "dim", "t",
+              Seq("id"), serializeWriters = true))
+            val tc = inThread(Compaction.compactTable(spark,
+              plain.fqn("dim", "t"), 1000L, serializeWriters = true))
+            joinAll(tu, tc)
+            val pu = inThread(parted.upsert(frame(batch, wide), "dim", "t",
+              Seq("id"), serializeWriters = true))
+            val pc = inThread(Compaction.compactPartitions(spark,
+              parted.fqn("dim", "t"), "p >= 0", 1000L,
+              serializeWriters = true))
+            joinAll(pu, pc)
+            model = model ++ batch
+          case _ => () // op before the table exists / empty slice
         }
         val gotPlain = plain.load("dim", "t").select("id", "v")
           .as[(Long, Long)].collect()
         val gotParted = parted.load("dim", "t")
           .select("id", "v", "p").as[(Long, Long, Long)].collect()
+        // the widened column is fully derived: check it everywhere it
+        // exists (both stores share the `wide` flag and the v*10 rule)
+        val wOk = !wide || Seq(plain, parted).forall { store =>
+          store.load("dim", "t").select("v", "w")
+            .as[(Long, Long)].collect().forall(r => r._2 == r._1 * 10)
+        }
         // row counts asserted BEFORE the map collapse: a stale-row
         // regression leaves a duplicate id that .toMap would hide
         gotPlain.length == model.size &&
           gotPlain.toMap == model &&
           gotParted.length == model.size &&
           gotParted.map(r => r._1 -> r._2).toMap == model &&
-          gotParted.forall(r => r._3 == r._2 % 3) // derived partition moved
+          gotParted.forall(r => r._3 == r._2 % 3) && // derived partition moved
+          wOk
       } finally { plain.dropAll(); parted.dropAll() }
     })
   }

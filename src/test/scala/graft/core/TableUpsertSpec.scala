@@ -131,6 +131,34 @@ class TableUpsertSpec extends SparkSpec {
     assert(store.load("dim", "t").filter($"v" === -1L).count() == 2)
   }
 
+  test("a batch carrying columns the target lacks is refused, not " +
+      "silently projected away (plain AND partitioned paths)") {
+    // found by the round-18 fuzzer extension: both merge paths project
+    // the incoming batch onto the target's columns, so a widened
+    // writer's new column would vanish without a sound
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upextra_${System.nanoTime()}"))
+    store.save(spark.range(3).select($"id", lit(1L).as("v")), "dim", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      store.upsert(spark.range(2)
+        .select($"id", lit(2L).as("v"), lit(9L).as("w")),
+        "dim", "t", Seq("id"))
+    }
+    assert(e1.getMessage.contains("silently"), e1.getMessage)
+    assert(store.load("dim", "t").count() == 3) // untouched by the refusal
+    store.savePartitioned(spark.range(3)
+      .select($"id", lit(1L).as("v"), ($"id" % 2).as("p")),
+      "dim", "tp", Seq("p"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.upsert(spark.range(2)
+        .select($"id", lit(2L).as("v"), ($"id" % 2).as("p"),
+          lit(9L).as("w")),
+        "dim", "tp", Seq("id"))
+    }
+    assert(e2.getMessage.contains("silently"), e2.getMessage)
+    assert(store.load("dim", "tp").count() == 3)
+  }
+
   test("bucketed targets are refused, not silently flattened") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc", schema = s"upbkt_${System.nanoTime()}"))
