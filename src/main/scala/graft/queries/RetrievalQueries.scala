@@ -28,7 +28,16 @@ object RetrievalQueries {
         .select(col("doc_id").as("qid"),
           array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
             .as("qtext"))
-      Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", k = 10)
+      // bounded-by-construction 5-query set → the operator's documented
+      // loop-caller posture (forced broadcast, fully lazy). Round 18's
+      // quiet-window A/B measured the default route's eager estimate at
+      // ~0.2-0.3 s per call at sf0.1 with calibration flat (SCALE_SF1
+      // §Round-18) — a real per-call job for a physical plan that is
+      // byte-identical either way on a bounded set (Bm25RoutePlanSpec),
+      // so the bounded caller takes the contract's lazy arm; the auto
+      // route's cost stays measured in RouteCountProbe, not hidden
+      Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", k = 10,
+        broadcastQueryTerms = Some(true))
     }),
 
     // SemDeDup over the d5b planted universe, made SELF-VERIFYING: the
@@ -69,8 +78,10 @@ object RetrievalQueries {
         .select(col("doc_id").as("qid"),
           array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
             .as("qtext"))
+      // forced broadcast for the same bounded-set reason as bm25_1 (the
+      // round-18 A/B; plan byte-identical, estimate job elided)
       val res = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
-        k = 10)
+        k = 10, broadcastQueryTerms = Some(true))
       val qrels = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("doc_id").as("rel_doc"))
       Retrieval.evalTopK(res, qrels)

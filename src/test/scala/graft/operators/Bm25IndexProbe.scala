@@ -58,8 +58,17 @@ object Bm25IndexProbe {
     }
     println(s"corpus: ${docs.count()} docs @ " +
       synthN.map(n => s"synth $n").getOrElse("sf1 tier"))
-    Retrieval.savePostingsIndexBucketed(docs, "doc_id", "text",
-      tablePrefix = "graft_bm25_probe", nBuckets = 32)
+    // Build cost, timed (round 18 cut the build to ONE corpus tokenize
+    // pass — this is the number that claim is checked against); min of
+    // 2 so a cold-file first build doesn't masquerade as the cost. The
+    // last build is the index the scoring A/B below runs against.
+    val builds = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      Retrieval.savePostingsIndexBucketed(docs, "doc_id", "text",
+        tablePrefix = "graft_bm25_probe", nBuckets = 32)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"bm25 index build: ${builds.min}%.2f s (min of ${builds.size})")
     val qs = docs.filter(col("doc_id") < 16)
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     def shot(body: => Long): (Double, Long) = {
