@@ -144,6 +144,16 @@ def main(old_path, new_path, threshold=1.25):
                                    "probe - check load traces)")
         print(f"ambient factor (median ratio, {len(ratios)} queries "
               f">=0.2s): {ambient:.2f}x" + attribution)
+        if "CODE-GLOBAL regression suspected" in attribution:
+            # Round-18 lesson: the single-thread calibration probe is
+            # BLIND to throughput-class host contention — this exact
+            # verdict fired on a window where the PREVIOUS round's tree,
+            # rebuilt and re-run, was itself 1.32x slower than its own
+            # stamp. The stronger instrument is re-running the old code
+            # in the current window and comparing same-window ratios.
+            print("  before accepting a code-global verdict, re-run the "
+                  "old tree in THIS window: tools/bench_ab.sh <oldRef> "
+                  "- the same-window ratio is the verdict column")
     moved = []
     for k in both:
         a, b = oq[k], nq[k]

@@ -78,12 +78,14 @@ def case(name, out, must, must_not=()):
 out = run(artifact(calib=0.85), artifact(scale=1.30, calib=0.85 * 1.30))
 case("uniform+calib-matches -> machine drift", out,
      must=["machine drift"],
-     must_not=["CODE-GLOBAL"])
+     must_not=["CODE-GLOBAL", "bench_ab"])
 
 # 2. Uniform slowdown on a FLAT host: code-global regression.
 out = run(artifact(calib=0.85), artifact(scale=1.45, calib=0.85))
 case("uniform+calib-flat -> code-global regression", out,
-     must=["CODE-GLOBAL regression suspected"],
+     # the suspected-regression verdict must carry the round-18
+     # stronger-instrument pointer (re-run the old tree in this window)
+     must=["CODE-GLOBAL regression suspected", "tools/bench_ab.sh"],
      must_not=["improvement", "machine drift"])
 
 # 3. Uniform SPEEDUP on a flat host: code-global improvement — the case
@@ -91,7 +93,7 @@ case("uniform+calib-flat -> code-global regression", out,
 out = run(artifact(calib=0.85), artifact(scale=0.70, calib=0.85))
 case("uniform-speedup+calib-flat -> code-global improvement", out,
      must=["CODE-GLOBAL improvement suspected"],
-     must_not=["regression suspected", "machine drift"])
+     must_not=["regression suspected", "machine drift", "bench_ab"])
 
 # 4. Calib on one side only: the tool must fall back to the honest
 # can't-tell caveat, not invent an attribution.
