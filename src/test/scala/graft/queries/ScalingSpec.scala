@@ -28,7 +28,11 @@ class ScalingSpec extends SparkSpec {
     "up2_upsert_partitioned" -> 10.0, // touched partitions only, not O(table)
     "semd2_incremental_semantic" -> 5.0, // r10: rides the persisted index
     "d5b_banded_near_dup" -> 5.0, // banded prefilter must not degenerate
-    "sim5b_knn_graph_approx" -> 5.0) // centroid equi-join, not all-pairs
+    "sim5b_knn_graph_approx" -> 5.0, // centroid equi-join, not all-pairs
+    // round 18: the route episode showed this family's cost can move
+    // with plan-construction changes; keep its linearity CI-asserted
+    // (measured 1.3-1.9x at both 10x steps — inverted-index join)
+    "bm25_1_retrieval" -> 10.0)
 
   test("known-linear families stay under their family's growth bound") {
     // best-of-3 (vs the report's 2): one slow rep on a loaded CI host
