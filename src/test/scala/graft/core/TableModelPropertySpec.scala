@@ -29,7 +29,11 @@ class TableModelPropertySpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
 
-  private val params = SCTest.Parameters.default.withMinSuccessfulTests(3)
+  // 3 sequences keeps CI time bounded; a defect hunt runs longer with
+  // GRAFT_FUZZ_N (this spec found real defects in rounds 17 AND 18 —
+  // longer sessions are how its remaining tail gets explored)
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(
+    sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(3))
 
   private sealed trait Op
   private final case class Up(batch: List[(Long, Long)]) extends Op
