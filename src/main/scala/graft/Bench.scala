@@ -33,8 +33,9 @@ import org.apache.spark.sql.SparkSession
   * (override via SPARK_GRAFT_BENCH_FULL) so nothing is lost to the drop
   * rule and round-over-round comparison can cover every query; it also
   * carries BOTH shots, a per-query system-load trace (see
-  * [[renderDetail]]), a per-pass machine-speed calibration trace
-  * (see [[calibrate]]) and the [[volatileClass]] membership, and — on
+  * [[renderDetail]]), per-pass machine-speed calibration traces —
+  * single-thread ([[calibrate]]) and throughput-class ([[tcalibrate]])
+  * — and the [[volatileClass]] membership, and — on
   * an explicit `SPARK_GRAFT_STAMP=1` run only — is mirrored to a
   * round-stamped `bench_full_r<N>.json` (still write-once: a rerun
   * never clobbers the round's first stamp) so each round's canonical
@@ -176,6 +177,90 @@ object Bench {
     dt
   }
 
+  /** Constant input for [[tcalibrate]]: 128 MiB of deterministic
+    * xorshift64 longs, filled once per JVM and reused by every probe
+    * call so the per-call work is allocation-free and identical.
+    * 128 MiB is far past any L3, so each pass is genuine DRAM traffic.
+    */
+  private lazy val tcalibData: Array[Long] = {
+    val a = new Array[Long](1 << 24)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < a.length) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1
+    }
+    a
+  }
+
+  /** THROUGHPUT-class machine calibration probe: a fixed multi-threaded
+    * scan + hash-partition pass over constant in-memory data, timed
+    * wall-clock. The round-18 attribution gap this closes: the
+    * single-thread [[calibrate]] probe sat flat (0.81-0.86 s) through a
+    * window where the SAME CODE re-ran 1.32x slower than its own stamp
+    * (SCALE.md round-18 A/B) — one thread always gets a full core, so
+    * steal/bandwidth contention that taxes every PARALLEL stage is
+    * invisible to it, and `bench_diff` printed a false "CODE-GLOBAL
+    * regression". This probe lives in the contended class: 8 threads
+    * (wide enough to feel core competition and shared memory-bandwidth
+    * pressure, the resource profile of the bench's parallel stages;
+    * narrow enough not to saturate the box by itself), each streaming
+    * its stripe of [[tcalibData]] and XOR-accumulating into a 16-way
+    * hash partition table — the map side of a shuffle, minus Spark, so
+    * a session-conf or codegen change can never move it. Identical work
+    * every call: thread count, pass count, and data are constants,
+    * never derived from env or core count. ~0.5 s/call on this box
+    * idle (window spread to ~1 s under the box's own activity — the
+    * min-of-trace statistic bench_diff reads absorbs that, same as the
+    * single-thread probe);
+    * the ratio of two runs' minimums is the throughput-class host
+    * ratio `tools/bench_diff.py` consults before calling a uniform
+    * shift CODE-GLOBAL. Callers run one untimed call first (JIT +
+    * fill), same as [[calibrate]].
+    */
+  def tcalibrate(): Double = {
+    val threads = 8
+    // ODD on purpose: each pass XORs the same stripe into the partition
+    // table, so an even pass count cancels every fold to exactly 0 and
+    // falsely trips the DCE guard below (caught by the guard itself)
+    val passes = 151
+    val data = tcalibData
+    val stripe = data.length / threads
+    val folds = new Array[Long](threads)
+    val t0 = System.nanoTime()
+    val ts = Array.tabulate(threads) { t =>
+      val th = new Thread(() => {
+        val lo = t * stripe
+        val hi = lo + stripe
+        val parts = new Array[Long](16)
+        var p = 0
+        while (p < passes) {
+          var i = lo
+          while (i < hi) {
+            val v = data(i)
+            parts((v & 15L).toInt) ^= v
+            i += 1
+          }
+          p += 1
+        }
+        var acc = 0L
+        var j = 0
+        while (j < 16) { acc ^= parts(j); j += 1 }
+        folds(t) = acc
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ts.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    // data dependency on every thread's fold: the stripes cannot be
+    // dead-code eliminated (an all-zero fold is astronomically unlikely
+    // from nonzero xorshift output)
+    if (folds.forall(_ == 0L))
+      System.err.println("[bench] throughput calibration fold broke")
+    dt
+  }
+
   /** Render the single-line JSON report, capped at `maxLen` chars by
     * dropping the fastest queries from the map (total always reflects all).
     *
@@ -259,7 +344,9 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val load0 = loadAvg()
     calibrate() // untimed: JIT-compile the probe loop itself
+    tcalibrate() // untimed: JIT + one-time data fill for the parallel probe
     val calib0 = calibrate()
+    val tcalib0 = tcalibrate()
     names.foreach { n => materialize(n, warmDir); hygiene() } // warmup, untimed
     // State pre-warm for the ambient-volatile class (see volatileClass):
     // one untimed TARGET-dir run builds their compute-if-absent scoped-tmp
@@ -288,8 +375,10 @@ object Bench {
     // The per-shot load samples land in the full artifact so a slow
     // entry can be attributed to ambient load, not a plan change.
     val calib1 = calibrate()
+    val tcalib1 = tcalibrate()
     val p1 = passOver(names)
     val calib2 = calibrate()
+    val tcalib2 = tcalibrate()
     val p2 = passOver(names)
     // Third-pass membership: the two-shot disagreement rule, any failed
     // shot, and — unconditionally — the ambient-volatile class, whose
@@ -302,8 +391,10 @@ object Bench {
         a < 0 || b < 0 || math.abs(a - b) > 0.2 * math.min(a, b)
     }
     val calib3 = calibrate()
+    val tcalib3 = tcalibrate()
     val p3 = passOver(unstable)
     val calibEnd = calibrate()
+    val tcalibEnd = tcalibrate()
     val shots = names.map { n =>
       n -> (Seq(p1(n), p2(n)) ++ p3.get(n))
     }
@@ -312,8 +403,12 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // calib: the machine-speed probe timed pre-warmup, at the head of
     // each timed pass, and after the last pass — the host-drift
-    // instrument bench_diff reads (see [[calibrate]])
+    // instrument bench_diff reads (see [[calibrate]]). tcalib: the
+    // throughput-class probe timed at the same five brackets — the
+    // second arbiter bench_diff consults when the single-thread probe
+    // reads flat through a uniform shift (see [[tcalibrate]])
     val calibs = Seq(calib0, calib1, calib2, calib3, calibEnd)
+    val tcalibs = Seq(tcalib0, tcalib1, tcalib2, tcalib3, tcalibEnd)
     // volatile: which of this run's entries got the de-noised protocol
     // (pre-warmed state + mandatory third shot) — recorded so a diff
     // tool can caveat the class's movements instead of flagging them
@@ -321,6 +416,7 @@ object Bench {
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val extra = s""","load":[${fmt(load0)},${fmt(loadAvg())}]""" +
       s""","calib":${calibs.map(fmt).mkString("[", ",", "]")}""" +
+      s""","tcalib":${tcalibs.map(fmt).mkString("[", ",", "]")}""" +
       s""","volatile":$volat"""
     val out = renderLine(results, sfName, extra = extra)
     // Full-map artifact: every query's timing (plus both shots and the

@@ -95,13 +95,28 @@ class BenchFormatSpec extends AnyFunSuite {
         s"volatileClass entry $n is not a catalog query")
     }
     // the extra section shape Bench.main renders (schema growth is
-    // append-only: load, calib, volatile, then detail)
+    // append-only for consumers: load, calib, tcalib, volatile, then
+    // detail — bench_diff treats calib/tcalib as optional so old
+    // artifacts keep diffing)
     val volat = Bench.volatileClass.toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val full = Bench.renderFull(Seq("q_a" -> 0.1), "sf0.1",
-      extra = s""","load":[1.5,2.25],"calib":[0.88],"volatile":$volat""")
+      extra = s""","load":[1.5,2.25],"calib":[0.88],""" +
+        s""""tcalib":[1.02],"volatile":$volat""")
     assert(full.contains(""""volatile":["""), full)
+    assert(full.contains(""""tcalib":["""), full)
     assert(full.endsWith(""","sf":"sf0.1"}"""), full)
+  }
+
+  test("the throughput probe does fixed work and returns a plausible " +
+    "wall time") {
+    Bench.tcalibrate() // JIT + data fill, untimed
+    val t = Bench.tcalibrate()
+    // Bounds are deliberately loose — this pins "real parallel work
+    // happened" (not DCE'd to nothing, not accidentally minutes-long),
+    // not a host-speed number. ~1 s/call measured idle on this box.
+    assert(t > 0.05, s"throughput probe finished implausibly fast: $t s")
+    assert(t < 30.0, s"throughput probe implausibly slow: $t s")
   }
 
   test("fmt keeps ms precision under 10s and stays short above") {

@@ -61,7 +61,10 @@ for rep in $(seq 1 "$reps"); do
   for side in base head; do
     dir=$([ "$side" = base ] && echo "$wt" || echo "$PWD")
     echo "== bench_ab: $side rep$rep ($(date +%T))"
-    (cd "$dir" && env SPARK_GRAFT_SF_DIR="$sf" "${filter_env[@]}" \
+    # ${arr[@]+...}: plain "${filter_env[@]}" on an EMPTY array errors
+    # under set -u on bash < 4.4 (ADVICE r18)
+    (cd "$dir" && env SPARK_GRAFT_SF_DIR="$sf" \
+      ${filter_env[@]+"${filter_env[@]}"} \
       SPARK_GRAFT_BENCH_FULL="$out/${side}_${rep}.json" \
       sbt -batch "runMain graft.Bench" 2>/dev/null | tail -1)
   done
@@ -72,20 +75,28 @@ import json, sys, glob, os
 out = sys.argv[1]
 def mins(side):
     per = {}
-    calibs = []
+    calibs, tcalibs = [], []
     for f in glob.glob(os.path.join(out, side + "_*.json")):
         d = json.load(open(f))
         calibs += d.get("calib", [])
+        tcalibs += d.get("tcalib", [])
         for q, shots in d.get("shots", {}).items():
             ok = [s for s in shots if s >= 0]
             if ok:
                 per.setdefault(q, []).append(min(ok))
-    return {q: min(v) for q, v in per.items()}, calibs
-base, cb = mins("base")
-head, ch = mins("head")
+    return {q: min(v) for q, v in per.items()}, calibs, tcalibs
+base, cb, tb = mins("base")
+head, ch, th = mins("head")
 common = sorted(set(base) & set(head), key=lambda q: -(head[q] / base[q]))
 print(f"\n== bench_ab summary (same-window mins across reps)")
-print(f"calib base [{min(cb):.3f},{max(cb):.3f}]  head [{min(ch):.3f},{max(ch):.3f}]")
+# a side can carry no calib samples (filtered runs on a pre-calib tree,
+# or an aborted rep) — print n/a instead of crashing the whole summary
+# at the reporting step (ADVICE r18)
+def rng(xs):
+    return f"[{min(xs):.3f},{max(xs):.3f}]" if xs else "[n/a]"
+print(f"calib base {rng(cb)}  head {rng(ch)}")
+if tb or th:
+    print(f"tcalib base {rng(tb)}  head {rng(th)}")
 import statistics
 ratios = [head[q] / base[q] for q in common if base[q] >= 0.2]
 if ratios:

@@ -18,11 +18,19 @@ run, so its ratio measures host speed and never code), the tool compares
 the ambient factor against the calibration ratio: agreement attributes a
 uniform shift to the MACHINE; an ambient factor well above the
 calibration ratio is a CODE-GLOBAL regression (session conf, codegen) —
-the case the median alone cannot see. Without calib on both sides the
-old caveat stands: a change that slows EVERY query alike shifts the
-median exactly like machine drift — read the load traces and ask
-whether the round's code plausibly touched every query before accepting
-"machine".
+the case the median alone cannot see. Round 19 adds a SECOND probe for
+the class the single-thread one is blind to: "tcalib" (Bench's 8-thread
+fixed scan+partition probe) measures THROUGHPUT-class host speed (core
+competition, shared memory bandwidth) — in round 18 the single-thread
+probe sat flat through a window where the same code re-ran 1.32x slower
+than its own stamp, and the tool printed a false CODE-GLOBAL flag. With
+both probes present, whichever ratio comes closest to explaining the
+ambient factor arbitrates; CODE-GLOBAL is only suspected when the
+best-explaining probe still leaves a residual past the band. Without
+calib/tcalib on both sides the old caveat stands: a change that slows
+EVERY query alike shifts the median exactly like machine drift — read
+the load traces and ask whether the round's code plausibly touched
+every query before accepting "machine".
 Recorded system load (whole-run endpoints, plus the per-query trace when
 the artifact carries one) is printed so ambient drift can be attributed.
 Residuals near the 0.15 attribution band edge (within +/-0.05) print as
@@ -68,11 +76,18 @@ def main(old_path, new_path, threshold=1.25):
             print(f"new-run per-shot load: min {min(vals):.2f}"
                   f"  median {statistics.median(vals):.2f}"
                   f"  max {max(vals):.2f}")
-    # Machine-speed calibration: the probe is identical work every run,
+    # Machine-speed calibration: each probe is identical work every run,
     # so new/old of the per-pass MINIMUM (each run's least-disturbed
-    # probe — transient steal inflates, nothing deflates) is the host
-    # speed ratio the per-query ambient factor should match if the
-    # uniform shift is machine and not code.
+    # probe — transient steal inflates, nothing deflates) is a host
+    # ratio the per-query ambient factor should match if the uniform
+    # shift is machine and not code. TWO probes since round 19: the
+    # single-thread CPU probe ("calib") sees steal/thermal on one core
+    # but is BLIND to throughput-class contention (round 18: flat probe
+    # through a 1.32x same-code window -> false CODE-GLOBAL flag), so
+    # the 8-thread scan+partition probe ("tcalib") covers the parallel
+    # resource class. A uniform shift is attributed to the machine when
+    # EITHER probe's ratio explains it; CODE-GLOBAL needs both present
+    # probes to read flat against the ambient factor.
     calib_ratio = None
     ocal = [c for c in (old.get("calib") or []) if c > 0]
     ncal = [c for c in (new.get("calib") or []) if c > 0]
@@ -82,6 +97,16 @@ def main(old_path, new_path, threshold=1.25):
               f"(host speed ratio {calib_ratio:.2f}x; per-pass old="
               f"{[round(c, 2) for c in ocal]} new="
               f"{[round(c, 2) for c in ncal]})")
+    tcal_ratio = None
+    otc = [c for c in (old.get("tcalib") or []) if c > 0]
+    ntc = [c for c in (new.get("tcalib") or []) if c > 0]
+    if otc and ntc:
+        tcal_ratio = min(ntc) / min(otc)
+        print(f"throughput calibration: {min(otc):.3f}s -> "
+              f"{min(ntc):.3f}s  (throughput-class host ratio "
+              f"{tcal_ratio:.2f}x; per-pass old="
+              f"{[round(c, 2) for c in otc]} new="
+              f"{[round(c, 2) for c in ntc]})")
     both = sorted(set(oq) & set(nq))
     ratios = [nq[k] / oq[k] for k in both
               if oq[k] > 0 and nq[k] > 0 and max(oq[k], nq[k]) >= 0.2]
@@ -93,7 +118,10 @@ def main(old_path, new_path, threshold=1.25):
         # says what to check rather than asserting a cause.
         attribution = ""
         if abs(ambient - 1.0) > 0.1:
-            if calib_ratio is None:
+            probes = [(lbl, r) for lbl, r in
+                      (("single-thread", calib_ratio),
+                       ("throughput-class", tcal_ratio)) if r is not None]
+            if not probes:
                 attribution = ("  <- uniform shift: machine drift OR a "
                                "global change; check load traces and "
                                "whether code touched every query")
@@ -104,44 +132,51 @@ def main(old_path, new_path, threshold=1.25):
                 # slowdown, residual < 1 a code-global SPEEDUP (e.g. a
                 # costly session conf removed); the earlier asymmetric
                 # branches labeled the speedup case "machine drift".
-                residual = ambient / calib_ratio
+                # With two probes, the one whose ratio comes CLOSEST to
+                # explaining the ambient factor arbitrates: a machine
+                # verdict from either probe stands (they watch disjoint
+                # resource classes), and a CODE-GLOBAL verdict is only
+                # reachable when the best-explaining probe still leaves
+                # an unexplained residual.
+                probe_lbl, probe_ratio = min(
+                    probes, key=lambda p: abs(ambient / p[1] - 1.0))
+                hsr = f"{probe_lbl} host speed ratio {probe_ratio:.2f}x"
+                residual = ambient / probe_ratio
                 # Edge-of-band attributions are soft: with few eligible
-                # queries the residual jitters run-to-run, and the
-                # single-threaded CPU probe under-represents IO/memory-
-                # bandwidth host drift — so a residual within +/-0.05 of
+                # queries the residual jitters run-to-run, and neither
+                # probe covers every host resource class (IO contention
+                # is outside both) — so a residual within +/-0.05 of
                 # the 0.15 threshold gets a "borderline" label in BOTH
                 # directions instead of flipping between verdicts.
                 dist = abs(residual - 1.0)
                 if dist <= 0.10:
-                    attribution = (f"  <- matches host speed ratio "
-                                   f"{calib_ratio:.2f}x: machine drift")
+                    attribution = (f"  <- matches {hsr}: machine drift")
                 elif dist <= 0.20:
                     # the above-1 side keeps the CODE-GLOBAL wording
                     # (softened to "possible") so a regression hunt that
                     # greps for it still finds borderline slowdowns —
                     # the band must soften the verdict, not hide the
                     # direction (ADVICE r14)
-                    side = ("above host speed ratio "
-                            f"{calib_ratio:.2f}x - possible CODE-GLOBAL "
+                    side = (f"above {hsr} - possible CODE-GLOBAL "
                             "regression" if residual > 1 else
-                            f"below host speed ratio {calib_ratio:.2f}x")
+                            f"below {hsr}")
                     attribution = (f"  <- residual {residual:.2f}x is "
                                    f"borderline ({side}, near the 0.15 "
                                    "band edge): check load traces before "
                                    "calling it machine or code")
                 elif residual > 1:
                     attribution = (f"  <- ambient {ambient:.2f}x exceeds "
-                                   f"host speed ratio {calib_ratio:.2f}x "
+                                   f"{hsr} "
                                    f"(residual {residual:.2f}x): "
                                    "CODE-GLOBAL regression suspected")
                 else:
                     attribution = (f"  <- ambient {ambient:.2f}x is below "
-                                   f"host speed ratio {calib_ratio:.2f}x "
+                                   f"{hsr} "
                                    f"(residual {residual:.2f}x): "
                                    "CODE-GLOBAL improvement suspected "
                                    "(or the queries are less sensitive "
-                                   "to this host change than the CPU "
-                                   "probe - check load traces)")
+                                   "to this host change than the "
+                                   "probes - check load traces)")
         print(f"ambient factor (median ratio, {len(ratios)} queries "
               f">=0.2s): {ambient:.2f}x" + attribution)
         if "CODE-GLOBAL regression suspected" in attribution:
@@ -149,8 +184,15 @@ def main(old_path, new_path, threshold=1.25):
             # BLIND to throughput-class host contention — this exact
             # verdict fired on a window where the PREVIOUS round's tree,
             # rebuilt and re-run, was itself 1.32x slower than its own
-            # stamp. The stronger instrument is re-running the old code
-            # in the current window and comparing same-window ratios.
+            # stamp. The tcalib probe (round 19) covers that class when
+            # both artifacts carry it, but neither probe sees IO
+            # contention; the definitive instrument is still re-running
+            # the old code in the current window.
+            if tcal_ratio is None:
+                print("  NOTE: no throughput probe on both sides - the "
+                      "single-thread probe alone missed exactly this "
+                      "shape in round 18 (1.32x same-code drift, probe "
+                      "flat)")
             print("  before accepting a code-global verdict, re-run the "
                   "old tree in THIS window: tools/bench_ab.sh <oldRef> "
                   "- the same-window ratio is the verdict column")

@@ -25,10 +25,10 @@ TOOL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 BASE_QUERIES = {f"q{i}_case": 0.4 + 0.1 * i for i in range(8)}
 
 
-def artifact(scale=1.0, calib=None, bump=None, volatile=None):
+def artifact(scale=1.0, calib=None, bump=None, volatile=None, tcalib=None):
     """A synthetic bench_full map: BASE_QUERIES x scale, one optional
-    per-query bump on top, optional per-pass calib trace, optional
-    volatile-class list."""
+    per-query bump on top, optional per-pass calib/tcalib traces,
+    optional volatile-class list."""
     qs = {k: round(v * scale, 3) for k, v in BASE_QUERIES.items()}
     if bump:
         name, factor = bump
@@ -37,6 +37,9 @@ def artifact(scale=1.0, calib=None, bump=None, volatile=None):
          "unit": "sec", "queries": qs, "load": [1.0, 1.0], "sf": "sf0.1"}
     if calib is not None:
         d["calib"] = [round(calib * f, 3) for f in (1.02, 1.0, 1.01, 1.0, 1.03)]
+    if tcalib is not None:
+        d["tcalib"] = [round(tcalib * f, 3)
+                       for f in (1.05, 1.0, 1.02, 1.01, 1.08)]
     if volatile is not None:
         d["volatile"] = volatile
     return d
@@ -133,7 +136,8 @@ case("residual near band edge -> borderline, not a verdict", out,
 # borderline speedup must not ring the regression bell).
 out = run(artifact(calib=0.85), artifact(scale=0.85, calib=0.85))
 case("borderline below the band edge", out,
-     must=["borderline", "below host speed ratio"],
+     # since r19 the message names the arbitrating probe
+     must=["borderline", "below single-thread host speed ratio"],
      must_not=["CODE-GLOBAL", "machine drift"])
 
 # 8. A mover in the artifact's volatile class carries the A/B caveat;
@@ -169,6 +173,48 @@ two["queries"]["q5_case"] = round(two["queries"]["q5_case"] / 4.0, 3)
 out = run(artifact(calib=0.85), two)
 case("re-measure ranks |movement| across both directions", out,
      must=["SPARK_GRAFT_QUERIES=q5_case,q3_case"])
+
+# 10. THE ROUND-18 FALSE ALARM, reproduced: uniform 1.30x ambient, the
+# single-thread probe FLAT (it was 0.81-0.86 through the whole episode),
+# but the throughput probe moved with the ambient factor — the window
+# had throughput-class contention (the r17 tree itself re-ran 1.32x
+# slower than its own stamp). Pre-r19 this printed "CODE-GLOBAL
+# regression suspected" and cost a worktree A/B to refute; with tcalib
+# on both sides it must attribute to the MACHINE.
+out = run(artifact(calib=0.85, tcalib=1.0),
+          artifact(scale=1.30, calib=0.85, tcalib=1.30))
+case("r18 shape: flat 1-thread + moved throughput -> machine drift", out,
+     must=["machine drift", "throughput-class"],
+     must_not=["CODE-GLOBAL", "bench_ab"])
+
+# 10b. Both probes flat under a uniform slowdown: now the code-global
+# verdict is EARNED (no probe explains it), and the bench_ab pointer
+# still prints — but not the single-probe blindness note, which only
+# applies when tcalib is missing on a side.
+out = run(artifact(calib=0.85, tcalib=1.0),
+          artifact(scale=1.45, calib=0.85, tcalib=1.0))
+case("both probes flat -> code-global regression earned", out,
+     must=["CODE-GLOBAL regression suspected", "tools/bench_ab.sh"],
+     must_not=["machine drift", "NOTE: no throughput probe"])
+
+# 10c. tcalib on ONE side only (the r18->r19 stamp transition shape):
+# the tool must fall back to single-thread-only semantics AND flag that
+# the throughput probe can't arbitrate — the r18 lesson note.
+out = run(artifact(calib=0.85),
+          artifact(scale=1.45, calib=0.85, tcalib=1.0))
+case("tcalib one side -> 1-thread semantics + blindness note", out,
+     must=["CODE-GLOBAL regression suspected",
+           "NOTE: no throughput probe"],
+     must_not=["machine drift"])
+
+# 10d. Throughput probe moved but ambient moved MORE: the residual over
+# the best-explaining probe still exceeds the band -> code-global on
+# top of real host drift (both effects named by the ratios printed).
+out = run(artifact(calib=0.85, tcalib=1.0),
+          artifact(scale=1.80, calib=0.85, tcalib=1.25))
+case("ambient far past both probes -> still code-global", out,
+     must=["CODE-GLOBAL regression suspected"],
+     must_not=["machine drift"])
 
 if FAILURES:
     sys.exit(f"{len(FAILURES)} case(s) failed: {FAILURES}")
