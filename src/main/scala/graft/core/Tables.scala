@@ -240,21 +240,34 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * writer queued behind a merge slower than that times out — raise
     * `lease.waitMs` (and `leaseMs`, the safety margin) for slow
     * mutations.
+    *
+    * `evolveSchema = true` lets a batch carrying columns the target
+    * LACKS proceed by evolving the target first ([[addColumns]] — a
+    * metadata-only ALTER, never a rewrite; pre-evolution rows read NULL
+    * for the new columns). Default `false` keeps the loud refusal: an
+    * unexpected widening is more often an upstream drift bug than an
+    * intended evolution, so widening stays an explicit act. Batches
+    * MISSING target columns still fail loudly either way — the merge is
+    * whole-row replacement, so a narrow batch would null out data.
     */
   def upsert(df: DataFrame, layer: String, table: String,
              keyCols: Seq[String],
              beforeSwap: () => Unit = () => (),
              maxFullRewriteBytes: Long = TableStore.DefaultMaxFullRewriteBytes,
              serializeWriters: Boolean = false,
-             lease: WriterLease.Lease = WriterLease.Lease()): Unit =
+             lease: WriterLease.Lease = WriterLease.Lease(),
+             evolveSchema: Boolean = false): Unit =
     if (serializeWriters)
       WriterLease.withLock(spark, fqn(layer, table), lease)(
-        upsertImpl(df, layer, table, keyCols, beforeSwap, maxFullRewriteBytes))
-    else upsertImpl(df, layer, table, keyCols, beforeSwap, maxFullRewriteBytes)
+        upsertImpl(df, layer, table, keyCols, beforeSwap,
+          maxFullRewriteBytes, evolveSchema))
+    else upsertImpl(df, layer, table, keyCols, beforeSwap,
+      maxFullRewriteBytes, evolveSchema)
 
   private def upsertImpl(df: DataFrame, layer: String, table: String,
                          keyCols: Seq[String], beforeSwap: () => Unit,
-                         maxFullRewriteBytes: Long): Unit = {
+                         maxFullRewriteBytes: Long,
+                         evolveSchema: Boolean): Unit = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val name = fqn(layer, table)
@@ -292,32 +305,50 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
       }
     }
     if (!spark.catalog.tableExists(name)) { save(df, layer, table); return }
+    // Bucket guard FIRST (the Compaction r18 ordering lesson applied
+    // here): a bucketed target is refused before any other step — in
+    // particular before evolveSchema below could ALTER the schema of a
+    // table the merge then refuses to touch.
+    val layoutCols = spark.catalog.listColumns(name).collect()
+    require(!layoutCols.exists(_.isBucket),
+      s"upsert supports plain and partitioned tables; '$name' is bucketed " +
+        s"on ${layoutCols.filter(_.isBucket).map(_.name).mkString(", ")} — " +
+        "use a layout-preserving rewrite (saveBucketed the merge)")
     // Schema guard (found by extending the table fuzzer to evolution
     // sequences): both merge paths project the incoming batch onto the
     // TARGET's columns, so a batch carrying a column the target lacks
     // would have that column silently DROPPED — a writer that widened
     // its schema and kept upserting would lose every value of the new
     // column without a sound. Missing columns already fail loudly
-    // (unresolved reference in the projection); extras must too: the
-    // caller either evolves the table first (rewrite via save /
-    // savePartitioned with the widened schema) or prunes explicitly.
-    val extraCols = df.columns.filterNot(spark.table(name).columns.toSet)
-    require(extraCols.isEmpty,
-      s"upsert into '$name': incoming batch carries columns the target " +
-        s"lacks (${extraCols.mkString(", ")}) — the merge would silently " +
-        "drop them. Evolve the table schema first (rewrite it with " +
-        "save/savePartitioned including the new columns), or select the " +
-        "target's columns explicitly")
+    // (unresolved reference in the projection); extras are either
+    // evolved into the target (`evolveSchema = true` → metadata-only
+    // ALTER TABLE ADD COLUMNS, existing rows read NULL) or refused
+    // loudly. Extra-ness is judged under the session resolver's case
+    // sensitivity (default case-insensitive, matching how the merge
+    // projection itself would resolve a case-variant column).
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def fold(c: String) = if (caseSensitive) c else c.toLowerCase
+    val targetFields = spark.table(name).columns.map(fold).toSet
+    val extraCols = df.schema.fields.filterNot(f => targetFields(fold(f.name)))
+    if (extraCols.nonEmpty) {
+      require(evolveSchema,
+        s"upsert into '$name': incoming batch carries columns the target " +
+          s"lacks (${extraCols.map(_.name).mkString(", ")}) — the merge " +
+          "would silently drop them. Evolve the table first (addColumns, " +
+          "or pass evolveSchema=true to do it here), or select the " +
+          "target's columns explicitly")
+      // nullable forced: every pre-evolution row reads NULL for the new
+      // columns, so a batch frame's non-nullable field must not render
+      // a NOT NULL constraint into the ALTER
+      addColumns(layer, table, org.apache.spark.sql.types.StructType(
+        extraCols.map(_.copy(nullable = true)).toIndexedSeq))
+    }
     val nullKeyed = keyCols.map(c => col(c).isNull).reduce(_ || _)
     require(df.filter(nullKeyed).isEmpty,
       s"upsert into '$name' requires non-null values in key columns " +
         s"(${keyCols.mkString(", ")}): a NULL key never matches the " +
         "anti-join, so replays would accumulate duplicate rows")
-    val layoutCols = spark.catalog.listColumns(name).collect()
-    require(!layoutCols.exists(_.isBucket),
-      s"upsert supports plain and partitioned tables; '$name' is bucketed " +
-        s"on ${layoutCols.filter(_.isBucket).map(_.name).mkString(", ")} — " +
-        "use a layout-preserving rewrite (saveBucketed the merge)")
     val partCols = layoutCols.filter(_.isPartition).map(_.name).toSeq
     if (partCols.nonEmpty) { upsertPartitioned(df, name, keyCols, partCols); return }
     // O(table) rewrite ahead — refuse above the threshold (see Scaladoc).
@@ -397,6 +428,34 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
       }.mkString(", ")
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
     }
+  }
+
+  /** Metadata-only schema evolution: `ALTER TABLE … ADD COLUMNS`.
+    *
+    * The 100 TB posture for a widening writer (the reference infers
+    * schemas per-file — `reviews_fact.py:117-125` — so upstream drift is
+    * its native hazard): adding columns to a parquet-backed managed
+    * table is a CATALOG operation — zero data files move, and existing
+    * files read NULL for the new columns via schema-on-read. The
+    * previous remedy for a widened upsert batch (full-table rewrite via
+    * save/savePartitioned) is O(table) — exactly the operation the
+    * engine must never prescribe for a metadata-sized change.
+    *
+    * New columns land AFTER existing ones (parquet resolves by name, so
+    * order is cosmetic). Spark itself refuses duplicates (per the
+    * session resolver's case sensitivity) and refuses types parquet
+    * can't store — both failures are loud and leave the table untouched.
+    * Partitioned and bucketed layouts both evolve fine: partition and
+    * bucket specs name existing columns only, and neither moves.
+    * Backticks are banned in new names — `toDDL` quotes with backticks,
+    * so an embedded one could split the rendered DDL.
+    */
+  def addColumns(layer: String, table: String,
+                 cols: org.apache.spark.sql.types.StructType): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    cols.fieldNames.foreach(n => require(!n.contains("`"),
+      s"addColumns: backtick in column name '$n'"))
+    spark.sql(s"ALTER TABLE ${fqn(layer, table)} ADD COLUMNS (${cols.toDDL})")
   }
 
   /** ≙ `utilities.py:27-30`. */

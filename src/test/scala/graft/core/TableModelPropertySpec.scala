@@ -5,9 +5,10 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import java.util.concurrent.atomic.AtomicReference
 
 /** Model-based randomized testing of the managed-table mutation layer:
-  * random SEQUENCES of upserts, compactions, schema widenings and
-  * lease-serialized concurrent writer pairs must leave the table equal
-  * to a trivial in-memory key→value map. The per-transition specs
+  * random SEQUENCES of upserts, compactions, schema widenings (full
+  * rewrite), in-place evolutions (evolveSchema upserts riding ADD
+  * COLUMNS) and lease-serialized concurrent writer pairs must leave the
+  * table equal to a trivial in-memory key→value map. The per-transition specs
   * (TableUpsertSpec/CompactionSpec/WriterLeaseSpec) cover each edge in
   * isolation; this covers their COMPOSITIONS — an upsert over a
   * just-compacted table, a compaction over a partition a previous upsert
@@ -47,6 +48,14 @@ class TableModelPropertySpec extends SparkSpec {
     * refused loudly (the silent-drop defect this fuzzer extension found).
     */
   private final case class UpExtraCol(batch: List[(Long, Long)]) extends Op
+  /** The round-19 evolution capability: an upsert carrying a NEW column
+    * `z` with `evolveSchema = true` — the target widens in place
+    * (metadata-only ADD COLUMNS), batch rows carry z, every
+    * not-yet-rewritten row reads z as NULL. Later transitions keep
+    * carrying z, so the fuzzer explores compactions/concurrent writers
+    * over the evolved schema too.
+    */
+  private final case class EvolveUp(batch: List[(Long, Long)]) extends Op
   /** Two cooperating upserts (disjoint key spaces) racing under
     * `serializeWriters = true` — both must queue and land.
     */
@@ -68,6 +77,7 @@ class TableModelPropertySpec extends SparkSpec {
     2 -> Gen.choose(0L, 2L).map(CompactPart.apply),
     2 -> batchGen(0L, 9L).map(Widen.apply),
     1 -> batchGen(0L, 9L).map(UpExtraCol.apply),
+    2 -> batchGen(0L, 9L).map(EvolveUp.apply),
     1 -> Gen.zip(batchGen(0L, 9L), batchGen(100L, 109L))
       .map { case (a, b) => ConcurrentUps(a, b) },
     1 -> batchGen(0L, 9L).map(UpVsCompact.apply))
@@ -86,11 +96,14 @@ class TableModelPropertySpec extends SparkSpec {
   }
 
   /** The table row for a batch: p derived from v (so updates MOVE keys
-    * across partitions), w = v*10 once the schema is widened.
+    * across partitions), w = v*10 once the schema is widened, z = v+7
+    * once an EvolveUp introduced it.
     */
-  private def frame(batch: List[(Long, Long)], wide: Boolean) = {
+  private def frame(batch: List[(Long, Long)], wide: Boolean,
+                    zed: Boolean = false) = {
     val base = batch.toDF("id", "v").withColumn("p", col("v") % 3)
-    if (wide) base.withColumn("w", col("v") * 10) else base
+    val w = if (wide) base.withColumn("w", col("v") * 10) else base
+    if (zed) w.withColumn("z", col("v") + 7) else w
   }
 
   private def inThread(f: => Unit): (Thread, AtomicReference[Throwable]) = {
@@ -118,11 +131,16 @@ class TableModelPropertySpec extends SparkSpec {
         var model = Map.empty[Long, Long]
         var created = false
         var wide = false
+        var zed = false // z column exists (EvolveUp ran since last Widen)
+        var zKeys = Set.empty[Long] // keys whose row carries non-null z
+        def markZ(keys: Iterable[Long]): Unit =
+          if (zed) zKeys = zKeys ++ keys
         def upBoth(batch: List[(Long, Long)]): Unit = {
-          val df = frame(batch, wide)
+          val df = frame(batch, wide, zed)
           plain.upsert(df, "dim", "t", Seq("id"))
           parted.upsert(df, "dim", "t", Seq("id"))
           model = model ++ batch
+          markZ(batch.map(_._1))
         }
         ops.foreach {
           case Up(batch) =>
@@ -143,14 +161,28 @@ class TableModelPropertySpec extends SparkSpec {
               s"p = $p", 1000L)
           case Widen(batch) =>
             wide = true
+            // the overwrite-rewrite resets schema AND content: z (if an
+            // EvolveUp introduced it) disappears with the old data
+            zed = false
+            zKeys = Set.empty
             plain.save(frame(batch, wide), "dim", "t")
             parted.savePartitioned(frame(batch, wide), "dim", "t", Seq("p"))
             created = true
             model = batch.toMap // overwrite-rewrite resets content
+          case EvolveUp(batch) if created =>
+            // the widening upsert itself: z rides in with evolveSchema —
+            // first occurrence ALTERs the target (metadata-only), later
+            // ones are plain upserts of the now-known column
+            val df = frame(batch, wide, zed = true)
+            plain.upsert(df, "dim", "t", Seq("id"), evolveSchema = true)
+            parted.upsert(df, "dim", "t", Seq("id"), evolveSchema = true)
+            model = model ++ batch
+            zed = true
+            markZ(batch.map(_._1))
           case UpExtraCol(batch) if created =>
             // a batch carrying a column the target lacks must refuse
             // loudly on BOTH merge paths and leave everything unchanged
-            val df = frame(batch, wide)
+            val df = frame(batch, wide, zed)
               .withColumn("zz", col("v") + 1)
             val e1 = intercept[IllegalArgumentException] {
               plain.upsert(df, "dim", "t", Seq("id"))
@@ -165,26 +197,28 @@ class TableModelPropertySpec extends SparkSpec {
           case ConcurrentUps(a, b) if created =>
             // disjoint key spaces, so the final state is order-independent
             Seq(plain, parted).foreach { store =>
-              val ta = inThread(store.upsert(frame(a, wide), "dim", "t",
+              val ta = inThread(store.upsert(frame(a, wide, zed), "dim", "t",
                 Seq("id"), serializeWriters = true))
-              val tb = inThread(store.upsert(frame(b, wide), "dim", "t",
+              val tb = inThread(store.upsert(frame(b, wide, zed), "dim", "t",
                 Seq("id"), serializeWriters = true))
               joinAll(ta, tb)
             }
             model = model ++ a ++ b
+            markZ(a.map(_._1) ++ b.map(_._1))
           case UpVsCompact(batch) if created =>
-            val tu = inThread(plain.upsert(frame(batch, wide), "dim", "t",
-              Seq("id"), serializeWriters = true))
+            val tu = inThread(plain.upsert(frame(batch, wide, zed), "dim",
+              "t", Seq("id"), serializeWriters = true))
             val tc = inThread(Compaction.compactTable(spark,
               plain.fqn("dim", "t"), 1000L, serializeWriters = true))
             joinAll(tu, tc)
-            val pu = inThread(parted.upsert(frame(batch, wide), "dim", "t",
-              Seq("id"), serializeWriters = true))
+            val pu = inThread(parted.upsert(frame(batch, wide, zed), "dim",
+              "t", Seq("id"), serializeWriters = true))
             val pc = inThread(Compaction.compactPartitions(spark,
               parted.fqn("dim", "t"), "p >= 0", 1000L,
               serializeWriters = true))
             joinAll(pu, pc)
             model = model ++ batch
+            markZ(batch.map(_._1))
           case _ => () // op before the table exists / empty slice
         }
         val gotPlain = plain.load("dim", "t").select("id", "v")
@@ -197,6 +231,18 @@ class TableModelPropertySpec extends SparkSpec {
           store.load("dim", "t").select("v", "w")
             .as[(Long, Long)].collect().forall(r => r._2 == r._1 * 10)
         }
+        // the evolved column: rows (re)written since the EvolveUp carry
+        // z = v+7; every pre-evolution row must still read NULL — the
+        // metadata-only ALTER moved no data, so nothing may have
+        // invented a value
+        val zOk = !zed || Seq(plain, parted).forall { store =>
+          store.load("dim", "t").select("id", "v", "z").collect().forall {
+            r =>
+              if (zKeys(r.getLong(0)))
+                !r.isNullAt(2) && r.getLong(2) == r.getLong(1) + 7
+              else r.isNullAt(2)
+          }
+        }
         // row counts asserted BEFORE the map collapse: a stale-row
         // regression leaves a duplicate id that .toMap would hide
         gotPlain.length == model.size &&
@@ -204,7 +250,7 @@ class TableModelPropertySpec extends SparkSpec {
           gotParted.length == model.size &&
           gotParted.map(r => r._1 -> r._2).toMap == model &&
           gotParted.forall(r => r._3 == r._2 % 3) && // derived partition moved
-          wOk
+          wOk && zOk
       } finally { plain.dropAll(); parted.dropAll() }
     })
   }

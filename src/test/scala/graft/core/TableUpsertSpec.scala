@@ -224,6 +224,130 @@ class TableUpsertSpec extends SparkSpec {
       .map(_.getString(0)).forall(!_.contains("p=1")))
   }
 
+  test("addColumns widens in place: metadata-only ALTER, old rows read " +
+      "null, files untouched") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"addcol_${System.nanoTime()}"))
+    store.save(spark.range(3).select($"id", ($"id" * 10).as("v")), "dim", "t")
+    val fqn = store.fqn("dim", "t")
+    val filesBefore = spark.table(fqn).inputFiles.toSet
+    store.addColumns("dim", "t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType))))
+    // zero data movement: the exact same files back the evolved table
+    assert(spark.table(fqn).inputFiles.toSet == filesBefore)
+    val got = store.load("dim", "t").select("id", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+    assert(got.toSet == Set((0L, 0L, true), (1L, 10L, true), (2L, 20L, true)))
+    // a later full-schema upsert lands values in the new column
+    store.upsert(Seq((1L, 10L, 7L), (5L, 50L, 8L)).toDF("id", "v", "w"),
+      "dim", "t", Seq("id"))
+    val after = store.load("dim", "t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(after == Map(0L -> -1L, 1L -> 7L, 2L -> -1L, 5L -> 8L))
+  }
+
+  test("addColumns refusals are loud: empty set, backticks, duplicates") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"addbad_${System.nanoTime()}"))
+    store.save(spark.range(2).select($"id", $"id".as("v")), "dim", "t")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    intercept[IllegalArgumentException] {
+      store.addColumns("dim", "t", StructType(Nil))
+    }
+    intercept[IllegalArgumentException] {
+      store.addColumns("dim", "t",
+        StructType(Seq(StructField("a`b", LongType))))
+    }
+    // duplicate of an existing column (any case, under the default
+    // resolver): Spark's own ALTER refuses, table unchanged
+    intercept[org.apache.spark.sql.AnalysisException] {
+      store.addColumns("dim", "t", StructType(Seq(StructField("V", LongType))))
+    }
+    assert(store.load("dim", "t").columns.toSeq == Seq("id", "v"))
+  }
+
+  test("upsert evolveSchema=true widens the target instead of refusing " +
+      "(plain AND partitioned), and the evolution is metadata-only") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upev_${System.nanoTime()}"))
+    // plain
+    store.save(spark.range(3).select($"id", lit(1L).as("v")), "dim", "t")
+    store.upsert(spark.range(2, 4)
+      .select($"id", lit(2L).as("v"), ($"id" + 100L).as("w")),
+      "dim", "t", Seq("id"), evolveSchema = true)
+    val got = store.load("dim", "t").collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, -1L), (1L, 1L, -1L),
+      (2L, 2L, 102L), (3L, 2L, 103L)))
+    // partitioned: untouched partitions' files stay byte-identical
+    // through the evolution (ADD COLUMNS moves no data; the merge
+    // rewrites only touched partitions)
+    store.savePartitioned(spark.range(4)
+      .select($"id", lit(1L).as("v"), ($"id" % 2).as("p")),
+      "fact", "tp", Seq("p"))
+    val fqn = store.fqn("fact", "tp")
+    val before1 = fileDigests(fqn, "p=1")
+    assert(before1.nonEmpty)
+    store.upsert(Seq((0L, 5L, 0L, 42L)).toDF("id", "v", "p", "w"),
+      "fact", "tp", Seq("id"), evolveSchema = true)
+    assert(fileDigests(fqn, "p=1") == before1)
+    // select by NAME: a partitioned table keeps its partition columns
+    // LAST, so the evolved schema is (id, v, w, p), not (id, v, p, w)
+    val gotP = store.load("fact", "tp").select("id", "v", "w")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(gotP == Set((0L, 5L, 42L), (1L, 1L, -1L),
+      (2L, 1L, -1L), (3L, 1L, -1L)))
+    // default posture unchanged: without the flag the next widening
+    // still refuses loudly
+    intercept[IllegalArgumentException] {
+      store.upsert(Seq((0L, 5L, 0L, 42L, 1L)).toDF("id", "v", "p", "w", "z"),
+        "fact", "tp", Seq("id"))
+    }
+  }
+
+  test("a batch column differing only in CASE is not 'extra' under the " +
+      "default resolver — it merges, never refuses (ADVICE r18)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"upcase_${System.nanoTime()}"))
+    store.save(spark.range(3).select($"id", lit(1L).as("v")), "dim", "t")
+    // batch carries V (upper): the merge projection resolves it onto v
+    // case-insensitively, so the guard must not refuse it as extra
+    store.upsert(spark.range(1, 2).select($"id", lit(9L).as("V")),
+      "dim", "t", Seq("id"))
+    val got = store.load("dim", "t").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 9L, 2L -> 1L))
+    assert(store.load("dim", "t").columns.toSeq == Seq("id", "v"))
+  }
+
+  test("addColumns works on bucketed layouts too (specs name existing " +
+      "columns; upsert still refuses the bucketed merge)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"addbkt_${System.nanoTime()}"))
+    store.saveBucketed(spark.range(10)
+      .select($"id", ($"id" % 3).as("b")), "fact", "t", 4, Seq("id"))
+    store.addColumns("fact", "t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType))))
+    val df = store.load("fact", "t")
+    assert(df.columns.toSeq == Seq("id", "b", "w"))
+    assert(df.where($"w".isNull).count() == 10)
+    // the merge path still refuses bucketed targets — evolveSchema must
+    // not become a side door (bucket guard fires before the evolve)
+    val ex = intercept[IllegalArgumentException] {
+      store.upsert(spark.range(2)
+        .select($"id", lit(0L).as("b"), lit(1L).as("w"), lit(2L).as("z")),
+        "fact", "t", Seq("id"), evolveSchema = true)
+    }
+    assert(ex.getMessage.contains("layout-preserving"))
+    // and the refused evolve left no z column behind
+    assert(store.load("fact", "t").columns.toSeq == Seq("id", "b", "w"))
+  }
+
   test("duplicate keys WITHIN the batch replace existing rows, all kept") {
     // upsert semantics here are whole-row replace by key set — a batch
     // carrying the same key twice contributes both rows (distinct() only
