@@ -61,24 +61,37 @@ object Compaction {
     }
   }
 
-  /** (row count, order-independent content fingerprint) of a table in one
-    * scan: the fingerprint sums xxhash64 over all columns per row as
-    * DECIMAL(38,0) (overflow-free, reduction-order-independent), so two
-    * tables agree iff they hold the same row multiset up to 64-bit hash
-    * collisions. Tables with map-typed columns (which Spark's hash
-    * expressions reject) degrade to (count, 0) — the guard then detects
-    * cardinality changes only, as the pre-fingerprint code did for all
-    * tables.
+  /** Result of [[contentSummaryOf]]: row count, order-independent content
+    * fingerprint, and whether the fingerprint actually PROVES content
+    * (`proven = false` means the schema degraded it to cardinality only —
+    * equality of two unproven summaries says the counts match, nothing
+    * about the bytes). Race guards compare summaries for equality either
+    * way (the degraded form is the documented cardinality-only guard);
+    * the self-heal auto-DROP additionally demands `proven` (ADVICE r18:
+    * two map-schema tables with equal nonzero counts but different
+    * content compared "equal" and slipped past the positive-proof rule).
+    */
+  private[core] final case class Summary(rows: Long,
+                                         fingerprint: BigDecimal,
+                                         proven: Boolean)
+
+  /** Content summary of a table in one scan: the fingerprint sums
+    * xxhash64 over all columns per row as DECIMAL(38,0) (overflow-free,
+    * reduction-order-independent), so two tables agree iff they hold the
+    * same row multiset up to 64-bit hash collisions. Tables with
+    * map-typed columns (which Spark's hash expressions reject) degrade
+    * to (count, 0, proven = false) — the guard then detects cardinality
+    * changes only, as the pre-fingerprint code did for all tables.
     */
   private[core] def contentSummary(spark: SparkSession,
-                                   tbl: String): (Long, BigDecimal) =
+                                   tbl: String): Summary =
     contentSummaryOf(spark.table(tbl))
 
   private[core] def contentSummaryOf(
-      df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+      df: org.apache.spark.sql.DataFrame): Summary = {
     import org.apache.spark.sql.functions._
     if (df.schema.fields.exists(f => containsMap(f.dataType))) {
-      (df.count(), BigDecimal(0))
+      Summary(df.count(), BigDecimal(0), proven = false)
     } else {
       // backtick-quote names: a bare col("a.b") would parse as nested-field
       // access and abort compaction on tables with dotted column names
@@ -86,8 +99,9 @@ object Compaction {
         .map(n => col(s"`${n.replace("`", "``")}`"))
       val row = df.agg(count(lit(1)),
         sum(xxhash64(struct(cols: _*)).cast("decimal(38,0)"))).head()
-      (row.getLong(0),
-        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+      Summary(row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)),
+        proven = true)
     }
   }
 
@@ -155,10 +169,9 @@ object Compaction {
         // regardless of what it reads, so never auto-drop it.
         val sFqn = contentSummary(spark, fqn)
         val sOld = contentSummary(spark, old)
-        val emptyRead = (0L, BigDecimal(0))
         val oldPartitioned =
           spark.catalog.listColumns(old).collect().exists(_.isPartition)
-        if (sFqn == sOld && sFqn != emptyRead && !oldPartitioned) {
+        if (sFqn == sOld && sFqn.proven && sFqn.rows > 0L && !oldPartitioned) {
           spark.sql(s"DROP TABLE $qOld")
         } else if (sFqn == sOld) {
           throw new IllegalStateException(
@@ -167,6 +180,9 @@ object Compaction {
               (if (oldPartitioned)
                 s"'$old' is partitioned, and a renamed partitioned table's " +
                   "summary is unreliable under an in-memory catalog"
+              else if (!sFqn.proven)
+                "map-typed columns degrade the fingerprint to a row count, " +
+                  "and equal counts are not content proof"
               else
                 "both read as 0 rows, which is also what a rename-stranded " +
                   "partitioned table reports") +
@@ -230,8 +246,8 @@ object Compaction {
       spark.sql(s"DROP TABLE $qTmp")
       throw new IllegalStateException(
         s"compactTable aborted: '$fqn' changed during compaction " +
-          s"(staged ${staged._1} rows, table now has ${current._1}, " +
-          s"fingerprints ${if (staged._2 == current._2) "match" else "differ"}); " +
+          s"(staged ${staged.rows} rows, table now has ${current.rows}, " +
+          s"fingerprints ${if (staged.fingerprint == current.fingerprint) "match" else "differ"}); " +
           "original restored — quiesce writers and retry")
     }
     spark.sql(s"ALTER TABLE $qTmp RENAME TO $qFqn")
@@ -357,9 +373,9 @@ object Compaction {
       spark.sql(s"DROP TABLE $qTmp")
       throw new IllegalStateException(
         s"compactPartitions aborted: '$fqn' ($partitionPredicate) changed " +
-          s"during staging (staged ${staged._1} rows, slice now has " +
-          s"${current._1}, fingerprints " +
-          s"${if (staged._2 == current._2) "match" else "differ"}); " +
+          s"during staging (staged ${staged.rows} rows, slice now has " +
+          s"${current.rows}, fingerprints " +
+          s"${if (staged.fingerprint == current.fingerprint) "match" else "differ"}); " +
           "nothing was modified — quiesce writers and retry")
     }
     overwriteDynamic(spark, spark.table(tmp), fqn)

@@ -244,6 +244,18 @@ object Retrieval {
     * count ALL documents, including null-text ones absent from the
     * derived `_doclen`.
     *
+    * TWO-READ WINDOW (ADVICE r18): that count is a second, independent
+    * read of the source — the build contract requires `docs` stable and
+    * deterministic for its duration (the same quiesced-writers contract
+    * every staged publish here has). A source that shrinks mid-build is
+    * caught loudly: `n_docs` can never be below the written `_doclen`'s
+    * row count (every tokenized doc is a doc), and both sides of that
+    * check are footer-metadata-only. A source that GROWS mid-build by
+    * null-text rows only is indistinguishable from a legitimate
+    * null-text corpus — the residual window, accepted and documented
+    * rather than paying a full second tokenize (the r17 cost this build
+    * removed) or caching 100 TB to snapshot it.
+    *
     * Crash-window discipline (the [[TextDedup.saveLshIndexBucketed]]
     * rule, marker role MOVED in round 18): deriving `_doclen` from the
     * written `_postings` forces postings to be written first, so
@@ -260,10 +272,15 @@ object Retrieval {
     graft.core.TableStore.requireTablePrefix(tablePrefix)
     val sp = docs.sparkSession
     import sp.implicits._
+    // ordering pinned by IndexCrashPropertySpec via the BuildSteps seam
+    graft.core.BuildSteps.step("bm25:drop_meta")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_meta")
+    graft.core.BuildSteps.step("bm25:drop_doclen")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_doclen")
+    graft.core.BuildSteps.step("bm25:drop_postings")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_postings")
     // the ONE corpus tokenize pass
+    graft.core.BuildSteps.step("bm25:write_postings")
     docs
       .select(col(docId).as("doc_id"),
         explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
@@ -276,17 +293,27 @@ object Retrieval {
     // dl = Σ tf per doc, derived from the WRITTEN postings — a narrow
     // (doc_id, tf) aggregation (the one exchange this build pays beyond
     // the bucketed writes), no second pass over the corpus text
+    graft.core.BuildSteps.step("bm25:write_doclen")
     sp.table(s"${tablePrefix}_postings")
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.format("parquet")
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${tablePrefix}_doclen")
     val nDocs = docs.count()
+    // the detectable half of the two-read window (see scaladoc): a doc
+    // in the written snapshot that the re-count no longer sees means the
+    // source mutated mid-build — refuse to publish a skewed meta
+    val nTokenized = sp.table(s"${tablePrefix}_doclen").count()
+    require(nDocs >= nTokenized,
+      s"bm25 index build: source corpus changed during the build " +
+        s"(n_docs=$nDocs < $nTokenized tokenized docs in the written " +
+        "snapshot) — quiesce writers and rebuild")
     // coalesce: an empty corpus writes (0, 0) and the LOAD refuses it
     // with the corrupt-meta message, instead of an NPE here
     val sumDl = sp.table(s"${tablePrefix}_doclen")
       .agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .head().getLong(0)
+    graft.core.BuildSteps.step("bm25:write_meta")
     Seq((nDocs, sumDl, TokenizerTag))
       .toDF("n_docs", "sum_dl", "tokenizer")
       .coalesce(1)

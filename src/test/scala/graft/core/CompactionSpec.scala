@@ -117,6 +117,29 @@ class CompactionSpec extends SparkSpec {
     assert(spark.catalog.tableExists(s"${fqn}__old"))
   }
 
+  test("self-heal refuses the automatic DROP on map-typed schemas even " +
+      "with equal nonzero counts (the degraded fingerprint proves " +
+      "nothing about content — ADVICE r18)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"healmap_${System.nanoTime()}"))
+    // same COUNT, different CONTENT, map column: the degraded summary
+    // (count, 0, unproven) compares equal — pre-fix this auto-dropped
+    // __old, which could be the only complete copy
+    store.save(spark.range(5)
+      .select(col("id"), map(lit("k"), col("id")).as("m")), "tmp", "t")
+    val fqn = store.fqn("tmp", "t")
+    spark.range(100, 105)
+      .select(col("id"), map(lit("k"), col("id")).as("m"))
+      .write.format("parquet").saveAsTable(s"${fqn}__old")
+    val ex = intercept[IllegalStateException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000)
+    }
+    assert(ex.getMessage.contains("cannot PROVE") &&
+      ex.getMessage.contains("map-typed"), ex.getMessage)
+    assert(spark.catalog.tableExists(fqn))
+    assert(spark.catalog.tableExists(s"${fqn}__old"))
+  }
+
   test("a same-cardinality overwrite during compaction trips the guard") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc",
