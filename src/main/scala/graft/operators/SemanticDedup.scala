@@ -231,13 +231,17 @@ object SemanticDedup {
       vecCol, c, probes = assignProbes, seed = seed)
     val sp = corpus.sparkSession
     import sp.implicits._
+    // ordering pinned by IndexCrashPropertySpec via the BuildSteps seam
+    graft.core.BuildSteps.step("sem:drop_members")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_members")
+    graft.core.BuildSteps.step("sem:write_centroids")
     index.centroids.toSeq.zipWithIndex
       .map { case (cc, i) => (i, cc.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_centroids")
+    graft.core.BuildSteps.step("sem:write_members")
     members.write.format("parquet")
       .bucketBy(nBuckets, "cluster").sortBy("cluster")
       .saveAsTable(s"${tablePrefix}_members")

@@ -871,13 +871,17 @@ object Similarity {
     graft.core.TableStore.requireTablePrefix(tablePrefix)
     val sp = index.vectors.sparkSession
     import sp.implicits._
+    // ordering pinned by IndexCrashPropertySpec via the BuildSteps seam
+    graft.core.BuildSteps.step("ivf:drop_vectors")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_vectors")
+    graft.core.BuildSteps.step("ivf:write_centroids")
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1) // nCentroids rows — one file
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_centroids")
+    graft.core.BuildSteps.step("ivf:write_vectors")
     index.vectors
       .write.format("parquet")
       .bucketBy(nBuckets, "centroid").sortBy("centroid")

@@ -725,17 +725,24 @@ object TextDedup {
     // _sets is the completeness signal: drop it FIRST, then the middle
     // table (bucketed saveAsTable cannot overwrite in place — a stale
     // _banded would fail the rebuild's create); any crash in between
-    // leaves a pair without its marker table, never a mixed-build index
+    // leaves a pair without its marker table, never a mixed-build index.
+    // The ordering is pinned mechanically by IndexCrashPropertySpec via
+    // the BuildSteps seam.
+    graft.core.BuildSteps.step("lsh:drop_sets")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_sets")
+    graft.core.BuildSteps.step("lsh:drop_banded")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_banded")
+    graft.core.BuildSteps.step("lsh:write_meta")
     Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
       .coalesce(1)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_meta")
+    graft.core.BuildSteps.step("lsh:write_banded")
     minHashBandedKeys(corpus, idCol, textCol, n, numHashes, bands)
       .write.format("parquet")
       .bucketBy(nBuckets, "bh").sortBy("bh")
       .saveAsTable(s"${tablePrefix}_banded")
+    graft.core.BuildSteps.step("lsh:write_sets")
     shingleSets(corpus, idCol, textCol, n)
       .write.format("parquet")
       .bucketBy(nBuckets, "doc").sortBy("doc")
