@@ -146,6 +146,9 @@ object Compaction {
     val old = s"${fqn}__old"
     val tmp = s"${fqn}__compact"
     val (qFqn, qOld, qTmp) = (quoted(fqn), quoted(old), quoted(tmp))
+    // after the identifier validation (the injection guard comes before
+    // any catalog lookup), before any mutation
+    requireNoPendingPublish(spark, fqn)
     // Self-heal a previous run that died mid-swap: if fqn is gone the crash
     // was between the two renames — rename the complete copy back. If BOTH
     // survive, normally only the final DROP was missed (fqn = the compacted
@@ -334,13 +337,38 @@ object Compaction {
         s"the bucketing of '$fqn' (bucketed on " +
         s"${allCols.filter(_.isBucket).map(_.name).mkString(", ")}) — " +
         "rewrite via a layout-preserving saveBucketed instead")
-    // Self-heal a crash mid-publish: __compact holds a complete verified
-    // slice (staging commits atomically via saveAsTable; the stage is only
-    // dropped after a successful publish), so re-publishing it is always
-    // safe and converges the interrupted run.
-    if (spark.catalog.tableExists(tmp)) {
+    // Self-heal a crashed predecessor. TWO distinct crash classes, told
+    // apart by the `__publish` marker (created after verification, just
+    // before the dynamic overwrite; dropped right after it):
+    //
+    //  - stage + MARKER → the crash hit MID-PUBLISH: the live slice may
+    //    be left partial (dynamic overwrite is not atomic across its
+    //    partitions, or even within one), and the verified stage is the
+    //    authoritative complete copy — re-publish it, then clear both.
+    //    Writers cannot have landed meanwhile: every mutator (upsert,
+    //    both compactors) refuses while the marker stands.
+    //  - stage WITHOUT the marker → the crash hit BEFORE the publish
+    //    began: the live table is intact and authoritative, and the
+    //    stage may be OUTDATED (any number of upserts may have landed
+    //    since — nothing gated them, correctly, because live was never
+    //    in doubt). Re-publishing here would silently REVERT those
+    //    writes (found by composing the fuzzer's crash states with
+    //    random upserts, round 19); the stage is compaction WORK, never
+    //    the only copy of data, so it is discarded and the current call
+    //    stages fresh.
+    //
+    //  A marker without a stage cannot arise from this code path (the
+    //  marker is dropped first); clear it defensively if found.
+    val marker = s"${fqn}__publish"
+    val qMarker = quoted(marker)
+    if (spark.catalog.tableExists(tmp) && spark.catalog.tableExists(marker)) {
       overwriteDynamic(spark, spark.table(tmp), fqn)
+      spark.sql(s"DROP TABLE $qMarker")
       spark.sql(s"DROP TABLE $qTmp")
+    } else if (spark.catalog.tableExists(tmp)) {
+      spark.sql(s"DROP TABLE $qTmp")
+    } else if (spark.catalog.tableExists(marker)) {
+      spark.sql(s"DROP TABLE $qMarker")
     }
     def slice = spark.table(fqn).where(partitionPredicate)
     // Dataset.inputFiles reports the UNPRUNED relation's files, so the
@@ -378,9 +406,32 @@ object Compaction {
           s"${if (staged.fingerprint == current.fingerprint) "match" else "differ"}); " +
           "nothing was modified — quiesce writers and retry")
     }
+    // Publish under the marker (see the self-heal above): the marker is
+    // created only AFTER verification passes — an aborted run never
+    // leaves one — and while it stands, every mutator on this table
+    // refuses, so the in-doubt window (live slice possibly partial) is
+    // visible instead of silently writable.
+    spark.sql(s"CREATE TABLE $qMarker (pending INT) USING parquet")
     overwriteDynamic(spark, spark.table(tmp), fqn)
+    spark.sql(s"DROP TABLE $qMarker")
     spark.sql(s"DROP TABLE $qTmp")
     spark.catalog.refreshTable(fqn)
     (before, sliceFiles())
   }
+
+  /** Loud gate every table mutator calls first: while a `__publish`
+    * marker stands, the live table may be PARTIAL (a compaction publish
+    * crashed mid-overwrite) and any merge computed from it would bake
+    * the partial read into published data. The fix is always the same —
+    * resume `compactPartitions` on the table (any predicate), whose
+    * self-heal re-publishes the authoritative stage and clears the
+    * marker.
+    */
+  private[core] def requireNoPendingPublish(spark: SparkSession,
+                                            fqn: String): Unit =
+    require(!spark.catalog.tableExists(s"${fqn}__publish"),
+      s"a crashed compaction publish is pending on '$fqn' (marker " +
+        s"'${fqn}__publish' exists): the live table may be partial — " +
+        "resume compactPartitions on it to restore from the staged copy " +
+        "before mutating")
 }

@@ -84,10 +84,29 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
   def fqn(layer: String, table: String): String =
     s"$db.${ident(s"${layer}_$table")}"
 
+  /** A crashed compaction PUBLISH leaves a `__publish` marker + staged
+    * copy (see [[Compaction]]): the live table may be PARTIAL until the
+    * compaction is resumed. The save entry points resolve that state by
+    * the write's own semantics — a full OVERWRITE replaces the table
+    * entirely, superseding the crashed compaction (its stage and marker
+    * refer to dead state and are cleared, so a later resume cannot
+    * re-publish stale partitions over the fresh table); an APPEND
+    * composes with the possibly-partial live data and refuses loudly
+    * like every other mutator.
+    */
+  private def resolvePendingPublish(name: String, mode: SaveMode): Unit =
+    if (mode == SaveMode.Overwrite) {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}__publish")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}__compact")
+    } else Compaction.requireNoPendingPublish(spark, name)
+
   /** ≙ `utilities.py:20-23` (mode defaults to overwrite; fact append). */
   def save(df: DataFrame, layer: String, table: String,
-           mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.format("parquet").mode(mode).saveAsTable(fqn(layer, table))
+           mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val name = fqn(layer, table)
+    resolvePendingPublish(name, mode)
+    df.write.format("parquet").mode(mode).saveAsTable(name)
+  }
 
   /** Partitioned managed table — the 100TB fact layout (SURVEY.md §4):
     * partition by ingest date/derived key so time-bounded queries prune
@@ -95,20 +114,26 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     */
   def savePartitioned(df: DataFrame, layer: String, table: String,
                       partitionCols: Seq[String],
-                      mode: SaveMode = SaveMode.Overwrite): Unit =
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val name = fqn(layer, table)
+    resolvePendingPublish(name, mode)
     df.write.format("parquet").mode(mode)
-      .partitionBy(partitionCols: _*).saveAsTable(fqn(layer, table))
+      .partitionBy(partitionCols: _*).saveAsTable(name)
+  }
 
   /** Bucketed managed table: co-locates join/agg keys so repeated joins on
     * `bucketCols` between same-bucketed tables run shuffle-free.
     */
   def saveBucketed(df: DataFrame, layer: String, table: String,
                    nBuckets: Int, bucketCols: Seq[String],
-                   mode: SaveMode = SaveMode.Overwrite): Unit =
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val name = fqn(layer, table)
+    resolvePendingPublish(name, mode)
     df.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(fqn(layer, table))
+      .saveAsTable(name)
+  }
 
   /** Replay-idempotent batch landing: the frame (carrying `batchCol`, one
     * value per micro-batch) lands in its own partition with DYNAMIC
@@ -121,6 +146,9 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
   def saveBatchPartition(df: DataFrame, layer: String, table: String,
                          batchCol: String): Unit = {
     val name = fqn(layer, table)
+    // incremental landing composes with live data — refuse while a
+    // crashed compaction publish leaves it possibly partial
+    Compaction.requireNoPendingPublish(spark, name)
     if (!spark.catalog.tableExists(name)) {
       // restart path: the catalog may have been lost (in-memory metastore,
       // new JVM) while the table directory persists in the warehouse — a
@@ -273,6 +301,10 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     val name = fqn(layer, table)
     val tmp = s"${name}__upsert"
     val old = s"${name}__old"
+    // a crashed compaction PUBLISH leaves the live table possibly
+    // partial; merging from a partial read would bake the loss into
+    // published data — refuse until the compaction is resumed
+    Compaction.requireNoPendingPublish(spark, name)
     // Self-heal a prior crash BEFORE the exists-check below — otherwise a
     // crash between the two renames (name gone, full table under __old)
     // would route the next call through the create path and silently

@@ -236,18 +236,31 @@ class CompactionSpec extends SparkSpec {
     assert(fileDigests(fqn, "p=1") == allBefore.filter(_._1.contains("p=1")))
   }
 
-  test("a leftover __compact from a crashed publish self-heals by re-publishing") {
-    val (_, fqn) = fragmentedStore("partheal")
-    // simulate: a prior compactPartitions of p=0 staged + verified, then
-    // crashed mid-publish leaving p=0 short and the full slice in __compact
+  test("a MID-PUBLISH crash (stage + __publish marker, live slice left " +
+      "short) self-heals by re-publishing the authoritative stage") {
+    val (store, fqn) = fragmentedStore("partheal")
+    // simulate: a prior compactPartitions of p=0 staged + verified,
+    // created its publish marker, then crashed mid-overwrite leaving
+    // p=0 short and the full slice in __compact
     spark.table(fqn).where("p = 0").write.format("parquet")
       .partitionBy("p").saveAsTable(s"${fqn}__compact")
+    spark.sql(s"CREATE TABLE ${fqn}__publish (pending INT) USING parquet")
     val key = "spark.sql.sources.partitionOverwriteMode"
     spark.conf.set(key, "dynamic")
     try spark.table(fqn).where("p = 0 AND id < 10")
       .write.mode("overwrite").insertInto(fqn)
     finally spark.conf.unset(key)
     assert(spark.table(fqn).count() < 300) // p=0 is short: crash simulated
+    // while the marker stands, every mutator refuses loudly — a merge
+    // computed from the short slice would bake the loss into real data
+    val eu = intercept[IllegalArgumentException] {
+      store.upsert(Seq((500L, 0L)).toDF("id", "p"), "tmp", "t", Seq("id"))
+    }
+    assert(eu.getMessage.contains("pending"), eu.getMessage)
+    val ec = intercept[IllegalArgumentException] {
+      Compaction.compactTable(spark, fqn, targetRows = 1000)
+    }
+    assert(ec.getMessage.contains("pending"), ec.getMessage)
     // compacting a DIFFERENT slice first restores p=0 from the stage
     val (_, after) =
       Compaction.compactPartitions(spark, fqn, "p = 1", targetRows = 1000)
@@ -255,6 +268,58 @@ class CompactionSpec extends SparkSpec {
     val got = spark.table(fqn).as[(Long, Long)].collect().toSet
     assert(got == (0L until 300L).map(i => (i, i % 3)).toSet)
     assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+    assert(!spark.catalog.tableExists(s"${fqn}__publish"))
+    // and the gate lifts once the resume cleared the marker
+    store.upsert(Seq((500L, 0L)).toDF("id", "p"), "tmp", "t", Seq("id"))
+    assert(spark.table(fqn).count() == 301)
+  }
+
+  test("a pre-publish __compact leftover must NOT revert writes that " +
+      "landed after the crash (stage discarded, not re-published)") {
+    val (store, fqn) = fragmentedStore("stalestage")
+    // simulate: a prior compactPartitions staged the full slice and
+    // crashed BEFORE starting its publish (no publish marker) — the
+    // live table is intact and authoritative
+    spark.table(fqn).write.format("parquet")
+      .partitionBy("p").saveAsTable(s"${fqn}__compact")
+    // a later writer moves key 0 from p=0 to p=1 — content the stale
+    // stage still holds in its pre-upsert arrangement
+    store.upsert(Seq((0L, 1L)).toDF("id", "p"), "tmp", "t", Seq("id"))
+    def p0() = spark.table(fqn).where("id = 0").select("p")
+      .as[Long].collect().toSeq
+    assert(p0() == Seq(1L))
+    // resuming compaction must not publish the pre-upsert stage over it
+    Compaction.compactPartitions(spark, fqn, "p = 2", targetRows = 1000)
+    assert(p0() == Seq(1L),
+      "stale pre-publish stage was re-published, reverting the upsert")
+    assert(spark.table(fqn).count() == 300)
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+  }
+
+  test("a full OVERWRITE supersedes a crashed publish (marker + stage " +
+      "cleared, resume cannot clobber it); APPEND refuses") {
+    val (store, fqn) = fragmentedStore("superpub")
+    // dangling mid-publish crash state
+    spark.table(fqn).write.format("parquet")
+      .partitionBy("p").saveAsTable(s"${fqn}__compact")
+    spark.sql(s"CREATE TABLE ${fqn}__publish (pending INT) USING parquet")
+    // append-mode save composes with the possibly-partial live table:
+    // must refuse like every other mutator
+    val ea = intercept[IllegalArgumentException] {
+      store.savePartitioned(Seq((500L, 0L)).toDF("id", "p"), "tmp", "t",
+        Seq("p"), org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(ea.getMessage.contains("pending"), ea.getMessage)
+    // a full overwrite REPLACES the table: the crashed compaction's
+    // stage and marker refer to dead state and must be cleared, so a
+    // later compaction cannot re-publish stale partitions over it
+    store.savePartitioned(Seq((1000L, 0L), (1001L, 1L)).toDF("id", "p"),
+      "tmp", "t", Seq("p"))
+    assert(!spark.catalog.tableExists(s"${fqn}__publish"))
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+    Compaction.compactPartitions(spark, fqn, "p >= 0", targetRows = 1000)
+    assert(spark.table(fqn).as[(Long, Long)].collect().toSet ==
+      Set((1000L, 0L), (1001L, 1L)))
   }
 
   test("compactTable refuses bucketed targets with the saveBucketed " +

@@ -66,6 +66,25 @@ class TableModelPropertySpec extends SparkSpec {
     * complete in either order (compaction is content-neutral).
     */
   private final case class UpVsCompact(batch: List[(Long, Long)]) extends Op
+  /** A crashed predecessor's STALE writer lease: its marker sits at an
+    * mtime past leaseMs — the next serialized writer must steal it,
+    * complete normally, and leave no marker behind (round-19 extension:
+    * the lease transitions only covered the live happy path).
+    */
+  private final case class StaleLease(batch: List[(Long, Long)]) extends Op
+  /** A compactPartitions that died BEFORE its publish began: `__compact`
+    * holds a pre-crash stage, later upserts land against the intact
+    * live table, and a resumed compaction must DISCARD the stage —
+    * re-publishing it would silently revert those upserts (the REAL
+    * defect this round-19 extension found).
+    */
+  private final case class CrashedStage(batch: List[(Long, Long)]) extends Op
+  /** A compactPartitions that died MID-PUBLISH: stage + `__publish`
+    * marker standing, one live partition left short. Every mutator must
+    * refuse while the marker stands, and the resumed compaction must
+    * restore exactly the staged content.
+    */
+  private case object CrashedPublish extends Op
 
   private def batchGen(keyLo: Long, keyHi: Long): Gen[List[(Long, Long)]] =
     Gen.listOfN(6, Gen.zip(Gen.choose(keyLo, keyHi), Gen.choose(0L, 99L)))
@@ -80,7 +99,10 @@ class TableModelPropertySpec extends SparkSpec {
     2 -> batchGen(0L, 9L).map(EvolveUp.apply),
     1 -> Gen.zip(batchGen(0L, 9L), batchGen(100L, 109L))
       .map { case (a, b) => ConcurrentUps(a, b) },
-    1 -> batchGen(0L, 9L).map(UpVsCompact.apply))
+    1 -> batchGen(0L, 9L).map(UpVsCompact.apply),
+    1 -> batchGen(0L, 9L).map(StaleLease.apply),
+    1 -> batchGen(0L, 9L).map(CrashedStage.apply),
+    1 -> Gen.const(CrashedPublish))
 
   // first op is always an upsert so the table exists before compactions
   private val seqGen: Gen[List[Op]] = for {
@@ -219,6 +241,55 @@ class TableModelPropertySpec extends SparkSpec {
             joinAll(pu, pc)
             model = model ++ batch
             markZ(batch.map(_._1))
+          case StaleLease(batch) if created =>
+            // plant a crashed holder's marker, aged past the lease
+            Seq(plain, parted).foreach { store =>
+              val lock = WriterLease.lockPath(spark, store.fqn("dim", "t"))
+              val fs = lock.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              val out = fs.create(lock, true)
+              out.writeBytes("dead-holder-token")
+              out.close()
+              fs.setTimes(lock, System.currentTimeMillis() - 11 * 60 * 1000L,
+                -1L)
+              store.upsert(frame(batch, wide, zed), "dim", "t", Seq("id"),
+                serializeWriters = true)
+              assert(!fs.exists(lock),
+                "stolen stale lease must be released after the steal")
+            }
+            model = model ++ batch
+            markZ(batch.map(_._1))
+          case CrashedStage(batch) if created =>
+            val fqn = parted.fqn("dim", "t")
+            // a predecessor staged the full slice, then died pre-publish
+            spark.table(fqn).write.format("parquet")
+              .partitionBy("p").saveAsTable(s"${fqn}__compact")
+            // live stays authoritative: upserts land normally meanwhile
+            upBoth(batch)
+            // the resume must discard the stale stage, never revert
+            Compaction.compactPartitions(spark, fqn, "p >= 0", 1000L)
+          case CrashedPublish if created && model.nonEmpty =>
+            val fqn = parted.fqn("dim", "t")
+            // a predecessor staged, verified, created its marker, then
+            // died mid-overwrite leaving one partition short
+            spark.table(fqn).write.format("parquet")
+              .partitionBy("p").saveAsTable(s"${fqn}__compact")
+            spark.sql(s"CREATE TABLE ${fqn}__publish (pending INT) " +
+              "USING parquet")
+            val shortP = model.values.head % 3
+            val key = "spark.sql.sources.partitionOverwriteMode"
+            spark.conf.set(key, "dynamic")
+            try spark.table(fqn).where(s"p = $shortP").limit(1)
+              .write.mode("overwrite").insertInto(fqn)
+            finally spark.conf.unset(key)
+            // mutators must refuse while the marker stands
+            val e = intercept[IllegalArgumentException] {
+              parted.upsert(frame(List((0L, 0L)), wide, zed), "dim", "t",
+                Seq("id"))
+            }
+            assert(e.getMessage.contains("pending"), e.getMessage)
+            // the resume restores exactly the staged (= model) content
+            Compaction.compactPartitions(spark, fqn, "p >= 0", 1000L)
           case _ => () // op before the table exists / empty slice
         }
         val gotPlain = plain.load("dim", "t").select("id", "v")
