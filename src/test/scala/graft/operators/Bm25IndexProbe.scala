@@ -28,21 +28,34 @@ import org.apache.spark.sql.functions.col
   * tokens drawn from a ~50k-term space) where the saved tokenize pass
   * and the layout measure what a real corpus would see.
   *
+  * ROUND-19 addition — the long-document tier the 0.98× synth-64 reading
+  * could not see: `--synth n tpd` sets tokens-per-doc (default 64; the
+  * r18 number was write-dominated at 64 short tokens, and the one-
+  * tokenize build's claimed win scales with TOKENIZE cost, i.e. with
+  * document length). `--build-only` skips the scoring A/B: at thousands
+  * of tokens per doc the from-text scorer re-tokenizes the corpus per
+  * call, which is the index's selling point but makes a build-focused
+  * worktree A/B needlessly slow.
+  *
   * Run: `sbt "Test/runMain graft.operators.Bm25IndexProbe
-  * [dir | --synth n]"`.
+  * [dir | --synth n [tokensPerDoc]] [--build-only]"`.
   */
 object Bm25IndexProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkSpec.session
-    val synthN = if (args.headOption.contains("--synth"))
-      Some(args(1).toLong) else None
+    val buildOnly = args.contains("--build-only")
+    val posArgs = args.filterNot(_ == "--build-only")
+    val synthN = if (posArgs.headOption.contains("--synth"))
+      Some(posArgs(1).toLong) else None
+    val tokensPerDoc = synthN.flatMap(_ =>
+      posArgs.lift(2).map(_.toInt)).getOrElse(64)
     val docs = synthN match {
       case Some(n) =>
         import org.apache.spark.sql.functions.{array_join, concat, expr, lit, pmod, transform, sequence}
-        val p = s"/tmp/graft-bm25-synth-$n"
+        val p = s"/tmp/graft-bm25-synth-$n-t$tokensPerDoc"
         if (!new java.io.File(p + "/_SUCCESS").isFile)
           spark.range(n).select(col("id").as("doc_id"),
-            array_join(transform(sequence(lit(0), lit(63)),
+            array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
               i => concat(lit("t"),
                 pmod(col("id") * 131 + i * 7919, lit(50021)))), " ")
               .as("text"))
@@ -57,7 +70,8 @@ object Bm25IndexProbe {
           .select(col("doc_id"), col("text"))
     }
     println(s"corpus: ${docs.count()} docs @ " +
-      synthN.map(n => s"synth $n").getOrElse("sf1 tier"))
+      synthN.map(n => s"synth $n x $tokensPerDoc tokens")
+        .getOrElse("sf1 tier"))
     // Build cost, timed (round 18 cut the build to ONE corpus tokenize
     // pass — this is the number that claim is checked against); min of
     // 2 so a cold-file first build doesn't masquerade as the cost. The
@@ -69,6 +83,7 @@ object Bm25IndexProbe {
       (System.nanoTime() - t0) / 1e9
     }
     println(f"bm25 index build: ${builds.min}%.2f s (min of ${builds.size})")
+    if (buildOnly) { spark.stop(); return }
     val qs = docs.filter(col("doc_id") < 16)
       .select(col("doc_id").as("qid"), col("text").as("qtext"))
     def shot(body: => Long): (Double, Long) = {
