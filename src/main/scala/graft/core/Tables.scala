@@ -88,24 +88,64 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * copy (see [[Compaction]]): the live table may be PARTIAL until the
     * compaction is resumed. The save entry points resolve that state by
     * the write's own semantics — a full OVERWRITE replaces the table
-    * entirely, superseding the crashed compaction (its stage and marker
-    * refer to dead state and are cleared, so a later resume cannot
-    * re-publish stale partitions over the fresh table); an APPEND
-    * composes with the possibly-partial live data and refuses loudly
-    * like every other mutator.
+    * entirely, superseding the crashed compaction; an APPEND composes
+    * with the possibly-partial live data and refuses loudly like every
+    * other mutator.
+    *
+    * Marker ORDERING (ADVICE r19): the stage is dropped BEFORE the
+    * overwrite (once superseding is decided, a later compaction resume
+    * must not re-publish stale partitions over the fresh table), but
+    * the `__publish` marker is kept until the overwrite SUCCEEDS
+    * ([[clearPendingPublish]] after the write) — `saveAsTable`
+    * overwrite is not atomic, so a crash mid-write would otherwise
+    * leave a possibly-partial table with the gate already lifted and
+    * the staged recovery copy gone, silently mergeable by the next
+    * mutator: exactly the hazard the marker protocol exists to
+    * prevent. A marker surviving a crashed supersede costs only a
+    * loud refusal; the fix is to retry the overwrite (which clears it
+    * on success).
     */
   private def resolvePendingPublish(name: String, mode: SaveMode): Unit =
-    if (mode == SaveMode.Overwrite) {
-      spark.sql(s"DROP TABLE IF EXISTS ${name}__publish")
+    if (mode == SaveMode.Overwrite)
       spark.sql(s"DROP TABLE IF EXISTS ${name}__compact")
-    } else Compaction.requireNoPendingPublish(spark, name)
+    else Compaction.requireNoPendingPublish(spark, name)
+
+  /** Second half of [[resolvePendingPublish]]: the in-doubt gate lifts
+    * only after the superseding overwrite has fully landed.
+    */
+  private def clearPendingPublish(name: String, mode: SaveMode): Unit =
+    if (mode == SaveMode.Overwrite)
+      spark.sql(s"DROP TABLE IF EXISTS ${name}__publish")
+
+  /** Overwrite-mode restart recovery: a FAILED prior overwrite drops the
+    * catalog entry but can leave partial files at the managed location
+    * (`saveAsTable` overwrite is drop-then-create, and a mid-write crash
+    * aborts between them) — the retry then fails with
+    * LOCATION_ALREADY_EXISTS even though the caller asked to REPLACE the
+    * table. Under overwrite semantics the stranded directory is dead
+    * either way (a lost in-memory catalog over a surviving directory is
+    * the same case: the caller is replacing whatever was there), so it
+    * is removed and the retry lands. Append mode never does this — it
+    * must not delete data it would have composed with; its recovery is
+    * [[saveBatchPartition]]'s re-register-over-location path.
+    */
+  private def clearStrandedLocation(layer: String, table: String,
+                                    mode: SaveMode): Unit =
+    if (mode == SaveMode.Overwrite &&
+        !spark.catalog.tableExists(fqn(layer, table))) {
+      val loc = tablePath(layer, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
 
   /** ≙ `utilities.py:20-23` (mode defaults to overwrite; fact append). */
   def save(df: DataFrame, layer: String, table: String,
            mode: SaveMode = SaveMode.Overwrite): Unit = {
     val name = fqn(layer, table)
     resolvePendingPublish(name, mode)
+    clearStrandedLocation(layer, table, mode)
     df.write.format("parquet").mode(mode).saveAsTable(name)
+    clearPendingPublish(name, mode)
   }
 
   /** Partitioned managed table — the 100TB fact layout (SURVEY.md §4):
@@ -117,8 +157,10 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
                       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val name = fqn(layer, table)
     resolvePendingPublish(name, mode)
+    clearStrandedLocation(layer, table, mode)
     df.write.format("parquet").mode(mode)
       .partitionBy(partitionCols: _*).saveAsTable(name)
+    clearPendingPublish(name, mode)
   }
 
   /** Bucketed managed table: co-locates join/agg keys so repeated joins on
@@ -129,10 +171,12 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
                    mode: SaveMode = SaveMode.Overwrite): Unit = {
     val name = fqn(layer, table)
     resolvePendingPublish(name, mode)
+    clearStrandedLocation(layer, table, mode)
     df.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
+    clearPendingPublish(name, mode)
   }
 
   /** Replay-idempotent batch landing: the frame (carrying `batchCol`, one
@@ -360,7 +404,11 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     // projection itself would resolve a case-variant column).
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def fold(c: String) = if (caseSensitive) c else c.toLowerCase
+    // Locale.ROOT (ADVICE r19): locale-default lowercasing diverges from
+    // Spark's resolver on a Turkish-default JVM ('ID' → 'ıd'), falsely
+    // flagging a case-variant column as extra
+    def fold(c: String) =
+      if (caseSensitive) c else c.toLowerCase(java.util.Locale.ROOT)
     val targetFields = spark.table(name).columns.map(fold).toSet
     val extraCols = df.schema.fields.filterNot(f => targetFields(fold(f.name)))
     if (extraCols.nonEmpty) {
@@ -370,19 +418,67 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
           "would silently drop them. Evolve the table first (addColumns, " +
           "or pass evolveSchema=true to do it here), or select the " +
           "target's columns explicitly")
-      // nullable forced: every pre-evolution row reads NULL for the new
-      // columns, so a batch frame's non-nullable field must not render
-      // a NOT NULL constraint into the ALTER
+      // addColumns itself forces nullable=true (pre-evolution rows all
+      // read NULL for the new columns), so the batch frame's flags pass
+      // through as-is
       addColumns(layer, table, org.apache.spark.sql.types.StructType(
-        extraCols.map(_.copy(nullable = true)).toIndexedSeq))
+        extraCols.toIndexedSeq))
+    }
+    // Type-drift guard (round 20; the reference's per-file inferSchema —
+    // `reviews_fact.py:117-125` — makes a same-named column arriving
+    // with a DIFFERENT type the native upstream hazard, SURVEY §1.3).
+    // Unguarded, the two merge paths did different silent things: the
+    // plain path's unionByName coerced batch and target to their common
+    // type and the staged rewrite PUBLISHED it — a long batch into an
+    // int target silently retyped the whole table; the partitioned
+    // path's insertInto store-assignment cast the batch DOWN to the
+    // target type (ANSI: silent while values fit, a runtime error on
+    // overflow). One rule on both paths now: the TARGET's schema is
+    // immutable under upsert. A batch column that UPCASTS to the
+    // target type under Spark's own up-cast rule (Cast.canUpCast, the
+    // Dataset.as contract: int→long, float→double, decimal widening,
+    // the numeric precedence chain) is cast to it before the merge;
+    // anything else (narrowing like long→int or double→long,
+    // string↔numeric) is refused loudly — retyping a table, like
+    // widening it, is an explicit rewrite, never a batch side effect.
+    // Resolved AFTER the evolve above, so just-added columns (whose
+    // types ARE the batch's) never drift.
+    val targetByFold = spark.table(name).schema.fields
+      .map(f => fold(f.name) -> f).toMap
+    val drifted = df.schema.fields.flatMap { f =>
+      targetByFold.get(fold(f.name))
+        .filter(_.dataType != f.dataType).map(t => (f, t))
+    }
+    val unsafe = drifted.filterNot { case (b, t) =>
+      org.apache.spark.sql.catalyst.expressions.Cast
+        .canUpCast(b.dataType, t.dataType)
+    }
+    require(unsafe.isEmpty,
+      s"upsert into '$name': incoming batch column types drift from the " +
+        "target with no safe upcast (" +
+        unsafe.map { case (b, t) =>
+          s"${b.name}: batch ${b.dataType.simpleString} vs target " +
+            s"${t.dataType.simpleString}"
+        }.mkString("; ") +
+        ") — merging would silently retype the table or narrow the " +
+        "batch. Cast the batch explicitly, or retype the table with an " +
+        "explicit full rewrite (save/savePartitioned)")
+    // backtick-quote (the contentSummary rule): a dotted column name
+    // must not parse as nested-field access
+    def qcol(c: String) = col(s"`${c.replace("`", "``")}`")
+    val batch = if (drifted.isEmpty) df else {
+      val castTo = drifted.map { case (b, t) => b.name -> t.dataType }.toMap
+      df.select(df.columns.map { c =>
+        castTo.get(c).map(dt => qcol(c).cast(dt).as(c)).getOrElse(qcol(c))
+      }.toIndexedSeq: _*)
     }
     val nullKeyed = keyCols.map(c => col(c).isNull).reduce(_ || _)
-    require(df.filter(nullKeyed).isEmpty,
+    require(batch.filter(nullKeyed).isEmpty,
       s"upsert into '$name' requires non-null values in key columns " +
         s"(${keyCols.mkString(", ")}): a NULL key never matches the " +
         "anti-join, so replays would accumulate duplicate rows")
     val partCols = layoutCols.filter(_.isPartition).map(_.name).toSeq
-    if (partCols.nonEmpty) { upsertPartitioned(df, name, keyCols, partCols); return }
+    if (partCols.nonEmpty) { upsertPartitioned(batch, name, keyCols, partCols); return }
     // O(table) rewrite ahead — refuse above the threshold (see Scaladoc).
     // sizeInBytes comes from the file-listing stats of the scan, so the
     // check costs no extra job.
@@ -401,8 +497,9 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     val preSummary = Compaction.contentSummary(spark, name)
     val existing = load(layer, table)
     val merged = existing
-      .join(df.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
+      .join(batch.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_anti")
+      .unionByName(batch.select(existing.columns.map(col).toIndexedSeq: _*))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     merged.write.format("parquet").saveAsTable(tmp)
     beforeSwap() // test seam: the window a concurrent write must trip
@@ -481,13 +578,24 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * bucket specs name existing columns only, and neither moves.
     * Backticks are banned in new names — `toDDL` quotes with backticks,
     * so an embedded one could split the rendered DDL.
+    *
+    * Nullability is FORCED to true (r19 verdict): every pre-existing
+    * row reads NULL for an added column, so a caller-supplied
+    * non-nullable field would render `NOT NULL` into the ALTER for a
+    * constraint parquet never enforces — the catalog would lie about
+    * every old row. There is no honest non-nullable evolution on
+    * schema-on-read storage, so the flag is overridden rather than
+    * refused.
     */
   def addColumns(layer: String, table: String,
                  cols: org.apache.spark.sql.types.StructType): Unit = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     cols.fieldNames.foreach(n => require(!n.contains("`"),
       s"addColumns: backtick in column name '$n'"))
-    spark.sql(s"ALTER TABLE ${fqn(layer, table)} ADD COLUMNS (${cols.toDDL})")
+    val nullable = org.apache.spark.sql.types.StructType(
+      cols.map(_.copy(nullable = true)))
+    spark.sql(
+      s"ALTER TABLE ${fqn(layer, table)} ADD COLUMNS (${nullable.toDDL})")
   }
 
   /** ≙ `utilities.py:27-30`. */

@@ -253,11 +253,11 @@ class CompactionSpec extends SparkSpec {
     assert(spark.table(fqn).count() < 300) // p=0 is short: crash simulated
     // while the marker stands, every mutator refuses loudly — a merge
     // computed from the short slice would bake the loss into real data
-    val eu = intercept[IllegalArgumentException] {
+    val eu = intercept[IllegalStateException] {
       store.upsert(Seq((500L, 0L)).toDF("id", "p"), "tmp", "t", Seq("id"))
     }
     assert(eu.getMessage.contains("pending"), eu.getMessage)
-    val ec = intercept[IllegalArgumentException] {
+    val ec = intercept[IllegalStateException] {
       Compaction.compactTable(spark, fqn, targetRows = 1000)
     }
     assert(ec.getMessage.contains("pending"), ec.getMessage)
@@ -305,7 +305,7 @@ class CompactionSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE ${fqn}__publish (pending INT) USING parquet")
     // append-mode save composes with the possibly-partial live table:
     // must refuse like every other mutator
-    val ea = intercept[IllegalArgumentException] {
+    val ea = intercept[IllegalStateException] {
       store.savePartitioned(Seq((500L, 0L)).toDF("id", "p"), "tmp", "t",
         Seq("p"), org.apache.spark.sql.SaveMode.Append)
     }
@@ -320,6 +320,40 @@ class CompactionSpec extends SparkSpec {
     Compaction.compactPartitions(spark, fqn, "p >= 0", targetRows = 1000)
     assert(spark.table(fqn).as[(Long, Long)].collect().toSet ==
       Set((1000L, 0L), (1001L, 1L)))
+  }
+
+  test("a superseding overwrite that FAILS mid-write keeps the __publish " +
+      "gate standing (ADVICE r19: the marker must not lift before the " +
+      "write succeeds); a successful retry clears it") {
+    val (store, fqn) = fragmentedStore("superfail")
+    // dangling mid-publish crash state: marker + stage
+    spark.table(fqn).write.format("parquet")
+      .partitionBy("p").saveAsTable(s"${fqn}__compact")
+    spark.sql(s"CREATE TABLE ${fqn}__publish (pending INT) USING parquet")
+    // a superseding overwrite whose evaluation throws mid-write — the
+    // pre-fix code dropped marker AND stage before saveAsTable ran, so
+    // this crash left the possibly-partial table silently mergeable
+    val failing = spark.range(10)
+      .map(i => { if (i > 5) throw new RuntimeException("mid-write crash"); i })
+      .select(col("value").as("id"), (col("value") % 3).as("p"))
+    intercept[Exception] {
+      store.savePartitioned(failing, "tmp", "t", Seq("p"))
+    }
+    // the in-doubt gate must still stand: marker present, mutators refuse
+    assert(spark.catalog.tableExists(s"${fqn}__publish"),
+      "__publish marker must survive a failed superseding overwrite")
+    val ea = intercept[IllegalStateException] {
+      store.savePartitioned(Seq((500L, 0L)).toDF("id", "p"), "tmp", "t",
+        Seq("p"), org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(ea.getMessage.contains("pending"), ea.getMessage)
+    // retrying the overwrite succeeds and only THEN lifts the gate
+    store.savePartitioned(Seq((1000L, 0L)).toDF("id", "p"), "tmp", "t",
+      Seq("p"))
+    assert(!spark.catalog.tableExists(s"${fqn}__publish"))
+    assert(!spark.catalog.tableExists(s"${fqn}__compact"))
+    assert(store.load("tmp", "t").as[(Long, Long)].collect().toSet ==
+      Set((1000L, 0L)))
   }
 
   test("compactTable refuses bucketed targets with the saveBucketed " +

@@ -85,6 +85,13 @@ class TableModelPropertySpec extends SparkSpec {
     * restore exactly the staged content.
     */
   private case object CrashedPublish extends Op
+  /** Round-20 evolution axis: the same batch arrives fully INT-typed
+    * (the reference's per-file inferSchema shape) against the LONG
+    * target — must land via the safe upcast with the target schema
+    * UNCHANGED on both twins; then a DOUBLE-typed `v` (no safe path
+    * back to long) must refuse loudly on both, mutating nothing.
+    */
+  private final case class TypeDrift(batch: List[(Long, Long)]) extends Op
 
   private def batchGen(keyLo: Long, keyHi: Long): Gen[List[(Long, Long)]] =
     Gen.listOfN(6, Gen.zip(Gen.choose(keyLo, keyHi), Gen.choose(0L, 99L)))
@@ -102,7 +109,8 @@ class TableModelPropertySpec extends SparkSpec {
     1 -> batchGen(0L, 9L).map(UpVsCompact.apply),
     1 -> batchGen(0L, 9L).map(StaleLease.apply),
     1 -> batchGen(0L, 9L).map(CrashedStage.apply),
-    1 -> Gen.const(CrashedPublish))
+    1 -> Gen.const(CrashedPublish),
+    2 -> batchGen(0L, 9L).map(TypeDrift.apply))
 
   // first op is always an upsert so the table exists before compactions
   private val seqGen: Gen[List[Op]] = for {
@@ -283,13 +291,30 @@ class TableModelPropertySpec extends SparkSpec {
               .write.mode("overwrite").insertInto(fqn)
             finally spark.conf.unset(key)
             // mutators must refuse while the marker stands
-            val e = intercept[IllegalArgumentException] {
+            val e = intercept[IllegalStateException] {
               parted.upsert(frame(List((0L, 0L)), wide, zed), "dim", "t",
                 Seq("id"))
             }
             assert(e.getMessage.contains("pending"), e.getMessage)
             // the resume restores exactly the staged (= model) content
             Compaction.compactPartitions(spark, fqn, "p >= 0", 1000L)
+          case TypeDrift(batch) if created =>
+            val f = frame(batch, wide, zed)
+            // all values fit int (v ≤ 99, w ≤ 990, z ≤ 106, p ≤ 2)
+            val fInt = f.select(f.columns.toIndexedSeq
+              .map(c => col(c).cast("int").as(c)): _*)
+            plain.upsert(fInt, "dim", "t", Seq("id"))
+            parted.upsert(fInt, "dim", "t", Seq("id"))
+            model = model ++ batch
+            markZ(batch.map(_._1))
+            // the unsafe direction refuses on both twins, touching nothing
+            val fBad = f.withColumn("v", col("v").cast("double"))
+            Seq(plain, parted).foreach { store =>
+              val e = intercept[IllegalArgumentException] {
+                store.upsert(fBad, "dim", "t", Seq("id"))
+              }
+              assert(e.getMessage.contains("safe upcast"), e.getMessage)
+            }
           case _ => () // op before the table exists / empty slice
         }
         val gotPlain = plain.load("dim", "t").select("id", "v")
@@ -314,9 +339,17 @@ class TableModelPropertySpec extends SparkSpec {
               else r.isNullAt(2)
           }
         }
+        // target schema is immutable under upsert: whatever mix of
+        // int-typed TypeDrift batches landed, id/v stay LONG everywhere
+        val typesOk = Seq(plain, parted).forall { store =>
+          val sch = store.load("dim", "t").schema
+          Seq("id", "v").forall(sch(_).dataType ==
+            org.apache.spark.sql.types.LongType)
+        }
         // row counts asserted BEFORE the map collapse: a stale-row
         // regression leaves a duplicate id that .toMap would hide
-        gotPlain.length == model.size &&
+        typesOk &&
+          gotPlain.length == model.size &&
           gotPlain.toMap == model &&
           gotParted.length == model.size &&
           gotParted.map(r => r._1 -> r._2).toMap == model &&

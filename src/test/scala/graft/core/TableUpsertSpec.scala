@@ -248,6 +248,24 @@ class TableUpsertSpec extends SparkSpec {
     assert(after == Map(0L -> -1L, 1L -> 7L, 2L -> -1L, 5L -> 8L))
   }
 
+  test("addColumns forces nullable=true: a non-nullable input field must " +
+      "not render NOT NULL into the catalog for a column every old row " +
+      "reads as NULL (r19 verdict)") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"addnn_${System.nanoTime()}"))
+    store.save(spark.range(3).select($"id", $"id".as("v")), "dim", "t")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    store.addColumns("dim", "t",
+      StructType(Seq(StructField("w", LongType, nullable = false))))
+    val field = spark.table(store.fqn("dim", "t")).schema("w")
+    assert(field.nullable,
+      "evolved column must be nullable in the catalog regardless of the " +
+        "input field's flag — parquet never enforces NOT NULL and every " +
+        "pre-evolution row reads NULL")
+    // and the NULLs are actually readable through the evolved schema
+    assert(store.load("dim", "t").where($"w".isNull).count() == 3)
+  }
+
   test("addColumns refusals are loud: empty set, backticks, duplicates") {
     val store = new TableStore(spark, PipelineConfig(
       catalog = "graftc", schema = s"addbad_${System.nanoTime()}"))
@@ -346,6 +364,73 @@ class TableUpsertSpec extends SparkSpec {
     assert(ex.getMessage.contains("layout-preserving"))
     // and the refused evolve left no z column behind
     assert(store.load("fact", "t").columns.toSeq == Seq("id", "b", "w"))
+  }
+
+  test("type drift, safe direction: an int batch upserting into a long " +
+      "target lands CAST to the target type — the table is never " +
+      "retyped (plain AND partitioned; r20 verdict item 1)") {
+    import org.apache.spark.sql.types.LongType
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"updrift_${System.nanoTime()}"))
+    // plain: (long, long) target; batch arrives fully int-typed (the
+    // reference's per-file inferSchema shape) including the KEY column
+    store.save(spark.range(3).select($"id", ($"id" * 10).as("v")),
+      "dim", "t")
+    store.upsert(Seq((1, -1), (5, -5)).toDF("id", "v"), "dim", "t",
+      Seq("id"))
+    val sch = store.load("dim", "t").schema
+    assert(sch("id").dataType == LongType && sch("v").dataType == LongType,
+      s"pre-fix the plain merge PUBLISHED the union-coerced type: $sch")
+    assert(store.load("dim", "t").as[(Long, Long)].collect().toMap ==
+      Map(0L -> 0L, 1L -> -1L, 2L -> 20L, 5L -> -5L))
+    // partitioned: drift in value AND partition columns
+    store.savePartitioned(spark.range(4)
+      .select($"id", ($"id" * 10).as("v"), ($"id" % 2).as("p")),
+      "fact", "tp", Seq("p"))
+    store.upsert(Seq((1, -1, 0), (9, -9, 1)).toDF("id", "v", "p"),
+      "fact", "tp", Seq("id"))
+    val schP = store.load("fact", "tp").schema
+    assert(Seq("id", "v", "p").forall(schP(_).dataType == LongType))
+    assert(store.load("fact", "tp").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap ==
+      Map(0L -> ((0L, 0L)), 1L -> ((-1L, 0L)), 2L -> ((20L, 0L)),
+        3L -> ((30L, 1L)), 9L -> ((-9L, 1L))))
+  }
+
+  test("type drift, unsafe direction: narrowing/string mismatches are " +
+      "refused loudly naming column and both types, on both paths; " +
+      "tables untouched") {
+    val store = new TableStore(spark, PipelineConfig(
+      catalog = "graftc", schema = s"updriftb_${System.nanoTime()}"))
+    // int target, long batch: pre-fix the plain path silently retyped
+    // the whole table to bigint via the staged rewrite
+    store.save(Seq((1, 10), (2, 20)).toDF("id", "v"), "dim", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      store.upsert(spark.range(2).select($"id", ($"id" + 100L).as("v")),
+        "dim", "t", Seq("id"))
+    }
+    assert(e1.getMessage.contains("safe upcast") &&
+      e1.getMessage.contains("v: batch bigint vs target int"),
+      e1.getMessage)
+    assert(store.load("dim", "t").schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(store.load("dim", "t").count() == 2)
+    // string batch into a numeric column
+    val e2 = intercept[IllegalArgumentException] {
+      store.upsert(Seq((1, "ten")).toDF("id", "v"), "dim", "t", Seq("id"))
+    }
+    assert(e2.getMessage.contains("v: batch string vs target int"),
+      e2.getMessage)
+    // partitioned path: pre-fix insertInto store-assignment silently
+    // NARROWED the batch (loud only on overflow under ANSI)
+    store.savePartitioned(Seq((1, 10, 0), (2, 20, 1)).toDF("id", "v", "p"),
+      "fact", "tp", Seq("p"))
+    val e3 = intercept[IllegalArgumentException] {
+      store.upsert(Seq((1L, 5000000000L, 0L)).toDF("id", "v", "p"),
+        "fact", "tp", Seq("id"))
+    }
+    assert(e3.getMessage.contains("safe upcast"), e3.getMessage)
+    assert(store.load("fact", "tp").count() == 2)
   }
 
   test("duplicate keys WITHIN the batch replace existing rows, all kept") {
