@@ -131,6 +131,46 @@ class WriterLeaseSpec extends SparkSpec {
     assert(!fs.exists(path), "winner's release must clear the marker")
   }
 
+  test("two writers racing the SAME stale lease with queue patience: " +
+      "exactly one steals, the other QUEUES behind it — never two " +
+      "concurrent holders (r19 verdict item 5)") {
+    // The N-contender test above pins one-winner with waitMs=0 (losers
+    // give up). The production shape is waitMs>0: the steal loser must
+    // fall back into the normal polling queue and run AFTER the winner
+    // — mutual exclusion through the whole steal-then-queue sequence.
+    val name = s"lease_squeue_${System.nanoTime()}"
+    val path = WriterLease.lockPath(spark, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, false)
+    out.write("dead-holder".getBytes("UTF-8")); out.close()
+    fs.setTimes(path, System.currentTimeMillis() - 60000L, -1) // abandoned
+    val holders = new java.util.concurrent.atomic.AtomicInteger
+    val maxHolders = new java.util.concurrent.atomic.AtomicInteger
+    val completions = new java.util.concurrent.atomic.AtomicInteger
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { _ =>
+      val t = new Thread(() =>
+        try WriterLease.withLock(spark, name, leaseMs = 60000L,
+          waitMs = 30000L) {
+          val h = holders.incrementAndGet()
+          maxHolders.updateAndGet(m => math.max(m, h))
+          Thread.sleep(250) // hold long enough for overlap to show
+          holders.decrementAndGet()
+          completions.incrementAndGet()
+        } catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive), "steal-then-queue pair deadlocked")
+    assert(errs.isEmpty, s"both must complete, got $errs")
+    assert(completions.get == 2, s"both must run, got ${completions.get}")
+    assert(maxHolders.get == 1,
+      s"two concurrent holders observed (max=${maxHolders.get}) — " +
+        "mutual exclusion violated in the steal window")
+    assert(!fs.exists(path), "last release must clear the marker")
+  }
+
   test("release failure after f threw is suppressed, not a replacement") {
     val name = s"lease_supp_${System.nanoTime()}"
     val path = WriterLease.lockPath(spark, name)
