@@ -226,9 +226,15 @@ object Bench {
     val data = tcalibData
     val stripe = data.length / threads
     val folds = new Array[Long](threads)
+    // a probe thread dying (async error/OOM) must not let join() return
+    // a wall time for 7/8 of the intended work — that would silently
+    // skew the throughput-class host ratio bench_diff arbitrates on
+    // (ADVICE r19); capture and rethrow after join instead
+    val failure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]
     val t0 = System.nanoTime()
     val ts = Array.tabulate(threads) { t =>
-      val th = new Thread(() => {
+      val th = new Thread(() => try {
         val lo = t * stripe
         val hi = lo + stripe
         val parts = new Array[Long](16)
@@ -246,17 +252,23 @@ object Bench {
         var j = 0
         while (j < 16) { acc ^= parts(j); j += 1 }
         folds(t) = acc
-      })
+      } catch { case e: Throwable => failure.compareAndSet(null, e) })
       th.setDaemon(true)
       th.start()
       th
     }
     ts.foreach(_.join())
     val dt = (System.nanoTime() - t0) / 1e9
-    // data dependency on every thread's fold: the stripes cannot be
-    // dead-code eliminated (an all-zero fold is astronomically unlikely
-    // from nonzero xorshift output)
-    if (folds.forall(_ == 0L))
+    if (failure.get != null)
+      throw new IllegalStateException(
+        "throughput calibration probe thread died — the wall time " +
+          "would understate the intended work; fix the host condition " +
+          "and re-stamp", failure.get)
+    // data dependency on EVERY thread's fold: the stripes cannot be
+    // dead-code eliminated (a zero fold is astronomically unlikely
+    // from nonzero xorshift output — and checked per fold, not only
+    // all-at-once, so one dead stripe is as loud as eight)
+    if (folds.exists(_ == 0L))
       System.err.println("[bench] throughput calibration fold broke")
     dt
   }
