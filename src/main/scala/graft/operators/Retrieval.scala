@@ -238,23 +238,29 @@ object Retrieval {
     * ranking constant the stored tf/df/dl values do not depend on.
     *
     * The corpus text is tokenized exactly ONCE (the `_postings` write;
-    * round 17 paid a second pass for `_doclen`'s `size(tokens)`).
-    * `n_docs` comes from a `docs.count()` — not a tokenize: for a
-    * parquet-backed corpus it is footer-metadata-only — because it must
-    * count ALL documents, including null-text ones absent from the
-    * derived `_doclen`.
-    *
-    * TWO-READ WINDOW (ADVICE r18): that count is a second, independent
-    * read of the source — the build contract requires `docs` stable and
-    * deterministic for its duration (the same quiesced-writers contract
-    * every staged publish here has). A source that shrinks mid-build is
-    * caught loudly: `n_docs` can never be below the written `_doclen`'s
-    * row count (every tokenized doc is a doc), and both sides of that
-    * check are footer-metadata-only. A source that GROWS mid-build by
-    * null-text rows only is indistinguishable from a legitimate
-    * null-text corpus — the residual window, accepted and documented
-    * rather than paying a full second tokenize (the r17 cost this build
-    * removed) or caching 100 TB to snapshot it.
+    * round 17 paid a second pass for `_doclen`'s `size(tokens)`), and
+    * since round 20 the corpus is READ exactly once too: `n_docs` and
+    * `sum_dl` are accumulated by `observe()` nodes riding the postings
+    * write itself — a pre-explode count (ALL documents, including
+    * null-text ones the derived `_doclen` omits) and a post-explode
+    * `sum(tf)` (= Σ dl, every token is a unigram occurrence). This
+    * CLOSES the r18 two-read window outright: the meta derives from
+    * the exact snapshot the postings were written from, so a source
+    * mutating between "the write" and "the count" is no longer
+    * representable — there is no second read to drift (previously a
+    * growth by null-text rows was an accepted residual; the shrink
+    * direction was a loud refusal). Cost: zero — observe is an
+    * accumulator on rows already flowing through the write, replacing
+    * a `docs.count()` action and a `_doclen` aggregation action.
+    * Exactness: observed metrics ride accumulators, and both observe
+    * nodes sit inside the write's own RESULT stage (a bucketed write
+    * sorts per task but does not exchange), where Spark discards
+    * duplicate task completions before applying updates — so each
+    * partition contributes exactly once, speculation included. A
+    * consistency check below (`n_docs` ≥ the written `_doclen` row
+    * count, both sides footer-metadata-only) stays as a cheap
+    * belt-and-braces invariant: a lost-update undercount trips it
+    * loudly instead of publishing a meta that skews every idf.
     *
     * Crash-window discipline (the [[TextDedup.saveLshIndexBucketed]]
     * rule, marker role MOVED in round 18): deriving `_doclen` from the
@@ -279,17 +285,26 @@ object Retrieval {
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_doclen")
     graft.core.BuildSteps.step("bm25:drop_postings")
     sp.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_postings")
-    // the ONE corpus tokenize pass
+    // the ONE corpus tokenize pass — and the ONE corpus read: the two
+    // observe nodes accumulate the corpus totals on the rows flowing
+    // through this very write (see scaladoc: single-action meta)
     graft.core.BuildSteps.step("bm25:write_postings")
+    val corpusObs = org.apache.spark.sql.Observation()
+    val tokenObs = org.apache.spark.sql.Observation()
     docs
+      .observe(corpusObs, count(lit(1)).as("n_docs"))
       .select(col(docId).as("doc_id"),
         explode(graft.functions.NgramCounts.ngramCounts(col(textCol), 1))
           .as("_tc"))
       .select(col("doc_id"), col("_tc.gram").as("term"),
         col("_tc.cnt").cast("long").as("tf"))
+      .observe(tokenObs, coalesce(sum(col("tf")), lit(0L)).as("sum_dl"))
       .write.format("parquet")
       .bucketBy(nBuckets, "term").sortBy("term")
       .saveAsTable(s"${tablePrefix}_postings")
+    // .get blocks until the write above has committed its metrics
+    val nDocs = corpusObs.get.apply("n_docs").asInstanceOf[Long]
+    val sumDl = tokenObs.get.apply("sum_dl").asInstanceOf[Long]
     // dl = Σ tf per doc, derived from the WRITTEN postings — a narrow
     // (doc_id, tf) aggregation (the one exchange this build pays beyond
     // the bucketed writes), no second pass over the corpus text
@@ -299,20 +314,17 @@ object Retrieval {
       .write.format("parquet")
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${tablePrefix}_doclen")
-    val nDocs = docs.count()
-    // the detectable half of the two-read window (see scaladoc): a doc
-    // in the written snapshot that the re-count no longer sees means the
-    // source mutated mid-build — refuse to publish a skewed meta
+    // belt-and-braces invariant over the accumulator path (footer-
+    // metadata-only on both sides): every tokenized doc is a doc, so
+    // an n_docs below the written doclen count means the observed
+    // metric lost updates — refuse to publish a meta that would skew
+    // every idf. (An empty corpus writes (0, 0) and the LOAD refuses
+    // it with the corrupt-meta message.)
     val nTokenized = sp.table(s"${tablePrefix}_doclen").count()
     require(nDocs >= nTokenized,
-      s"bm25 index build: source corpus changed during the build " +
-        s"(n_docs=$nDocs < $nTokenized tokenized docs in the written " +
-        "snapshot) — quiesce writers and rebuild")
-    // coalesce: an empty corpus writes (0, 0) and the LOAD refuses it
-    // with the corrupt-meta message, instead of an NPE here
-    val sumDl = sp.table(s"${tablePrefix}_doclen")
-      .agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .head().getLong(0)
+      s"bm25 index build: observed corpus count is inconsistent with " +
+        s"the written snapshot (n_docs=$nDocs < $nTokenized tokenized " +
+        "docs) — the observed metric lost updates; rebuild")
     graft.core.BuildSteps.step("bm25:write_meta")
     Seq((nDocs, sumDl, TokenizerTag))
       .toDF("n_docs", "sum_dl", "tokenizer")

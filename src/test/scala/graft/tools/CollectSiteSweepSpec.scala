@@ -78,9 +78,9 @@ class CollectSiteSweepSpec extends AnyFunSuite {
     Entry("operators/Pca.scala", ".select(agg.toColumn).head()",
       "scalar-aggregate", "the 1-row Gram-matrix aggregate (dim² " +
         "doubles, dimension-grain)"),
-    Entry("operators/Retrieval.scala",
-      "coalesce(sum(col(\"dl\")), lit(0L)).as(\"sum_dl\")) .head()",
-      "scalar-aggregate", "1-row corpus totals at index-build time"),
+    // (r20: the bm25 build's sum_dl .head() entry retired — the corpus
+    // totals now ride observe() accumulators on the postings write, so
+    // the build has NO scalar-aggregate collect left)
     Entry("operators/Retrieval.scala",
       "coalesce(sum(octet_length(col(\"term\"))), lit(0L)).as(\"b\")).head()",
       "scalar-aggregate", "1-row (rows, bytes) payload measurement for " +
