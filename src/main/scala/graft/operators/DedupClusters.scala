@@ -18,13 +18,28 @@ import org.apache.spark.sql.functions._
   * nothing on the driver but a converged? boolean per round. Round count
   * is the component DIAMETER, not corpus size: near-dup clusters are
   * shallow (stars around a popular document, short chains), so 3-5
-  * rounds close web-scale corpora. A checkpoint truncates the plan
-  * lineage each round (iterative self-reference would otherwise compound
-  * the DAG): `localCheckpoint` by default (executor-block storage), or
-  * reliable `checkpoint()` (HDFS-backed, crash-proof lineage cut) with
-  * `useReliableCheckpoint = true` — the right setting on a cluster with
-  * preemptible/decommissioning executors (requires
-  * `sparkContext.setCheckpointDir`, checked loudly).
+  * rounds close web-scale corpora.
+  *
+  * Iteration state (optimization round 20, guide §1.2/§2.4): both the
+  * edge set and each round's label frame get a lineage CUT to a leaf —
+  * the cut is load-bearing, not hygiene: labels are referenced 2-3× per
+  * round, so an uncut plan doubles in size every round (exponential
+  * planning time; a persist-only variant OOMed the driver). The cuts
+  * are LAZY (`localCheckpoint(eager = false)`, or reliable
+  * `checkpoint(eager = false)` with `useReliableCheckpoint = true` —
+  * the right setting on a cluster with preemptible/decommissioning
+  * executors, requires `sparkContext.setCheckpointDir`, checked
+  * loudly), so each round runs exactly ONE action: a 1-row
+  * changed-label aggregate that materializes the round's blocks AND
+  * returns the convergence signal — where the r19 shape paid an eager
+  * cut (full pass) plus a separate `isEmpty` scan per round. At scale
+  * that is one fewer pass over the label frame per round; at bench
+  * scale it halves the loop's job count. (A size-pinned pre-partition
+  * of the edge set was prototyped and rejected: `persist` pins the
+  * partition count, defeating AQE coalescing — 13× the task count at
+  * sf0.1 — while the per-round edge shuffle it removes only exists once
+  * labels outgrow the broadcast threshold; AQE already picks the
+  * broadcast plan below it.)
   *
   * For adversarially long chains, `pointerJumping = true` adds label
   * shortcutting to each round (label ← min(own, neighbors', label's
@@ -58,12 +73,18 @@ object DedupClusters {
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "useReliableCheckpoint = true needs " +
           "sparkContext.setCheckpointDir(<fault-tolerant path>) first")
-    def cut(df: DataFrame): DataFrame =
-      if (useReliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    val edges = cut(pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()) // edges are reused every round; cut the source plan
+    // edges are reused every round; cut the source plan to a leaf. LAZY:
+    // round 1's aggregate is the materializing action (localCheckpoint
+    // stores blocks during that first computation), so the build pays no
+    // separate up-front job.
+    val edges = {
+      val base = pairs
+        .select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct()
+      if (useReliableCheckpoint) base.checkpoint(eager = false)
+      else base.localCheckpoint(eager = false)
+    }
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("lbl"))
     var converged = false
@@ -91,8 +112,22 @@ object DedupClusters {
             .select(col("u"),
               least(col("lbl"), col("pulled"), col("jlbl")).as("lbl"),
               col("lbl").as("prev"))
-      val next = cut(stepped) // truncate the iterative lineage
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      // The per-round lineage cut is LOAD-BEARING, not hygiene: `labels`
+      // is referenced 2-3× in each round's plan, so without a cut to a
+      // leaf the logical plan doubles per round — exponential planning
+      // time (a persist-only variant of this loop OOMed the driver
+      // building explain strings). The cut is LAZY so the convergence
+      // aggregate below is the one action that both materializes the
+      // round's blocks and returns the changed-label count — replacing
+      // the eager-cut-then-isEmpty pair (two actions per round).
+      val next =
+        if (useReliableCheckpoint) stepped.checkpoint(eager = false)
+        else stepped.localCheckpoint(eager = false)
+      val changedRow = next.agg(
+        sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L))
+          .as("changed")).head()
+      // sum over an empty frame is NULL — no vertex means converged
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
       labels = next.select(col("u"), col("lbl"))
       iter += 1
     }

@@ -93,13 +93,16 @@ object SemanticDedup {
     maxPairFactor.foreach(f =>
       BlockingBudget.preflightSelf(members, col("cluster"), f,
         "semanticDupPairs"))
+    // membership frames carry nrm: norms once per vector, dot-only per
+    // within-cell pair (see [[Similarity.cosineFromNorms]])
     val a = members.select(col("cluster"), col("vid").as("_sd_ida"),
-      col("v").as("_sd_va"))
+      col("v").as("_sd_va"), col("nrm").as("_sd_na"))
     val b = members.select(col("cluster"), col("vid").as("_sd_idb"),
-      col("v").as("_sd_vb"))
+      col("v").as("_sd_vb"), col("nrm").as("_sd_nb"))
     a.join(b, Seq("cluster"))
       .filter(col("_sd_ida") < col("_sd_idb"))
-      .withColumn("_sd_cos", Similarity.cosine(col("_sd_va"), col("_sd_vb")))
+      .withColumn("_sd_cos", Similarity.cosineFromNorms(col("_sd_va"),
+        col("_sd_vb"), col("_sd_na"), col("_sd_nb")))
       // null cosine = zero-norm vector: no direction, never a duplicate
       // (cosineAtLeast drops it without an isNotNull conjunct — see its
       // scaladoc for the join-condition refilter this avoids)
@@ -306,13 +309,17 @@ object SemanticDedup {
       BlockingBudget.preflight(batchMembers, col("cluster"),
         corpusMembers, col("cluster"), f, refRows, op))
     // backstop — both public entry points validate before their eager work
+    // membership frames carry nrm: dot-only per cross pair
     val corpusM = corpusMembers
-      .select(col("cluster"), col("vid").as("_sd_cid"), col("v").as("_sd_cv"))
+      .select(col("cluster"), col("vid").as("_sd_cid"),
+        col("v").as("_sd_cv"), col("nrm").as("_sd_cn"))
     val batchM = batchMembers
-      .select(col("cluster"), col("vid").as("_sd_bid"), col("v").as("_sd_bv"))
+      .select(col("cluster"), col("vid").as("_sd_bid"),
+        col("v").as("_sd_bv"), col("nrm").as("_sd_bn"))
     batchM.join(corpusM, Seq("cluster"))
       .filter(col("_sd_bid") =!= col("_sd_cid"))
-      .withColumn("_sd_cos", Similarity.cosine(col("_sd_bv"), col("_sd_cv")))
+      .withColumn("_sd_cos", Similarity.cosineFromNorms(col("_sd_bv"),
+        col("_sd_cv"), col("_sd_bn"), col("_sd_cn")))
       .filter(Similarity.cosineAtLeast(col("_sd_cos"), threshold))
       .select(col("_sd_bid").as("new_id"), col("_sd_cid").as("match_id"),
         col("_sd_cos").cast("decimal(18,4)").as("cosine"))

@@ -37,6 +37,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** Native codegen'd dot product (`graft.functions.DotProduct`) — the
+    * pair-time half of the cosine kernel once norms are precomputed.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotProduct(a, b)
+
+  /** ‖v‖ via the native kernel: `sqrt(dot(v,v))` accumulates exactly the
+    * fused kernel's `na`, so norms precomputed here recompose to
+    * bit-identical cosines. (The declarative [[l2Norm]] computes the same
+    * fold interpreted per element — kept as the reference form.)
+    */
+  def l2NormNative(v: Column): Column = sqrt(dotNative(v, v))
+
+  /** Cosine recomposed from per-vector norms (optimization round 20,
+    * guide §1.2 "per-task work"): the fused [[cosine]] loop accumulates
+    * dot + BOTH norms per pair, so a pair join over n vectors recomputes
+    * each norm n times — two thirds of the kernel FLOPs. With
+    * `na`/`nb` = [[l2NormNative]] computed once per vector, this is
+    * bit-identical to [[cosine]]: same left-fold dot, and
+    * `na · nb` IS the fused `sqrt(Σa²) · sqrt(Σb²)` denominator
+    * (DotProductSpec pins equality on random + adversarial vectors).
+    * Null composition matches too: length mismatch / null element null
+    * the dot (and the norms), and the zero-denominator guard below
+    * reproduces the fused kernel's null-on-zero-norm.
+    */
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0d, lit(null).cast("double"))
+      .otherwise(dotNative(a, b) / denom)
+  }
+
   /** Cosine thresholds live in [-1, 1]; the bound also protects the
     * out-of-range sentinels [[cosineAtLeast]]/[[cosineBelow]] substitute
     * for null (a threshold beyond a sentinel would silently MATCH null
@@ -85,7 +116,7 @@ object Similarity {
     */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("nrm", l2NormNative(col("v")))
 
   /** Exact top-k nearest neighbors (cosine) of each query vector.
     *
@@ -95,10 +126,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms once per vector, dot-only per pair (see [[cosineFromNorms]])
     val c = corpus.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2NormNative(col("v")))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", l2NormNative(col("qv")))
     val scored = c.join(broadcast(q), col("vid") =!= col("qid"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine",
+        cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")))
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
@@ -139,8 +174,10 @@ object Similarity {
     // smaller B already saturates any cluster (B=4096 → 8.4M uniform tasks)
     require(nBlocks > 0 && nBlocks <= 10000,
       s"nBlocks must be in [1, 10000], got $nBlocks")
+    // norms once per vector, dot-only per pair (see [[cosineFromNorms]])
     val c = df.select(col(idCol).cast("long").as("vid"),
       toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2NormNative(col("v")))
       .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)).cast("int"))
     // pair key i·B+j (i ≤ j): a row in block b joins as the i-side of pairs
     // (b, j≥b) and as the j-side of pairs (i≤b, b)
@@ -148,19 +185,20 @@ object Similarity {
       .withColumn("pk", explode(sequence(
         col("blk") * nBlocks + col("blk"),
         col("blk") * nBlocks + lit(nBlocks - 1))))
-      .select(col("vid").as("ida"), col("v").as("va"),
+      .select(col("vid").as("ida"), col("v").as("va"), col("nrm").as("na"),
         col("blk").as("blk_a"), col("pk"))
     val right = c
       .withColumn("pk", explode(transform(
         sequence(lit(0), col("blk")),
         i => i * nBlocks + col("blk"))))
-      .select(col("vid").as("idb"), col("v").as("vb"),
+      .select(col("vid").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
         col("blk").as("blk_b"), col("pk"))
     left.join(right, Seq("pk"))
       // same-block pairs appear twice (x→y and y→x): keep one; cross-block
       // pairs appear once by construction (pair key is ordered i ≤ j)
       .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(cosineAtLeast(col("cosine"), threshold))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"),
@@ -191,24 +229,27 @@ object Similarity {
     require(k >= 1, s"k must be positive: $k")
     require(nBlocks > 0 && nBlocks <= 10000,
       s"nBlocks must be in [1, 10000], got $nBlocks")
+    // norms once per vector, dot-only per pair (see [[cosineFromNorms]])
     val c = df.select(col(idCol).cast("long").as("vid"),
       toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2NormNative(col("v")))
       .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)).cast("int"))
     val left = c
       .withColumn("pk", explode(sequence(
         col("blk") * nBlocks + col("blk"),
         col("blk") * nBlocks + lit(nBlocks - 1))))
-      .select(col("vid").as("ida"), col("v").as("va"),
+      .select(col("vid").as("ida"), col("v").as("va"), col("nrm").as("na"),
         col("blk").as("blk_a"), col("pk"))
     val right = c
       .withColumn("pk", explode(transform(
         sequence(lit(0), col("blk")),
         i => i * nBlocks + col("blk"))))
-      .select(col("vid").as("idb"), col("v").as("vb"),
+      .select(col("vid").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
         col("blk").as("blk_b"), col("pk"))
     val edges = left.join(right, Seq("pk"))
       .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       // each unordered pair once → both directed edges, one evaluation
       .select(col("pk"), col("cosine"), explode(array(
         struct(col("ida").as("src"), col("idb").as("dst")),
@@ -306,8 +347,10 @@ object Similarity {
       // pack the band index into the key so collisions stay within-band
       Array.tabulate(nBands)(b => (b.toLong << 32) | bands(b))
     }
+    // norms once per vector, dot-only per verified pair ([[cosineFromNorms]])
     val c = df.select(col(idCol).cast("long").as("vid"),
       toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2NormNative(col("v")))
     val banded = c.withColumn("band", explode(bandUdf(col("v"))))
       .select(col("vid"), col("band"))
     val cand = banded.as("a").join(banded.as("b"), "band")
@@ -315,9 +358,12 @@ object Similarity {
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
       .distinct()
     cand
-      .join(c.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
-      .join(c.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .join(c.select(col("vid").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(c.select(col("vid").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(cosineAtLeast(col("cosine"), threshold))
       .select(col("id_a"), col("id_b"),
         col("cosine").cast("decimal(18,4)").as("cosine"))
@@ -619,7 +665,7 @@ object Similarity {
       : (DataFrame, Boolean) = {
     val q0 = withNorm(queries, idCol, vecCol)
     val q = assign(q0, index.centroids, nProbe)
-      .select(col("vid").as("qid"), col("v").as("qv"),
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
           .as("probe"))
     // one count serves both the auto-route and the guard's refRows; lazy
@@ -642,7 +688,10 @@ object Similarity {
     val scored = index.vectors
       .join(if (viaBroadcast) broadcast(q) else q,
         col("centroid") === col("probe") && col("vid") =!= col("qid"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      // corpus norms ride the index, query norms the probe frame —
+      // dot-only per candidate (see [[cosineFromNorms]])
+      .withColumn("cosine",
+        cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")))
     (scored, viaBroadcast)
   }
 
@@ -785,7 +834,7 @@ object Similarity {
     require(nProbe >= 1, s"nProbe must be positive: $nProbe")
     val q = assign(index.vectors.select(col("vid"), col("v"), col("nrm")),
       index.centroids, nProbe)
-      .select(col("vid").as("qid"), col("v").as("qv"),
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(array((0 until nProbe).map(i => col(s"c$i")): _*))
           .as("probe"))
     // queries = corpus here, so both refRows candidates are the corpus
@@ -794,9 +843,10 @@ object Similarity {
     guardIvfCells(q, index, maxPairFactor,
       refRows = index.vectors.count() * nProbe, "knnGraphApprox")
     val scored = index.vectors
-      .select(col("vid"), col("v"), col("centroid"))
+      .select(col("vid"), col("v"), col("nrm"), col("centroid"))
       .join(q, col("centroid") === col("probe") && col("vid") =!= col("qid"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine",
+        cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")))
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe"), col("qid"))
       .orderBy(col("cosine").desc, col("vid"))
@@ -1001,11 +1051,14 @@ object Similarity {
       case NegativesBruteForce =>
         val c = df.select(col(idCol).cast("long").as("vid"),
           toDouble(col(vecCol)).as("v"))
+          .withColumn("nrm", l2NormNative(col("v")))
         val q = anchors.select(col(idCol).cast("long").as("anchor"),
           toDouble(col(vecCol)).as("qv"))
+          .withColumn("qnrm", l2NormNative(col("qv")))
         c.join(broadcast(q), col("vid") =!= col("anchor"))
           .select(col("anchor"), col("vid"),
-            cosine(col("v"), col("qv")).as("_cp_cos"))
+            cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm"))
+              .as("_cp_cos"))
       case NegativesIvf(nCentroids, nProbe, seed, maxPairFactor) =>
         val index = ivfIndex(df, idCol, vecCol, nCentroids, seed)
         ivfScored(index, anchors, idCol, vecCol, nProbe, maxPairFactor,

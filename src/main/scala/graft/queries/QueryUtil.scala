@@ -24,9 +24,37 @@ import org.apache.spark.sql.types.DecimalType
   */
 object QueryUtil {
 
+  /** Per-session memo of source RELATIONS (optimization round 20, guide
+    * §1.2 "don't compute things you throw away"): `spark.read.parquet`
+    * builds a fresh file index and re-infers the schema on every call —
+    * measured ~50 ms and one scheduler job each — and the catalog's 175
+    * queries call [[table]] ~350 times per bench pass on the same ~10
+    * immutable fixture files. The memo holds the LAZY DataFrame (a
+    * logical plan over the files), so every query still scans parquet
+    * from scratch when it executes — this caches table METADATA the way
+    * a catalog/metastore would, never data or results. Scope guard: only
+    * [[table]] goes through it, i.e. only the read-only harness fixtures
+    * under the scale-factor dirs; anything written at runtime (managed
+    * tables, scoped-tmp state) must keep re-resolving so it sees its own
+    * mutations. Keyed weakly per session so test sessions don't leak
+    * plans bound to stopped contexts.
+    */
+  private val relationMemo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+
   /** Read one harness table (TESTDATA.md) from the given scale-factor dir. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relationMemo.synchronized {
+      var m = relationMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        relationMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Normalized `events` view: `ts` as a microsecond timestamp.
     *

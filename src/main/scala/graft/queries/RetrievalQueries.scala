@@ -126,11 +126,14 @@ object RetrievalQueries {
         batch, "vec_id", "embedding", threshold = 0.9, assignProbes = 2)
       val b = batch.select(col("vec_id").as("new_id"),
         Similarity.toDouble(col("embedding")).as("_bv"))
+        .withColumn("_bn", Similarity.l2NormNative(col("_bv")))
       val exact = emb
         .select(col("vec_id").as("match_id"),
           Similarity.toDouble(col("embedding")).as("_cv"))
+        .withColumn("_cn", Similarity.l2NormNative(col("_cv")))
         .crossJoin(broadcast(b))
-        .withColumn("_c", Similarity.cosine(col("_cv"), col("_bv")))
+        .withColumn("_c", Similarity.cosineFromNorms(col("_cv"), col("_bv"),
+          col("_cn"), col("_bn")))
         .filter(Similarity.cosineAtLeast(col("_c"), 0.9))
         .select(col("new_id"), col("match_id"))
       exact.join(inc.select(col("new_id"), col("match_id"),

@@ -34,6 +34,16 @@ import graft.SparkSpec
   */
 class ExprRefBudgetSpec extends SparkSpec {
 
+  /** r20 re-audit (similarity family): the cosine kernel split
+    * (`DotProduct` + per-vector `l2NormNative`, see
+    * `Similarity.cosineFromNorms`) raises the STATIC ref counts — each
+    * former fused-cosine site is now one pair-time `dotproduct` plus
+    * per-VECTOR norm `dotproduct` sites below the join. Reviewed per
+    * this spec's rule: the pair-site counts (including the audited
+    * intrinsic ×2 filter/projection duplicates) are unchanged, and the
+    * new refs are O(n·dim) per-vector work hoisted OUT of the O(pairs ·
+    * dim) loop — strictly less per-row work, more plan sites.
+    */
   private val budget: Map[String, Int] = Map(
     "a1_group_agg" -> 0,
     "a5_median" -> 0,
@@ -61,8 +71,8 @@ class ExprRefBudgetSpec extends SparkSpec {
     "cr1_corpus_report" -> 9,
     "ct1_contamination" -> 4,
     "ct2_ngram_decontamination" -> 2,
-    "ctr1_contrastive_pairs" -> 8,
-    "ctr2_contrastive_ivf" -> 8,
+    "ctr1_contrastive_pairs" -> 20,
+    "ctr2_contrastive_ivf" -> 16,
     "cur1_curation" -> 31,
     "cur2_curation_v2" -> 10,
     "cur3_bpe_curation" -> 14,
@@ -71,8 +81,8 @@ class ExprRefBudgetSpec extends SparkSpec {
     "d3_simhash" -> 4,
     "d3b_simhash_wide" -> 6,
     "d4_ngram_jaccard" -> 4,
-    "d5_cosine_near_dup" -> 2,
-    "d5b_banded_near_dup" -> 4,
+    "d5_cosine_near_dup" -> 4,
+    "d5b_banded_near_dup" -> 8,
     "dc1_dup_clusters" -> 0,
     "dc2_incremental_clusters" -> 0,
     "diff1_snapshot_diff" -> 0,
@@ -159,16 +169,16 @@ class ExprRefBudgetSpec extends SparkSpec {
     "s4_orc_roundtrip" -> 0,
     "sd1_first_event" -> 0,
     "se1_schema_evolution" -> 0,
-    "semd1_semantic_dedup" -> 7,
-    "semd2_incremental_semantic" -> 4,
+    "semd1_semantic_dedup" -> 15,
+    "semd2_incremental_semantic" -> 7,
     "seq1_user_event_sequence" -> 0,
     "seq2_bounded_sequence" -> 0,
-    "sim1_ann_topk" -> 1,
-    "sim2_ivf_topk" -> 4,
-    "sim3_quantized_topk" -> 5,
-    "sim4_ivf_persisted" -> 3,
-    "sim5_knn_graph" -> 1,
-    "sim5b_knn_graph_approx" -> 4,
+    "sim1_ann_topk" -> 3,
+    "sim2_ivf_topk" -> 8,
+    "sim3_quantized_topk" -> 7,
+    "sim4_ivf_persisted" -> 6,
+    "sim5_knn_graph" -> 3,
+    "sim5b_knn_graph_approx" -> 8,
     "sk1_salted_join" -> 0,
     "sk2_salted_agg" -> 0,
     "sk3_power_law_agg" -> 0,

@@ -72,6 +72,11 @@ class CollectSiteSweepSpec extends AnyFunSuite {
     Entry("operators/BlockingBudget.scala",
       "profile.orderBy(col(\"pairs\").desc).limit(5)",
       "limited", "hottest-5 cells for the failure message"),
+    Entry("operators/DedupClusters.scala",
+      "sum(when(col(\"lbl\") =!= col(\"prev\"), 1L).otherwise(0L))",
+      "scalar-aggregate", "1-row changed-label count per propagation " +
+        "round — the convergence signal, fused with the round's cache " +
+        "materialization (r20: replaced the cut-then-isEmpty pair)"),
     Entry("operators/CountMin.scala",
       "sketches.select(col(\"cms\")).collect()",
       "group-grain", "one CMS blob per group key"),
