@@ -46,6 +46,21 @@ object TableStore {
     */
   val DefaultMaxFullRewriteBytes: Long = 64L << 30
 
+  /** Table size (file-listing stats) above which partitioned writes get an
+    * AQE REBALANCE on the partition columns (r20, guide §6): clustering
+    * rows per partition before the write is what stops an N-task merge
+    * from emitting N files into every touched partition — but it costs a
+    * full shuffle of the written rows, which on a SMALL table is pure
+    * added latency (measured: +0.7 s on the 150 k-row up2 fixture for
+    * files nobody is hurt by). 256 MiB ≈ one advisory partition: below
+    * it the whole table is single-digit files regardless of write shape,
+    * so the shuffle buys nothing; above it, fragmentation compounds per
+    * upsert into exactly what compactTable exists to undo. Size-gated,
+    * not env-gated, so the same binary does the right thing at sf0.1 and
+    * at 100 TB.
+    */
+  val RebalanceMinTableBytes: Long = 256L << 20
+
   /** Managed-table prefixes in the bucketed-index savers are interpolated
     * into DDL (`DROP TABLE IF EXISTS ${prefix}_…`) and into
     * `saveAsTable` names, and the two paths parse identifiers under
@@ -209,12 +224,12 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
         spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING parquet " +
           s"PARTITIONED BY (${ident(batchCol)}) LOCATION '$escapedLoc'")
         spark.sql(s"MSCK REPAIR TABLE $name")
-        insertDynamic(df, name)
+        insertDynamic(df, name, rebalanceBy = rebalanceCols(name, Seq(batchCol)))
       } else {
         df.write.format("parquet").partitionBy(batchCol).saveAsTable(name)
       }
     } else {
-      insertDynamic(df, name)
+      insertDynamic(df, name, rebalanceBy = rebalanceCols(name, Seq(batchCol)))
     }
   }
 
@@ -231,15 +246,52 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     * partitionOverwriteMode option is not honored on this insertInto path,
     * so the session conf is set for the write and restored after
     * (df.sparkSession: foreachBatch hands a cloned session).
+    *
+    * `rebalanceBy` (r20, guide §6 "coalesce on write" / Iceberg's
+    * `write.distribution-mode=hash`): without it, every upstream task
+    * holding rows of a partition opens its own file there — an N-task
+    * merge writing P touched partitions emits up to N·P small files per
+    * upsert, compounding into exactly the fragmentation `compactTable`
+    * exists to undo. An AQE REBALANCE on the partition columns clusters
+    * rows per partition at the advisory size — one file per partition
+    * when small, SPLIT when a partition exceeds the advisory bytes (so
+    * a skewed partition does not serialize into one writer task, the
+    * failure mode plain `repartition(partCols)` would have). Rows are
+    * unchanged; only the file layout moves.
     */
-  private def insertDynamic(df: DataFrame, name: String): Unit = {
+  /** The partition-column rebalance list for a dynamic write into `name`:
+    * the partition columns once the table is past
+    * [[TableStore.RebalanceMinTableBytes]], else empty. Sized by ONE
+    * filesystem content-summary call on the table location (plan-level
+    * `stats.sizeInBytes` is `defaultSizeInBytes` — effectively infinite —
+    * for un-ANALYZEd catalog tables, which would turn the gate always-on;
+    * measured exactly that before this fix). Metadata-only, no job.
+    */
+  private def rebalanceCols(name: String, partCols: Seq[String]): Seq[String] = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(
+      parts.last, parts.dropRight(1).lastOption)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(tid).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(loc).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    if (bytes >= TableStore.RebalanceMinTableBytes) partCols else Nil
+  }
+
+  private def insertDynamic(df: DataFrame, name: String,
+                            rebalanceBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val sess = df.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = sess.conf.getOption(key)
     sess.conf.set(key, "dynamic")
-    try df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-      .write.mode(SaveMode.Overwrite).insertInto(name)
+    val aligned = df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+    val shaped =
+      if (rebalanceBy.isEmpty) aligned
+      else aligned.hint("rebalance", rebalanceBy.map(col): _*)
+    try shaped.write.mode(SaveMode.Overwrite).insertInto(name)
     finally prev match {
       case Some(v) => sess.conf.set(key, v)
       case None    => sess.conf.unset(key)
@@ -547,7 +599,7 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     // must be computed BEFORE the overwrite mutates `existing`
     val emptied = touched
       .except(merged.select(partCols.map(col): _*).distinct()).collect()
-    insertDynamic(merged, name)
+    insertDynamic(merged, name, rebalanceBy = rebalanceCols(name, partCols))
     emptied.foreach { row =>
       val spec = partCols.zipWithIndex.map { case (c, i) =>
         val v = row.get(i)

@@ -69,24 +69,40 @@ object CatalogOpsQueries {
       def land(name: String, df: DataFrame): Unit =
         df.coalesce(1).write.mode("overwrite").options(CsvSource.Options)
           .csv(s"$tmp/$name.csv")
-      land("developers", table(s, d, "supplier")
-        .select(col("s_suppkey").as("id"), col("s_name").as("name")))
-      land("publishers", table(s, d, "customer")
-        .filter(col("c_custkey") <= 200)
-        .select(col("c_custkey").as("id"), col("c_name").as("name")))
-      land("categories", table(s, d, "region")
-        .select(col("r_regionkey").as("id"), col("r_name").as("name")))
-      land("genres", table(s, d, "nation")
-        .select(col("n_nationkey").as("id"), col("n_name").as("name")))
-      land("application_categories", table(s, d, "part")
-        .filter(col("p_partkey") <= 500)
-        .select(col("p_partkey").as("appid"),
-          col("p_size").cast("long").as("category_id")))
-      land("application_genres", table(s, d, "part")
-        .filter(col("p_partkey") <= 300)
-        .select(col("p_partkey").as("appid"),
-          col("p_size").cast("long").as("genre_id")))
-      land("junk_notes", table(s, d, "region").select(col("r_name")))
+      // The seven landing files are independent single-partition writes
+      // (~80 ms of commit latency each): submit them from a small thread
+      // pool so the jobs overlap (guide §2.6 — actions are only
+      // sequential because driver code calls them sequentially; the
+      // scheduler back-fills idle slots). Await.result rethrows a failed
+      // write's exception, same loudness as the sequential form.
+      val lands: Seq[(String, DataFrame)] = Seq(
+        "developers" -> table(s, d, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name")),
+        "publishers" -> table(s, d, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey").as("id"), col("c_name").as("name")),
+        "categories" -> table(s, d, "region")
+          .select(col("r_regionkey").as("id"), col("r_name").as("name")),
+        "genres" -> table(s, d, "nation")
+          .select(col("n_nationkey").as("id"), col("n_name").as("name")),
+        "application_categories" -> table(s, d, "part")
+          .filter(col("p_partkey") <= 500)
+          .select(col("p_partkey").as("appid"),
+            col("p_size").cast("long").as("category_id")),
+        "application_genres" -> table(s, d, "part")
+          .filter(col("p_partkey") <= 300)
+          .select(col("p_partkey").as("appid"),
+            col("p_size").cast("long").as("genre_id")),
+        "junk_notes" -> table(s, d, "region").select(col("r_name")))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(lands.map { case (n, df) =>
+            scala.concurrent.Future(land(n, df))
+          }), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val frames = LandingZone.route(tmp).collect {
         case LandingZone.StandardDim(p, t) =>
           CsvSource.read(s, p, Schemas.refDim)

@@ -156,16 +156,32 @@ object StreamMiscQueries {
     // must hold on ANY dataset, not just fixtures, so it is set where a
     // correct sketch essentially cannot violate it) of the exact count,
     // emitted as a boolean that DuckDB reproduces as literal TRUE
-    "ag2_approx_distinct" -> ((s, d) =>
-      table(s, d, "lineitem")
+    "ag2_approx_distinct" -> ((s, d) => {
+      // r20 (guide §2.3 "aggregate before you shuffle"): TWO distinct
+      // aggregates in one agg make Spark EXPAND the input 3× (one copy
+      // per distinct clause) before the shuffle — at scale that triples
+      // the bytes of the widest shuffle in the query. Splitting into two
+      // dedup-then-count aggregations joined on the (6-row) group key
+      // computes the IDENTICAL result: count(col) over the deduped frame
+      // is countDistinct by definition, and approx_count_distinct is
+      // duplicate-insensitive (HLL registers are a pure function of the
+      // distinct value set), so running it over the deduped frame leaves
+      // the estimate bit-identical. Measured 1.34 s → 0.60 s at sf0.1,
+      // exceptAll-equal both directions.
+      val li = table(s, d, "lineitem")
+      val parts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("apx"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(col("l_partkey")).as("exact_parts"))
+      val orders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("l_orderkey")).as("exact_orders"))
+      parts.join(orders, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("apx") - col("exact_parts")).cast("double")
             / col("exact_parts").cast("double") <= 0.25)
-            .as("within_25pct"))),
+            .as("within_25pct"))
+    }),
 
     // SKETCH-AS-DATA: per-group HLL sketches built once, then MERGED to
     // answer the global distinct question WITHOUT rescanning the base

@@ -31,7 +31,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "a8_duplicate_keys" -> 1,
     "a9_range_check" -> 1,
     "ag1_rollup" -> 1,
-    "ag2_approx_distinct" -> 2,
+    // r20 re-audit: the multi-distinct EXPAND (3× the input rows through
+    // 2 exchanges) was split into two dedup-then-count aggregations
+    // joined on the 6-row group key — 4 exchanges, but each carries
+    // map-side-deduped (flag, key) pairs instead of the tripled raw
+    // table. Measured 1.34 s → 0.60 s at sf0.1, identical output.
+    "ag2_approx_distinct" -> 4,
     "ag3_cube" -> 1,
     "aj1_asof_join" -> 1,
     "bk1_bucketed_join" -> 0,
