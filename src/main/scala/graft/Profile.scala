@@ -40,8 +40,7 @@ object Profile {
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       jobs.incrementAndGet()
       if (detail) {
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val site = j.stageInfos.lastOption.map(_.name.take(90)).getOrElse("?")
         println(f"[job] +${(System.nanoTime() - t0) / 1e9}%7.3f  #${j.jobId}%-4d " +
           f"stages=${j.stageInfos.size}%-3d $site")
       }

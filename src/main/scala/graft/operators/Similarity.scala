@@ -246,31 +246,36 @@ object Similarity {
         i => i * nBlocks + col("blk"))))
       .select(col("vid").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
         col("blk").as("blk_b"), col("pk"))
-    val edges = left.join(right, Seq("pk"))
+    val pairs = left.join(right, Seq("pk"))
       .filter(col("blk_a") =!= col("blk_b") || col("ida") < col("idb"))
       .withColumn("cosine",
         cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
-      // each unordered pair once → both directed edges, one evaluation
-      .select(col("pk"), col("cosine"), explode(array(
-        struct(col("ida").as("src"), col("idb").as("dst")),
-        struct(col("idb").as("src"), col("ida").as("dst")))).as("e"))
-      .select(col("pk"), col("e.src").as("src"), col("e.dst").as("dst"),
-        col("cosine"))
-    // partial top-k per (node, join task), as a window over (pk, src):
-    // the join output is already hash-partitioned by pk, which SATISFIES
-    // ClusteredDistribution(pk, src) — so this window adds only a local
-    // sort, no exchange (KnnPlanSpec asserts exactly one exchange beyond
-    // the block join). Null cosines (zero vectors) are KEPT: desc
-    // ordering ranks nulls last in both this local window and the final
-    // one, exactly matching [[bruteForceTopK]]'s contract — filtering
-    // them would silently drop degenerate vectors from the graph.
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pk"), col("src"))
-      .orderBy(col("cosine").desc, col("dst"))
-    val partial = edges
-      .withColumn("lr", row_number().over(localW))
-      .filter(col("lr") <= k)
-      .select(col("src"), col("dst"), col("cosine"))
+      .select(col("ida"), col("idb"), col("cosine"))
+    // partial top-k per (join task, node) as an IN-STAGE bounded-heap
+    // combiner over the un-exploded pairs (r20, guide §1.2: the r19
+    // shape exploded every pair into both directed edges — 2·#pairs rows
+    // — and sorted them under a per-(pk,src) row_number window: the sort
+    // of those 4M rows was sim5's dominant cost at sf0.1, measured
+    // ~2.3 s of 3.4, and an agg-based top-k timed the same). The
+    // combiner streams the join output inside the SAME stage (no
+    // exchange added — KnnPlanSpec still asserts exactly one exchange
+    // beyond the block join), feeding each pair to both endpoints'
+    // bounded top-k and emitting ≤ k rows per (task, node). This is a
+    // valid partial for the final window: any globally-top-k edge is
+    // top-k within the one task that holds its pair, and (cosine, dst)
+    // is a TOTAL order per node (dst unique), so the kept set is
+    // row-order-independent. Per-task state is O(nodes-in-task · k).
+    // Null cosines (zero vectors) are KEPT and ordered below every
+    // number, NaN above (Spark's DESC-nulls-last double ordering —
+    // [[KnnTopK.better]] reproduces it; −0.0 vs 0.0 cannot arise: a
+    // cancelling dot is IEEE +0.0 and an all-negative-zero product
+    // vector has zero norm → null). KnnCombinerSpec pins equality with
+    // the window form on random + degenerate corpora.
+    val sp2 = pairs.sparkSession
+    import sp2.implicits._
+    val partial = pairs.as[(Long, Long, Option[Double])]
+      .mapPartitions(it => KnnTopK.combine(it, k))
+      .toDF("src", "dst", "cosine")
     partial
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))

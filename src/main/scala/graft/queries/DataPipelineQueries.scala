@@ -198,11 +198,11 @@ object DataPipelineQueries {
         }
       }
       val newPairs = TextDedup.crossLshPairsFromIndex(
-        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/sets"),
+        QueryUtil.stateTable(s, base + "/sigs"), QueryUtil.stateTable(s, base + "/sets"),
         batch, "doc_id", "text")
         .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
       graft.operators.DedupClusters.incrementalCanonicalize(
-        s.read.parquet(base + "/clusters"), newPairs, "doc_a", "doc_b")
+        QueryUtil.stateTable(s, base + "/clusters"), newPairs, "doc_a", "doc_b")
     }),
 
     // contrastive pair mining over the d5b universe (planted near-dups):
@@ -360,7 +360,7 @@ object DataPipelineQueries {
             base)
       }
       val ivf = Similarity.ivfTopKFromIndex(
-        s.read.parquet(base + "/centroids"), s.read.parquet(base + "/vectors"),
+        QueryUtil.stateTable(s, base + "/centroids"), QueryUtil.stateTable(s, base + "/vectors"),
         qs, "vec_id", "embedding", k = 5, nProbe = 12)
       val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
       bf.select(col("qid"), col("neighbor"))
@@ -514,7 +514,7 @@ object DataPipelineQueries {
         }
       }
       TextDedup.crossLshPairsFromIndex(
-        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/sets"),
+        QueryUtil.stateTable(s, base + "/sigs"), QueryUtil.stateTable(s, base + "/sets"),
         batch, "doc_id", "text")
     }),
 

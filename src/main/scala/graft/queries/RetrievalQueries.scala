@@ -122,7 +122,7 @@ object RetrievalQueries {
             nClusters = 16, assignProbes = 2, base)
       }
       val inc = SemanticDedup.incrementalPairsFromIndex(
-        s.read.parquet(base + "/centroids"), s.read.parquet(base + "/members"),
+        QueryUtil.stateTable(s, base + "/centroids"), QueryUtil.stateTable(s, base + "/members"),
         batch, "vec_id", "embedding", threshold = 0.9, assignProbes = 2)
       val b = batch.select(col("vec_id").as("new_id"),
         Similarity.toDouble(col("embedding")).as("_bv"))

@@ -68,6 +68,13 @@ class NonCatalystSweepSpec extends AnyFunSuite {
     Entry("model/ReviewsFactJob.scala", "udf((t: String) => sc.score(t))",
       "reference-parity", "the U1 sentiment scorer (reviews_fact.py) — " +
         "rubric + fallback semantics ported as data, not re-derived"),
+    Entry("operators/Similarity.scala",
+      ".mapPartitions(it => KnnTopK.combine(it, k))",
+      "numeric-kernel", "r20: in-stage bounded top-k combiner over the " +
+        "knn block-pair join — replaces sorting 2×#pairs directed rows " +
+        "under a window (the measured sim5 bottleneck) with O(1) " +
+        "comparisons per pair; ordering contract pinned against the " +
+        "window form in KnnCombinerSpec"),
     Entry("operators/Similarity.scala", "val bandUdf = udf { (v: Seq[Double]) =>",
       "numeric-kernel", "sign-LSH banding: nBits random-plane dot " +
         "products folded to band keys; planes are per-call constants no " +
