@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Exact decimal SUM over a compact-decimal column (precision ≤ 18),
+  * accumulated as a signed 128-bit integer in two long buffer slots.
+  *
+  * Why native (r20, guide §1.2 "per-task work"): Spark's built-in `Sum`
+  * over DECIMAL(p≤18, s) widens the accumulator to DECIMAL(p+10, s).
+  * Each update is a `Decimal + Decimal` whose fast path applies only
+  * while BOTH sides still fit a compact long (unscaled < 10^18); the
+  * moment the running sum crosses that line — ~900 rows into a column
+  * of 10^15-unscaled values, the measured stat1 shape — every remaining
+  * row pays `toJavaBigDecimal.add` + re-wrap: per-row BigDecimal
+  * allocation inside the hottest aggregate loop. Measured on stat1
+  * (five DECIMAL(18,6) moment sums over lineitem at sf0.1): 1.92 s vs
+  * 0.70 s for the identical plan whose sums stay compact — the
+  * BigDecimal tail is ~2/3 of the query. At 100 TB every long-running
+  * money/moment sum lives in that tail permanently.
+  *
+  * This aggregate keeps the arithmetic on primitive longs for EVERY
+  * row: the input's unscaled long (exact — precision ≤ 18 is enforced,
+  * so the child is always compact) is added into a two-long signed
+  * int128 with carry propagation in plain bitwise ops, all inside
+  * whole-stage codegen (the buffer is two longs + the
+  * all-nulls-so-far flag; no boxing, no object buffer). The int128
+  * holds |unscaled sums| < 1.7e38 — 10^20 rows of maximal 18-digit
+  * values — and the final reconstruction to DECIMAL(p+10, s) happens
+  * once per GROUP, not per row, in exact BigInteger → BigDecimal math.
+  *
+  * Result parity with `Sum`: same result type (DECIMAL(min(38, p+10),
+  * s), nullable), same value (both are exact integer sums of the same
+  * unscaled longs), same null semantics (null inputs skipped; all-null
+  * or empty group → null; pinned bit-exact against the built-in in
+  * `DecimalSum128Spec`, including sums far past the compact-long
+  * boundary both positive and negative). On result overflow (the sum
+  * exceeds the result type, only reachable past 10^10 maximal rows) it
+  * throws like ANSI `Sum` does, with the offending bound named.
+  *
+  * Wrapping long adds are built with `Add(..., EvalMode.LEGACY)`
+  * explicitly, so session ANSI mode can never turn an intended 64-bit
+  * lane wrap into an overflow error. The carry-out of the unsigned low
+  * lane is the standard bitwise majority form
+  * `((a&b) | ((a|b) & ~(a+b))) >>> 63`.
+  */
+case class DecimalSum128(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def prettyName: String = "decimal_sum128"
+  override def nullable: Boolean = true
+
+  private lazy val childType = child.dataType.asInstanceOf[DecimalType]
+
+  override def dataType: DataType =
+    DecimalType(math.min(38, childType.precision + 10), childType.scale)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decimal_sum128 requires DECIMAL(p ≤ ${Decimal.MAX_LONG_DIGITS}, s) " +
+        s"input (compact-long unscaled representation); got $other")
+  }
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val isEmpty =
+    AttributeReference("isEmpty", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, isEmpty)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(true))
+
+  /** 64-bit lane add that WRAPS regardless of session ANSI mode. */
+  private def wadd(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  /** Carry-out (0 or 1) of the unsigned 64-bit add a + b. */
+  private def carry(a: Expression, b: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(a, b),
+        BitwiseAnd(BitwiseOr(a, b), BitwiseNot(wadd(a, b)))),
+      Literal(63))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val u = UnscaledValue(child)
+    // sign-extend u to 128 bits: high lane is u >> 63 (all ones iff
+    // negative), low lane is u; then hi += uHi + carry(lo, u)
+    val newHi = wadd(wadd(hi, ShiftRight(u, Literal(63))), carry(lo, u))
+    val newLo = wadd(lo, u)
+    Seq(
+      If(IsNull(child), hi, newHi),
+      If(IsNull(child), lo, newLo),
+      And(isEmpty, IsNull(child)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    wadd(wadd(hi.left, hi.right), carry(lo.left, lo.right)),
+    wadd(lo.left, lo.right),
+    And(isEmpty.left, isEmpty.right))
+
+  override lazy val evaluateExpression: Expression =
+    If(isEmpty, Literal.create(null, dataType),
+      Int128ToDecimal(hi, lo,
+        dataType.asInstanceOf[DecimalType].precision, childType.scale))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Reconstructs a DECIMAL(precision, scale) from a signed-int128
+  * unscaled value in (hi, lo) — [[DecimalSum128]]'s once-per-group
+  * finalizer. Exact BigInteger math; throws on result-type overflow
+  * (matching ANSI `Sum`), which is unreachable below ~10^10 maximal
+  * input rows per group.
+  */
+case class Int128ToDecimal(left: Expression, right: Expression,
+                           precision: Int, scale: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(precision, scale)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int128_to_decimal requires (bigint, bigint); " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(h: Any, l: Any): Any =
+    Int128ToDecimal.toDecimal(
+      h.asInstanceOf[Long], l.asInstanceOf[Long], precision, scale)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, l) =>
+      s"${ev.value} = graft.functions.Int128ToDecimal.toDecimal(" +
+        s"$h, $l, $precision, $scale);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int128ToDecimal {
+  def toDecimal(hi: Long, lo: Long, precision: Int, scale: Int): Decimal = {
+    val unscaled = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    val d = Decimal(new java.math.BigDecimal(unscaled, scale))
+    if (!d.changePrecision(precision, scale))
+      throw new ArithmeticException(
+        s"decimal_sum128 overflow: |sum| exceeds DECIMAL($precision,$scale)")
+    d
+  }
+}
+
+object DecimalSum128 {
+
+  /** Column surface: exact SUM of a compact-decimal column, bit-equal
+    * to `sum(c)` (see class doc) with primitive-long accumulation.
+    */
+  def decimalSum128(c: Column): Column =
+    Bridge.column(
+      DecimalSum128(Bridge.expression(c)).toAggregateExpression())
+}

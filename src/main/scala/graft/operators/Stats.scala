@@ -30,11 +30,29 @@ object Stats {
                          xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
-    val agg = df.groupBy(col(groupCol)).agg(
+    // decimal_sum128, not the built-in sum (r20, guide §1.2): the moment
+    // sums' running totals leave the compact-long decimal range within
+    // ~1k rows (Σy² unscaled ≈ 10^16/row at scale 6), putting Spark's
+    // Sum on a per-row BigDecimal add for the rest of the table —
+    // measured 2/3 of this query at sf0.1. The 128-bit two-long
+    // accumulator keeps every per-row add on primitive longs and is
+    // bit-identical to Sum (same result type, same exact value, same
+    // null semantics — DecimalSum128Spec pins it far past the compact
+    // boundary).
+    // The casts are PRE-PROJECTED below the aggregate: an aggregate
+    // function's child is re-evaluated at every reference in its update
+    // expressions (measured: the five casts inside the agg ran the query
+    // 2-3× over the same casts evaluated once in a projection — for the
+    // built-in Sum too, 2.83 s vs 1.66 s), and the double→decimal cast is
+    // the allocation-heavy step (Decimal.fromDouble via BigDecimal).
+    import graft.functions.DecimalSum128.decimalSum128
+    val pre = df.select(col(groupCol), d(x).as("dx"), d(y).as("dy"),
+      d(x * y).as("dxy"), d(x * x).as("dxx"), d(y * y).as("dyy"))
+    val agg = pre.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
-      sum(d(x)).as("sx"), sum(d(y)).as("sy"),
-      sum(d(x * y)).as("sxy"),
-      sum(d(x * x)).as("sxx"), sum(d(y * y)).as("syy"))
+      decimalSum128(col("dx")).as("sx"), decimalSum128(col("dy")).as("sy"),
+      decimalSum128(col("dxy")).as("sxy"),
+      decimalSum128(col("dxx")).as("sxx"), decimalSum128(col("dyy")).as("syy"))
     val n = col("n").cast("double")
     def dd(name: String) = col(name).cast("double")
     // Final value is rounded to 12 decimals: decimal→double of a LARGE sum

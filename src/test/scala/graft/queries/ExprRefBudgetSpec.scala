@@ -192,7 +192,13 @@ class ExprRefBudgetSpec extends SparkSpec {
     "st4_interval_join" -> 0,
     "st5_stream_static_enrich" -> 0,
     "st6_session_window" -> 0,
-    "stat1_correlation" -> 0,
+    // r20: five DecimalSum128 aggregates (graft.* by class, so costly by
+    // the classifier) each counted once in the partial and once in the
+    // final HashAggregate — the standard partial/final split, ONE per-row
+    // evaluation (the final runs on merged group rows). Reviewed per this
+    // spec's rule: no cross-stage clone, no per-row repeat; the dups
+    // list shows exactly the 5 aggs at ×2.
+    "stat1_correlation" -> 10,
     "std1_standardize" -> 0,
     "t1_token_stats" -> 0,
     "t2_quality_score" -> 1,
