@@ -97,8 +97,17 @@ object Compaction {
       // access and abort compaction on tables with dotted column names
       val cols = df.columns.toIndexedSeq
         .map(n => col(s"`${n.replace("`", "``")}`"))
-      val row = df.agg(count(lit(1)),
-        sum(xxhash64(struct(cols: _*)).cast("decimal(38,0)"))).head()
+      // decimal_sum128 over the raw hash longs (r20, guide §1.2): the
+      // former sum over decimal(38,0) casts left Decimal's compact-long
+      // path after TWO rows — every remaining row of every fingerprint
+      // pass (compaction verifies, upsert race guards) paid a BigDecimal
+      // add. Same exact value, same DECIMAL(38,0) result, primitive-long
+      // accumulation; the hash is pre-projected so the aggregate's child
+      // is one column read (stat1's child-hoisting finding).
+      val row = df
+        .select(xxhash64(struct(cols: _*)).as("_fp_h"))
+        .agg(count(lit(1)),
+          graft.functions.DecimalSum128.decimalSum128(col("_fp_h"))).head()
       Summary(row.getLong(0),
         if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)),
         proven = true)

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Column-name / filter constants of the reference pipeline.
   * Ports `/root/reference/src/notebooks/utilities.py:10-16` (`GameConstants`).
@@ -60,6 +60,18 @@ object TableStore {
     * at 100 TB.
     */
   val RebalanceMinTableBytes: Long = 256L << 20
+
+  /** Touched-partition count up to which [[TableStore.upsert]]'s
+    * partitioned merge filters `existing` with a LITERAL predicate
+    * (null-safe equality per partition, OR'd) — partition pruning at
+    * the scan with no join. Past it the predicate would bloat the plan
+    * (planning time grows with the expression tree), so a broadcast
+    * semi-join against the already-collected local set takes over. The
+    * touched set is driver-collected either way (the r19 shape
+    * collected it too, as the emptied-partition probe), so this bounds
+    * plan size, not driver memory.
+    */
+  val MaxTouchedPredicateLiterals: Int = 256
 
   /** Managed-table prefixes in the bucketed-index savers are interpolated
     * into DDL (`DROP TABLE IF EXISTS ${prefix}_…`) and into
@@ -524,11 +536,13 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
         castTo.get(c).map(dt => qcol(c).cast(dt).as(c)).getOrElse(qcol(c))
       }.toIndexedSeq: _*)
     }
-    val nullKeyed = keyCols.map(c => col(c).isNull).reduce(_ || _)
-    require(batch.filter(nullKeyed).isEmpty,
-      s"upsert into '$name' requires non-null values in key columns " +
-        s"(${keyCols.mkString(", ")}): a NULL key never matches the " +
-        "anti-join, so replays would accumulate duplicate rows")
+    // Null-key refusal: the COUNT now rides a pass each path already
+    // makes over the batch (r20, guide §1.2 — the eager
+    // `batch.filter(nullKeyed).isEmpty` here was a whole extra action
+    // per upsert): the partitioned path checks it on its touched-
+    // partition probe, the plain path on the staged write — both
+    // strictly BEFORE anything mutates or publishes (the staging table
+    // is dropped on refusal). See [[nullKeyGuard]]/[[refuseNullKeys]].
     val partCols = layoutCols.filter(_.isPartition).map(_.name).toSeq
     if (partCols.nonEmpty) { upsertPartitioned(batch, name, keyCols, partCols); return }
     // O(table) rewrite ahead — refuse above the threshold (see Scaladoc).
@@ -548,12 +562,17 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
     // the swap flips the summary of the renamed original and aborts.
     val preSummary = Compaction.contentSummary(spark, name)
     val existing = load(layer, table)
+    // the union branch carries EVERY batch row, so the null-key count
+    // rides the staging write (the keys side reads the un-observed plan)
+    val nullObs = org.apache.spark.sql.Observation()
     val merged = existing
       .join(batch.select(keyCols.map(col): _*).distinct(), keyCols,
         "left_anti")
-      .unionByName(batch.select(existing.columns.map(col).toIndexedSeq: _*))
+      .unionByName(batch.select(existing.columns.map(col).toIndexedSeq: _*)
+        .observe(nullObs, nullKeyGuard(keyCols)))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     merged.write.format("parquet").saveAsTable(tmp)
+    refuseNullKeys(nullObs, name, keyCols) { spark.sql(s"DROP TABLE $tmp") }
     beforeSwap() // test seam: the window a concurrent write must trip
     spark.sql(s"ALTER TABLE $name RENAME TO $old")
     if (Compaction.contentSummary(spark, old) != preSummary) {
@@ -584,30 +603,108 @@ final class TableStore(spark: SparkSession, config: PipelineConfig) {
   private def upsertPartitioned(df: DataFrame, name: String,
                                 keyCols: Seq[String],
                                 partCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, collect_set, struct}
     val targetCols = spark.table(name).columns.toIndexedSeq
     val incoming = df.select(targetCols.map(col): _*)
     val keys = incoming.select(keyCols.map(col): _*).distinct()
     val existing = spark.table(name)
-    val touched = incoming.select(partCols.map(col): _*)
+    // Pass structure (r20, guide §1.2/§2.4 — the r19 shape evaluated the
+    // full merged frame TWICE, once for the emptied-partition probe and
+    // once for the write, plus a whole extra batch action for the
+    // null-key guard; one upsert now reads the touched partitions once):
+    //   1. ONE pre-write action collects the touched partition set
+    //      (batch rows ∪ matched keys' partitions — the matched-key
+    //      probe is a (key, partition)-pruned scan) and carries the
+    //      null-key count as an observe metric, so the refusal still
+    //      lands before anything mutates. Driver-safety bound unchanged:
+    //      the touched set was already collected (as `emptied`) in r19.
+    //   2. The write scans `existing` through a LITERAL predicate over
+    //      the touched partitions (null-safe equality, so null partition
+    //      values keep their r19 semantics) instead of a semi-join —
+    //      partition pruning at the scan, no join, no second evaluation
+    //      of the probe. Past [[TableStore.MaxTouchedPredicateLiterals]]
+    //      the predicate would bloat the plan, so a broadcast semi-join
+    //      against the already-collected local set takes over.
+    //   3. The emptied-partition set (touched partitions the merge left
+    //      without rows — dynamic overwrite never rewrites those, so
+    //      they are dropped explicitly) rides the write itself as an
+    //      observe collect_set over the partition columns: same value as
+    //      the r19 pre-write probe (same merged rows), zero extra pass,
+    //      and no read of `existing` after the mutation.
+    val nullObs = org.apache.spark.sql.Observation()
+    val touchedRows = incoming.observe(nullObs, nullKeyGuard(keyCols))
+      .select(partCols.map(col): _*)
       .union(existing.join(keys, keyCols, "left_semi")
         .select(partCols.map(col): _*))
-      .distinct()
-    val merged = existing.join(touched, partCols, "left_semi")
+      .distinct().collect()
+    refuseNullKeys(nullObs, name, keyCols)(())
+    val touchedExisting =
+      if (touchedRows.isEmpty) existing.filter(org.apache.spark.sql.functions.lit(false))
+      else if (touchedRows.length <= TableStore.MaxTouchedPredicateLiterals)
+        existing.filter(touchedRows.map { row =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            col(c) <=> org.apache.spark.sql.functions.lit(row.get(i))
+          }.reduce(_ && _)
+        }.reduce(_ || _))
+      else {
+        val touchedLocal = spark.createDataFrame(
+          java.util.Arrays.asList(touchedRows: _*),
+          org.apache.spark.sql.types.StructType(
+            partCols.map(c => existing.schema(c))))
+        existing.join(
+          org.apache.spark.sql.functions.broadcast(touchedLocal),
+          partCols, "left_semi")
+      }
+    val presentObs = org.apache.spark.sql.Observation()
+    val merged = touchedExisting
       .join(keys, keyCols, "left_anti")
       .unionByName(incoming)
-    // must be computed BEFORE the overwrite mutates `existing`
-    val emptied = touched
-      .except(merged.select(partCols.map(col): _*).distinct()).collect()
+      .observe(presentObs,
+        collect_set(struct(partCols.map(col): _*)).as("present"))
     insertDynamic(merged, name, rebalanceBy = rebalanceCols(name, partCols))
-    emptied.foreach { row =>
-      val spec = partCols.zipWithIndex.map { case (c, i) =>
-        val v = row.get(i)
+    // Driver-side set difference over EXTERNAL row values: both sides
+    // come off the same partition columns of the same session (collect
+    // and observe use the same external conversion), so value classes
+    // match; compared as Seq so Row equality semantics can't surprise.
+    val present = presentObs.get.apply("present")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(_.toSeq).toSet
+    val emptied = touchedRows.map(_.toSeq).filterNot(present)
+    emptied.foreach { vals =>
+      val spec = partCols.zip(vals).map { case (c, v) =>
         require(v != null,
           s"upsert into '$name': NULL value in partition column '$c'")
         s"${ident(c)}='${v.toString.replace("'", "''")}'"
       }.mkString(", ")
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+    }
+  }
+
+  /** The null-key refusal's observe metric (see [[upsert]]): count of
+    * batch rows with any NULL key column, ridden on a pass the upsert
+    * already makes instead of costing its own action.
+    */
+  private def nullKeyGuard(keyCols: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    coalesce(sum(when(
+      keyCols.map(c => col(c).isNull).reduce(_ || _), 1L)), lit(0L))
+      .as("null_keys")
+  }
+
+  /** Check [[nullKeyGuard]]'s observed count; on violation run `cleanup`
+    * (e.g. drop the staging table) and refuse with the same
+    * IllegalArgumentException contract the eager pre-check had.
+    */
+  private def refuseNullKeys(obs: org.apache.spark.sql.Observation,
+                             name: String, keyCols: Seq[String])
+                            (cleanup: => Unit): Unit = {
+    if (obs.get.apply("null_keys").asInstanceOf[Long] > 0L) {
+      cleanup
+      throw new IllegalArgumentException(
+        s"requirement failed: upsert into '$name' requires non-null " +
+          s"values in key columns (${keyCols.mkString(", ")}): a NULL " +
+          "key never matches the anti-join, so replays would " +
+          "accumulate duplicate rows")
     }
   }
 

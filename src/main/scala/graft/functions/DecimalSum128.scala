@@ -56,17 +56,30 @@ case class DecimalSum128(child: Expression)
   override def prettyName: String = "decimal_sum128"
   override def nullable: Boolean = true
 
-  private lazy val childType = child.dataType.asInstanceOf[DecimalType]
+  /** A BIGINT child is accepted as the degenerate scale-0 case (its
+    * value IS its unscaled long): the int64-fingerprint shape —
+    * `sum(xxhash64(...) as decimal(38,0))` in Compaction's content
+    * summary — sums full-range longs, whose decimal accumulator leaves
+    * the compact path after TWO rows. Result type mirrors the replaced
+    * expression exactly: DECIMAL(38, 0).
+    */
+  private lazy val scale: Int = child.dataType match {
+    case d: DecimalType => d.scale
+    case _ => 0
+  }
 
-  override def dataType: DataType =
-    DecimalType(math.min(38, childType.precision + 10), childType.scale)
+  override def dataType: DataType = child.dataType match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => DecimalType(38, 0)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
       TypeCheckResult.TypeCheckSuccess
+    case LongType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"decimal_sum128 requires DECIMAL(p ≤ ${Decimal.MAX_LONG_DIGITS}, s) " +
-        s"input (compact-long unscaled representation); got $other")
+        s"input (compact-long unscaled representation) or BIGINT; got $other")
   }
 
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
@@ -92,7 +105,10 @@ case class DecimalSum128(child: Expression)
       Literal(63))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val u = UnscaledValue(child)
+    val u = child.dataType match {
+      case _: DecimalType => UnscaledValue(child)
+      case _ => child // BIGINT: the value is its own unscaled long
+    }
     // sign-extend u to 128 bits: high lane is u >> 63 (all ones iff
     // negative), low lane is u; then hi += uHi + carry(lo, u)
     val newHi = wadd(wadd(hi, ShiftRight(u, Literal(63))), carry(lo, u))
@@ -111,7 +127,7 @@ case class DecimalSum128(child: Expression)
   override lazy val evaluateExpression: Expression =
     If(isEmpty, Literal.create(null, dataType),
       Int128ToDecimal(hi, lo,
-        dataType.asInstanceOf[DecimalType].precision, childType.scale))
+        dataType.asInstanceOf[DecimalType].precision, scale))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -90,28 +90,34 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // pull each neighbor's current label, take the minimum with our own;
-      // the old label rides along so convergence is a filter on THIS
-      // frame, not another join against the previous labels
-      val pulled = edges
+      // Each round takes, per vertex, the MIN over a set of label
+      // "contributions", assembled as a UNION feeding one aggregate
+      // (r20, guide §2.4): neighbors' labels (one equi-join through the
+      // edge set), the vertex's OWN label (a shuffle-free union branch —
+      // the r19 shape re-joined `labels` on u AFTER the aggregate just
+      // to mix the own label in and carry `prev`, a whole extra shuffle
+      // of the label frame every round), and under pointer jumping the
+      // label OF the label (one labels⋈labels join — own-label routing
+      // is a message from vertex lbl to vertex u, irreducibly a join).
+      // `prev` rides the self branch: every u has exactly one self row,
+      // so max(when(self)) recovers it in the same aggregate.
+      val neighborC = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
-        .groupBy(col("u")).agg(min(col("nlbl")).as("pulled"))
-        .join(labels, "u")
-      // shortcutting: also adopt the label OF our label (labels only ever
-      // shrink and stay within the component, so the min over
-      // {own, neighbors', label's label} keeps the invariant while
-      // halving chain depth per round)
-      val stepped =
-        if (!pointerJumping)
-          pulled.select(col("u"), least(col("lbl"), col("pulled")).as("lbl"),
-            col("lbl").as("prev"))
-        else
-          pulled
-            .join(labels.select(col("u").as("lbl"), col("lbl").as("jlbl")),
-              "lbl")
-            .select(col("u"),
-              least(col("lbl"), col("pulled"), col("jlbl")).as("lbl"),
-              col("lbl").as("prev"))
+        .select(col("u"), col("nlbl"), lit(false).as("self"))
+      val selfC = labels.select(col("u"), col("lbl").as("nlbl"),
+        lit(true).as("self"))
+      val contrib =
+        if (!pointerJumping) neighborC.unionByName(selfC)
+        else neighborC.unionByName(selfC).unionByName(
+          labels.join(
+            labels.select(col("u").as("lbl"), col("lbl").as("jlbl")), "lbl")
+            .select(col("u"), col("jlbl").as("nlbl"), lit(false).as("self")))
+      // labels only ever shrink and stay within the component, so the min
+      // over {own, neighbors', label's label} keeps the invariant while
+      // (under pointer jumping) halving chain depth per round
+      val stepped = contrib.groupBy(col("u")).agg(
+        min(col("nlbl")).as("lbl"),
+        max(when(col("self"), col("nlbl"))).as("prev"))
       // The per-round lineage cut is LOAD-BEARING, not hygiene: `labels`
       // is referenced 2-3× in each round's plan, so without a cut to a
       // leaf the logical plan doubles per round — exponential planning
@@ -177,10 +183,13 @@ object DedupClusters {
         s"batch $aCol is ${pairs.schema(aCol).dataType.sql}")
     // The batch pair plan feeds BOTH the seed carve-out and the merged
     // closure graph; pair generation is typically the expensive upstream
-    // (an LSH band join + exact verify) — materialize it once instead of
-    // twice. Same cut policy as the closure loop.
+    // (an LSH band join + exact verify) — cut it to a leaf so it
+    // computes once. LAZY like the closure loop's cuts (r20): the seed
+    // semi-join is the materializing action, so the cut pays no
+    // separate up-front job.
     val p0 =
-      if (useReliableCheckpoint) pairs.checkpoint() else pairs.localCheckpoint()
+      if (useReliableCheckpoint) pairs.checkpoint(eager = false)
+      else pairs.localCheckpoint(eager = false)
     val seeds = p0.select(col(aCol).as("_ic_id"))
       .union(p0.select(col(bCol).as("_ic_id"))).distinct()
     // canonicals of every existing component the batch touches (batch ids

@@ -67,6 +67,21 @@ class DecimalSum128Spec extends SparkSpec {
       "grouped sums differ from builtin")
   }
 
+  test("BIGINT child: parity with sum(cast(decimal(38,0))) on full-range " +
+      "longs (the fingerprint shape)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 4000).map(_ => rnd.nextLong()) // full int64 range
+    val df = rows.toDF("h")
+    val got = df.agg(decimalSum128(col("h")).as("s"))
+    val want = df.agg(sum(col("h").cast(DecimalType(38, 0))).as("s"))
+    assert(got.schema == want.schema,
+      s"schema: ${got.schema} vs ${want.schema}")
+    assert(got.collect()(0).getDecimal(0) == want.collect()(0).getDecimal(0))
+    // empty relation → null, like the builtin
+    val empty = df.filter(lit(false)).agg(decimalSum128(col("h")))
+    assert(empty.collect()(0).isNullAt(0))
+  }
+
   test("refuses non-compact input types") {
     val df = Seq(BigDecimal(1)).toDF("v")
       .select(col("v").cast(DecimalType(38, 6)).as("v"))

@@ -52,6 +52,14 @@ class BroadcastHintSweepSpec extends AnyFunSuite {
     * six classes is it, and why is the hinted side safe at 100 TB?
     */
   private val allow: Seq[Entry] = Seq(
+    Entry("core/Tables.scala",
+      "org.apache.spark.sql.functions.broadcast(touchedLocal),",
+      "driver-value", "the touched-partition set of a partitioned " +
+        "upsert, ALREADY collected to the driver (the r19 shape " +
+        "collected it too, as the emptied probe) — partition-grain, " +
+        "bounded by the documented driver-safe touched-partition count; " +
+        "this arm only runs past MaxTouchedPredicateLiterals, where a " +
+        "literal predicate would bloat the plan"),
     Entry("model/AuxDimsJob.scala", "broadcast(spark.table(s\"stage_$refTable\"))",
       "bounded-dim", "reference dims (auxillary_dims.py parity): model-bounded"),
     Entry("operators/Broadcasts.scala", "broadcast(df) else df",

@@ -41,8 +41,10 @@ class CollectSiteSweepSpec extends AnyFunSuite {
     * what bounds the row count at 100 TB?
     */
   private val allow: Seq[Entry] = Seq(
-    Entry("core/Compaction.scala", "sum(xxhash64(struct(cols: _*))",
-      "scalar-aggregate", "1-row fingerprint checksum"),
+    Entry("core/Compaction.scala",
+      "graft.functions.DecimalSum128.decimalSum128(col(\"_fp_h\"))).head()",
+      "scalar-aggregate", "1-row fingerprint checksum (r20: int128 " +
+        "accumulation, same value as the old decimal(38,0) sum)"),
     Entry("core/Compaction.scala", "spark.catalog.listColumns(fqn)",
       "metadata", "partition-column names from the catalog"),
     Entry("core/Compaction.scala", "spark.catalog.listColumns(old)",
@@ -54,9 +56,10 @@ class CollectSiteSweepSpec extends AnyFunSuite {
     Entry("core/Tables.scala", "spark.catalog.listColumns(name).collect()",
       "metadata", "column metadata for layout checks"),
     Entry("core/Tables.scala",
-      ".except(merged.select(partCols.map(col): _*).distinct()).collect()",
+      ".select(partCols.map(col): _*)) .distinct().collect()",
       "metadata", "touched-partition values of an upsert batch — " +
-        "partition-grain"),
+        "partition-grain (r20: collected once pre-write; the emptied " +
+        "probe now rides the write via observe)"),
     Entry("functions/Bpe.scala", ".limit(maxWords) .collect()",
       "vocab-bounded", "word-frequency table capped by the maxWords " +
         "argument (the documented vocab-bounded driver collect)"),
