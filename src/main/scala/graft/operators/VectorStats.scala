@@ -30,11 +30,14 @@ object VectorStats {
 
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      // (18,6): Long-backed fast decimal per row (embedding components
+      // are O(1) — far inside the 10^12 magnitude bound). Cast hoisted
+      // below the aggregate (r20, guide §1.2): an agg child re-evaluates
+      // per update-expression reference
+      .withColumn("_xd", col("x").cast("double").cast(DecimalType(18, 6)))
       .groupBy(col(labelCol), col("dim"))
       .agg(
-        // (18,6): Long-backed fast decimal per row (embedding components
-        // are O(1) — far inside the 10^12 magnitude bound)
-        sum(col("x").cast("double").cast(DecimalType(18, 6))).as("s"),
+        sum(col("_xd")).as("s"),
         count(lit(1)).as("n_vecs"))
       .select(col(labelCol), col("dim").cast("int").as("dim"),
         (col("s").cast("double") / col("n_vecs").cast("double")).as("centroid"),

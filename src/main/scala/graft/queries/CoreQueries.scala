@@ -100,19 +100,28 @@ object CoreQueries {
         .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
         .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
         .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+        // money cast hoisted below the aggregate (r20, guide §1.2): an
+        // aggregate child re-evaluates at every update-expression
+        // reference, so the BigDecimal-allocating double→decimal cast
+        // ran 2-3× per row inside the agg; projected once instead
+        // (measured on the a1 shape: 2.83 s in-agg vs 1.66 s projected)
+        .withColumn("_dprice", dec(col("o_totalprice")))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          dec(sum(dec(col("o_totalprice")))).as("sum_totalprice"))),
+          dec(sum(col("_dprice"))).as("sum_totalprice"))),
 
     // A1-A4 — grouped aggregate suite: COUNT(*), AVG, conditional SUM
-    // (`semantic_layer.sql:77-90`); TPC-H Q1 shape
+    // (`semantic_layer.sql:77-90`); TPC-H Q1 shape. The two money casts
+    // are pre-projected below the aggregate — see j4's note (guide §1.2)
     "a1_group_agg" -> ((s, d) =>
       table(s, d, "lineitem")
+        .withColumn("_dqty", dec(col("l_quantity")))
+        .withColumn("_dprice", dec(col("l_extendedprice")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_base"),
+          dec(sum(col("_dqty"))).as("sum_qty"),
+          dec(sum(col("_dprice"))).as("sum_base"),
           avg(col("l_quantity")).as("avg_qty"),
           sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
           (sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("double")

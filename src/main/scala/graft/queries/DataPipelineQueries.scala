@@ -439,10 +439,13 @@ object DataPipelineQueries {
           TextAnalysis.estimatedBpeTokens(col("text")).as("bpe"),
           when(TextAnalysis.languageId(col("text")) === "en", 1)
             .otherwise(0).as("is_en"))
+        // quality cast hoisted below the aggregate (guide §1.2, the a1
+        // child-hoisting rule)
+        .withColumn("_dq", col("q").cast("decimal(18,6)"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           // decimal sum + one double division: reduction-order-proof
-          (sum(col("q").cast("decimal(18,6)")).cast("double")
+          (sum(col("_dq")).cast("double")
             / count(lit(1)).cast("double")).cast("decimal(18,6)")
             .as("avg_quality"),
           sum(col("bpe")).as("total_bpe_tokens"),

@@ -177,9 +177,15 @@ object FlagshipQueries {
         .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
+        // revenue term hoisted below the aggregate (r20, guide §1.2): an
+        // aggregate child re-evaluates at every update-expression
+        // reference, so the product + BigDecimal-allocating cast ran
+        // 2-3× per surviving row; projected once, AFTER the joins so
+        // dropped rows never pay it
+        .withColumn("_rev",
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)), 4)
-          .as("revenue"))
+        .agg(dec(sum(col("_rev")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)),
 
@@ -200,9 +206,11 @@ object FlagshipQueries {
         .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
+        // revenue term hoisted below the aggregate — see h1 (guide §1.2)
+        .withColumn("_rev",
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .groupBy(col("n_name"))
-        .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)), 4)
-          .as("revenue")))
+        .agg(dec(sum(col("_rev")), 4).as("revenue")))
   )
 
   lazy val queries: Map[String, Q] = baseQueries ++ extraQueries
@@ -219,9 +227,11 @@ object FlagshipQueries {
       table(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        // revenue term hoisted below the aggregate — see h1 (guide §1.2)
+        .withColumn("_rev",
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)), 4)
-          .as("lost_revenue"))
+        .agg(dec(sum(col("_rev")), 4).as("lost_revenue"))
         .orderBy(col("lost_revenue").desc, col("c_custkey"))
         .limit(20)),
 
@@ -229,8 +239,11 @@ object FlagshipQueries {
     // producing a compact key set, joined back to orders/customer — the
     // "HAVING subquery as semi-join" pattern
     "h4_big_orders" -> ((s, d) => {
-      val big = table(s, d, "lineitem").groupBy(col("l_orderkey"))
-        .agg(dec(sum(dec(col("l_quantity"))), 2).as("total_qty"))
+      val big = table(s, d, "lineitem")
+        // quantity cast hoisted below the aggregate — see h1 (guide §1.2)
+        .withColumn("_dqty", dec(col("l_quantity")))
+        .groupBy(col("l_orderkey"))
+        .agg(dec(sum(col("_dqty")), 2).as("total_qty"))
         .filter(col("total_qty") > 250)
       big.join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))

@@ -133,9 +133,16 @@ object StreamMiscQueries {
     // full cube with all subtotal combinations
     "ag3_cube" -> ((s, d) =>
       table(s, d, "orders")
+        // money cast hoisted below the aggregate (r20, guide §1.2): an
+        // aggregate child re-evaluates per update-expression reference,
+        // and CUBE additionally EXPANDS each input row into 4 grouping
+        // sets first — in-agg, the BigDecimal-allocating cast ran up to
+        // ~8-12× per input row; projected once, the Expand copies a
+        // ready decimal
+        .withColumn("_dprice", dec(col("o_totalprice")))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("o_totalprice")))).as("sum_price"))),
+          dec(sum(col("_dprice"))).as("sum_price"))),
 
     // schema-full JSON parsing (from_json → typed struct), the in-plan
     // form of the reference's UDF-side json.loads
@@ -322,9 +329,12 @@ object StreamMiscQueries {
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
           explode(sequence(col("d0"), col("d1"))).as("day"))
-      val daily = e.groupBy(col("user_id"), col("day"))
+      val daily = e
+        // value cast hoisted below the aggregate — see ag3 (guide §1.2)
+        .withColumn("_dv", col("value").cast("decimal(18,6)"))
+        .groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).as("sv"))
+          sum(col("_dv")).as("sv"))
       grid.join(daily, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day"),
           coalesce(col("n_events"), lit(0L)).cast("bigint").as("n_events"),

@@ -91,10 +91,13 @@ object EventStreams {
                      watermark: String = "2 hours"): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark)
               else events
-    src.groupBy(window(col("ts"), windowLength), col("event_type"))
+    // value cast hoisted below the aggregate (r20, guide §1.2): an agg
+    // child re-evaluates per update-expression reference — in a
+    // stateful streaming agg that is per row per micro-batch
+    src.withColumn("_dv", col("value").cast("decimal(18,6)"))
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
-          .as("sum_value"))
+        sum(col("_dv")).cast("decimal(18,6)").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
   }
@@ -168,11 +171,12 @@ object EventStreams {
     // threshold and shuffles per micro-batch once it outgrows it —
     // slower but alive, and the right default for a job that runs for
     // months
+    // value cast hoisted below the aggregate — see windowedCounts
     src.join(dim, Seq("user_id"))
+      .withColumn("_dv", col("value").cast("decimal(18,6)"))
       .groupBy(window(col("ts"), windowLength), col("n_name"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
-          .as("sum_value"))
+        sum(col("_dv")).cast("decimal(18,6)").as("sum_value"))
       .select(col("window.start").as("window_start"), col("n_name"),
         col("n_events"), col("sum_value"))
   }
