@@ -1,7 +1,7 @@
 package graft.semantic
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Declarative semantic metric layer.
   *
@@ -88,10 +88,48 @@ final case class MetricView(
     }
     val filtered = where.map(w => joined.filter(expr(w))).getOrElse(joined)
     val dimCols = dimNames.map(n => expr(dim(n).expression).as(n))
-    val aggCols = measureNames.map(n => expr(measure(n).expression).as(n))
+    // Hoist non-trivial aggregate ARGUMENTS into a projection below the
+    // aggregate (r20, guide §1.2): an aggregate child re-evaluates at
+    // every reference in its update expressions, so a measure like
+    // SUM(CAST(price * (1 - discount) AS DECIMAL(18,4))) pays the
+    // product + BigDecimal-allocating cast 2-3× per row inside the agg
+    // (measured catalog-wide: ~30-40% of such queries' task CPU). The
+    // rewrite lives in THIS compiler, so the code-authored view, the
+    // YAML-parsed view (m7's plan-equality pin) and the verbatim
+    // reference document (m8) all compile to the same hoisted plan —
+    // the measure SQL, the analysts' surface, is untouched. Attribute,
+    // star (COUNT(*)) and literal arguments stay in place; everything
+    // else is projected once under a synthetic alias.
+    val hoisted = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, org.apache.spark.sql.catalyst.expressions.Expression)]
+    def rewrite(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = e.transform {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if MetricView.HoistableAggs.contains(
+            f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+        val newArgs = f.arguments.map {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+          case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar => s
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+          case c =>
+            val (nm, _) = hoisted.getOrElseUpdate(c.sql,
+              (s"_mv_h${hoisted.size}", c))
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(nm))
+        }
+        f.copy(arguments = newArgs)
+    }
+    import org.apache.spark.sql.graftbridge.Bridge
+    val aggCols = measureNames.map(n =>
+      Bridge.column(rewrite(Bridge.expression(expr(measure(n).expression))))
+        .as(n))
+    val pre =
+      if (hoisted.isEmpty) filtered
+      else filtered.select(col("*") +: hoisted.values.toSeq.map {
+        case (nm, e) => Bridge.column(e).as(nm)
+      }: _*)
     val agged =
-      if (dimCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-      else filtered.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      if (dimCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
+      else pre.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
     having.map(h => agged.filter(expr(h))).getOrElse(agged)
   }
 
@@ -133,4 +171,17 @@ final case class MetricView(
   def registerView(spark: SparkSession, viewName: String): Unit =
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName AS " +
       toSql(measures.map(_.name), dimensions.map(_.name), oracle = false))
+}
+
+object MetricView {
+  /** Aggregates whose arguments the measure compiler hoists below the
+    * aggregate (see [[MetricView.query]]): the standard algebraic set —
+    * for these, AGG(expr) over rows R ≡ AGG(col) over R projected with
+    * col = expr, including DISTINCT forms (distinct-of-equal-values is
+    * unchanged by naming the expression). percentile and friends keep
+    * their arguments in place: theirs are plain attributes in every
+    * declared measure, so there is nothing to hoist.
+    */
+  private[semantic] val HoistableAggs: Set[String] =
+    Set("sum", "avg", "min", "max", "count")
 }
