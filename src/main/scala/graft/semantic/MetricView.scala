@@ -118,9 +118,13 @@ final case class MetricView(
         }
         f.copy(arguments = newArgs)
     }
+    // parse with the session parser, not functions.expr: Spark 4's
+    // Column wraps a lazy ColumnNode, so Bridge.expression(expr(...))
+    // yields an opaque ColumnNodeExpression with no tree to transform
     import org.apache.spark.sql.graftbridge.Bridge
+    val parser = spark.sessionState.sqlParser
     val aggCols = measureNames.map(n =>
-      Bridge.column(rewrite(Bridge.expression(expr(measure(n).expression))))
+      Bridge.column(rewrite(parser.parseExpression(measure(n).expression)))
         .as(n))
     val pre =
       if (hoisted.isEmpty) filtered
